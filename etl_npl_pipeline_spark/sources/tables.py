@@ -1,0 +1,40 @@
+"""Parquet table catalog for the synthetic test data.
+
+Reference parity: the reference loads each source into a named
+frame (``raw_npls``, ``raw_gdp`` ... src/ETL-NPL-Pipeline.py:464+);
+here every table is a lazily-planned parquet scan so Catalyst can
+prune columns and push filters into the scan — at 100 TB the
+difference between reading 2 columns and 11 is the whole game.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. No cache, no collect — a pure plan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables as a dict of plans."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
