@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_npl_pipeline_spark.plans import tpch
+from etl_npl_pipeline_spark.plans import npl, reference_ops as rops, tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -30,6 +30,24 @@ def queries() -> dict[str, QueryFn]:
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
         "q10_returned_items": tpch.q10_returned_items,
         "q18_large_orders": tpch.q18_large_orders,
+        # reference-parity pipeline (SURVEY §2.2 T8/T12/T13/T15)
+        "npl_by_segment": npl.npl_by_segment,
+        "npl_assemble": npl.npl_assemble,
+        "npl_quarterly": npl.npl_quarterly,
+        # per-operator showcases (SURVEY §2.2)
+        "fn_quarter_reformat": rops.fn_quarter_reformat,
+        "fn_quarter_of_date": rops.fn_quarter_of_date,
+        "fn_strip_suffix": rops.fn_strip_suffix,
+        "fn_parse_number": rops.fn_parse_number,
+        "op_ffill": rops.op_ffill,
+        "op_melt": rops.op_melt,
+        "op_pivot": rops.op_pivot,
+        "op_quarter_agg": rops.op_quarter_agg,
+        "op_filter_pushdown": rops.op_filter_pushdown,
+        "op_segment": rops.op_segment,
+        "src_json_props": rops.src_json_props,
+        "events_sessionize": rops.events_sessionize,
+        "events_window_agg": rops.events_window_agg,
     }
 
 
@@ -41,4 +59,20 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": tpch.Q6_SQL,
         "q10_returned_items": tpch.Q10_SQL,
         "q18_large_orders": tpch.Q18_SQL,
+        "npl_by_segment": npl.NPL_BY_SEGMENT_SQL,
+        "npl_assemble": npl.NPL_ASSEMBLE_SQL,
+        "npl_quarterly": npl.NPL_QUARTERLY_SQL,
+        "fn_quarter_reformat": rops.FN_QUARTER_REFORMAT_SQL,
+        "fn_quarter_of_date": rops.FN_QUARTER_OF_DATE_SQL,
+        "fn_strip_suffix": rops.FN_STRIP_SUFFIX_SQL,
+        "fn_parse_number": rops.FN_PARSE_NUMBER_SQL,
+        "op_ffill": rops.OP_FFILL_SQL,
+        "op_melt": rops.OP_MELT_SQL,
+        "op_pivot": rops.OP_PIVOT_SQL,
+        "op_quarter_agg": rops.OP_QUARTER_AGG_SQL,
+        "op_filter_pushdown": rops.OP_FILTER_PUSHDOWN_SQL,
+        "op_segment": rops.OP_SEGMENT_SQL,
+        "src_json_props": rops.SRC_JSON_PROPS_SQL,
+        "events_sessionize": rops.EVENTS_SESSIONIZE_SQL,
+        "events_window_agg": rops.EVENTS_WINDOW_AGG_SQL,
     }

@@ -11,11 +11,14 @@ Design for scale, per query:
   dim key. ``F.broadcast`` marks them explicitly so the plan
   survives even with stats off.
 - Aggregations are single-shuffle: partial (map-side) aggregation
-  is automatic for all the F.sum/avg/count used here.
+  is automatic for all the sums/counts used here.
+- Money aggregates use exact decimal sums (functions/exact.py) so
+  results are bit-identical to the DuckDB oracle regardless of
+  partition-level summation order.
 
-Every aggregate column is rounded and aliased to match the DuckDB
-oracle SQL exactly (see ORACLE), so the driver's value-hash compare
-is float-order-insensitive.
+Date predicates target the synthetic data's 1995-2001 span (not
+classic TPC-H dates). Every aggregate column is aliased to match
+the oracle SQL exactly.
 """
 
 from __future__ import annotations
@@ -23,7 +26,34 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_npl_pipeline_spark.functions.exact import davg, dsum, money, rate
 from etl_npl_pipeline_spark.sources.tables import load_table
+
+
+def _disc_price() -> F.Column:
+    """Exact decimal l_extendedprice * (1 - l_discount)."""
+    one = F.lit(1).cast("decimal(4,2)")
+    return money("l_extendedprice") * (one - rate("l_discount"))
+
+
+def _charge() -> F.Column:
+    """Exact decimal extendedprice * (1-discount) * (1+tax)."""
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        money("l_extendedprice")
+        * (one - rate("l_discount"))
+        * (one + rate("l_tax"))
+    )
+
+
+# DuckDB-side equivalents of the exact-decimal expressions.
+_SQL_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_SQL_CHARGE = (
+    f"{_SQL_DISC} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+)
 
 
 # --- Q1: pricing summary (scan + filter + groupBy agg) -------------
@@ -40,37 +70,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(_disc_price()).alias("sum_disc_price"),
+            dsum(_charge()).alias("sum_charge"),
+            davg(money("l_quantity")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_SQL_DISC}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -101,19 +122,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(dsum(_disc_price()).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -162,18 +179,14 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp.s_nationkey == nations_in_region.n_nationkey,
         )
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(dsum(_disc_price()).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -194,24 +207,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure scan-side query: every predicate pushes into parquet;
     the 'shuffle' is a single-row exchange for the global sum."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
-        )
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(money("l_extendedprice") * rate("l_discount")).alias("revenue")
     )
 
 
 Q6_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -235,19 +244,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(dsum(_disc_price()).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
 
 
-Q10_SQL = """
+Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -266,8 +271,8 @@ LIMIT 20
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Find orders whose total quantity exceeds a threshold.
 
-    The inner agg produces a small key set → broadcast semi-join
-    back against orders/lineitem instead of a shuffled IN-subquery.
+    The inner agg produces a small key set → broadcast join back
+    against orders instead of a shuffled IN-subquery.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -275,7 +280,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(dsum(money("l_quantity")).alias("total_qty"))
         .where(F.col("total_qty") > 150)
         .select("l_orderkey", "total_qty")
     )
@@ -290,7 +295,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.round("total_qty", 2).alias("total_qty"),
+            "total_qty",
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -298,12 +303,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = """
-SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       ROUND(total_qty, 2) AS total_qty
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
 FROM orders
 JOIN (
-    SELECT l_orderkey, SUM(l_quantity) AS total_qty
-    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150
 ) big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
