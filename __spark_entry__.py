@@ -12,7 +12,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_npl_pipeline_spark.plans import npl, reference_ops as rops, tpch
+from etl_npl_pipeline_spark.plans import (
+    llmdata,
+    npl,
+    reference_ops as rops,
+    tpch,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -48,6 +53,18 @@ def queries() -> dict[str, QueryFn]:
         "src_json_props": rops.src_json_props,
         "events_sessionize": rops.events_sessionize,
         "events_window_agg": rops.events_window_agg,
+        # LLM-data-pipeline ops (SURVEY §2.4)
+        "text_lang_id": llmdata.text_lang_id,
+        "text_quality": llmdata.text_quality,
+        "text_token_count": llmdata.text_token_count,
+        "text_fingerprint": llmdata.text_fingerprint,
+        "dedup_exact": llmdata.dedup_exact,
+        "dedup_ngram_jaccard": llmdata.dedup_ngram_jaccard,
+        "dedup_minhash": llmdata.dedup_minhash,
+        "dedup_simhash": llmdata.dedup_simhash,
+        "dedup_embedding": llmdata.dedup_embedding,
+        "ann_topk": llmdata.ann_topk,
+        "ann_lsh": llmdata.ann_lsh,
     }
 
 
@@ -75,4 +92,14 @@ def oracle_sql() -> dict[str, str]:
         "src_json_props": rops.SRC_JSON_PROPS_SQL,
         "events_sessionize": rops.EVENTS_SESSIONIZE_SQL,
         "events_window_agg": rops.EVENTS_WINDOW_AGG_SQL,
+        "text_lang_id": llmdata.TEXT_LANG_ID_SQL,
+        "text_quality": llmdata.TEXT_QUALITY_SQL,
+        "text_token_count": llmdata.TEXT_TOKEN_COUNT_SQL,
+        "text_fingerprint": llmdata.TEXT_FINGERPRINT_SQL,
+        "dedup_exact": llmdata.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": llmdata.DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_embedding": llmdata.DEDUP_EMBEDDING_SQL,
+        "ann_topk": llmdata.ANN_TOPK_SQL,
+        # dedup_minhash / dedup_simhash / ann_lsh are xxhash64-based
+        # (engine-specific hashes) → rows-only driver check.
     }

@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design:
+- exact: md5 of normalized text → one groupBy. The hash shrinks
+  shuffle keys to 16 bytes regardless of document size.
+- minhash: shingle → 64 permuted min-hashes computed as 64 agg
+  expressions over one explode (single shuffle on doc_id), then
+  banded LSH so candidate generation is an equi-join on
+  (band, band_hash) — never an all-pairs product.
+- simhash: 64 signed bit-sums as agg expressions, bucketed by
+  16-bit chunks (a hamming-≤3 pair must agree on ≥1 of 4 chunks).
+- ngram_jaccard: inverted-index self-join on shingle; intersection
+  counts fall out of the join, unions from per-doc counts. The
+  shingle join key keeps the product sparse — frequency-capped to
+  dodge the quadratic blowup a stop-shingle would cause.
+- embedding: label-blocked pairwise cosine (block key bounds the
+  pair count); the general ANN path is in similarity.py.
+
+Everything is DataFrame-native: hashes via xxhash64/md5 builtins,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+N_PERM = 64
+N_BANDS = 16  # 16 bands x 4 rows per band
+ROWS_PER_BAND = N_PERM // N_BANDS
+# Mersenne-31: hash values < 2^31 keep a*h + b inside a 63-bit long
+# (Spark runs ANSI mode — a 64-bit overflow is an error, and there
+# is no 128-bit integer type to widen into).
+MERSENNE = (1 << 31) - 1
+
+# Deterministic permutation parameters (a*h + b) mod p. Generated
+# from a fixed LCG so every run/engine sees identical permutations.
+_PERMS: list[tuple[int, int]] = []
+_seed = 0x5EED
+for _ in range(N_PERM):
+    _seed = (_seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    a = (_seed % (MERSENNE - 1)) + 1
+    _seed = (_seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    b = _seed % MERSENNE
+    _PERMS.append((a, b))
+
+
+def normalize_text(col: F.Column | str) -> F.Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse
+    whitespace (the usual first pass before hashing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate groups: md5(normalized text) → (hash, keeper
+    id, group size). Keeper = min id, the conventional winner."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(col: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (arrays stay
+    JVM-side; `transform` over a sliding index range)."""
+    toks = F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]),
+    )
+    # sequence(0, -1) would generate a DESCENDING sequence — guard
+    # short documents explicitly.
+    return F.array_distinct(
+        F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: 64 columns sig_0..sig_63.
+
+    One explode + one groupBy(doc) with 64 min-aggregates — the
+    shuffle carries (doc, shingle_hash) pairs only.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, n).withColumn(
+        # pmod folds the raw 64-bit hash into [0, p) without the
+        # abs(Long.MIN_VALUE) overflow trap
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidates.
+
+    melt the signature into (doc, band, band_hash) then self-join on
+    (band, band_hash) — an equi-join, so Spark hash-partitions it;
+    no cross product.
+    """
+    bands = sigs.select(
+        "doc",
+        *[
+            F.xxhash64(
+                *[F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"band_{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    pairs = ", ".join(f"'{b}', band_{b}" for b in range(N_BANDS))
+    long = bands.select(
+        "doc", F.expr(f"stack({N_BANDS}, {pairs}) as (band, bh)")
+    )
+    a = long.alias("a")
+    b = long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted index.
+
+    intersection(a,b) = number of shared shingles (join count);
+    union = |A| + |B| - intersection. ``max_shingle_freq`` drops
+    stop-shingles whose posting lists would explode the self-join
+    (at corpus scale a shingle shared by 1M docs creates 10^12
+    pairs; capping frequency bounds the quadratic term while
+    keeping discriminative shingles).
+    """
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = (
+            sh.join(F.broadcast(freq.where(F.col("df_") <= max_shingle_freq)), "shingle")
+            .select("doc", "shingle")
+        )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc from word-unigram hashes.
+
+    explode tokens → per-doc signed sum of each of the 64 bits of
+    xxhash64(token) → sign → bit. 64 agg expressions, one shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("doc").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 is the long's sign bit — two's-complement literal
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"s_{i}") > 0, F.lit(bit_val)).otherwise(0)
+    return sums.select("doc", sig.alias("simhash"))
+
+
+def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via 16-bit chunk
+    blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+    chunks = sigs.select(
+        "doc",
+        "simhash",
+        *[
+            (F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))).alias(
+                f"c_{c}"
+            )
+            for c in range(4)
+        ],
+    )
+    long = chunks.select(
+        "doc",
+        "simhash",
+        F.expr("stack(4, 0, c_0, 1, c_1, 2, c_2, 3, c_3) as (chunk, cv)"),
+    )
+    a = long.alias("a")
+    b = long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

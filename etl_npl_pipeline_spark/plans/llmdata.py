@@ -1,0 +1,355 @@
+"""LLM-training-data pipeline queries: text analysis, dedup,
+similarity search — SURVEY §2.4 (L1-L11).
+
+Oracle-backed queries mirror Spark's arithmetic exactly in DuckDB
+(same split/ngram construction, same left-to-right float folds, md5
+on both sides); hash-based ops (minhash/simhash/LSH) use Spark's
+xxhash64 and are declared rows-only.
+
+documents at sf0.01 contain planted near-duplicate pairs (3-gram
+jaccard up to 0.99); embeddings (float32, cast to double on both
+engines) have no planted dups, so similarity thresholds are set to
+return small nonzero result sets.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_npl_pipeline_spark.operators import dedup as D
+from etl_npl_pipeline_spark.operators import similarity as S
+from etl_npl_pipeline_spark.operators import text as T
+from etl_npl_pipeline_spark.sources.tables import load_table
+
+_STOP_EN = "['the','a','of','and','to','in']"
+_STOP_ES = "['el','la','de','que','y','en']"
+_STOP_DE = "['der','die','und','das','nicht']"
+_STOP_FR = "['le','la','et','les','des']"
+_TOKS = "string_split(trim(text), ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float32 on disk; double arithmetic must start from exactly
+    # converted element values on both engines.
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+# --- L8: language ID ----------------------------------------------
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(T.lang_id("text").alias("predicted"))
+        .groupBy("predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted")
+    )
+
+
+TEXT_LANG_ID_SQL = f"""
+WITH scores AS (
+    SELECT len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr
+    FROM documents
+), step AS (
+    -- replicate the sequential argmax (later lang wins only if
+    -- strictly greater), order: en, es, de, fr
+    SELECT CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0)
+                THEN 'fr'
+                WHEN s_de > greatest(s_en, s_es, 0)
+                THEN 'de'
+                WHEN s_es > greatest(s_en, 0)
+                THEN 'es'
+                WHEN s_en > 0 THEN 'en'
+                ELSE 'und' END AS predicted
+    FROM scores
+)
+SELECT predicted, COUNT(*) AS n FROM step GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- L9: quality scoring ------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = T.quality_features("text")
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["stop_hits"].alias("stop_hits"),
+        feats["len_band"].alias("len_band"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.sum("n_words").alias("words_sum"),
+            (F.sum("stop_hits").cast("double") / F.sum("n_words")).alias(
+                "stop_ratio"
+            ),
+            F.sum(F.when(F.col("len_band") == 1, 1).otherwise(0)).alias("n_ok_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH feats AS (
+    SELECT lang, len(text) AS n_chars, len({_TOKS}) AS n_words,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS stop_hits,
+           CASE WHEN len({_TOKS}) < 20 THEN 0
+                WHEN len({_TOKS}) <= 120 THEN 1 ELSE 2 END AS len_band
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum,
+       SUM(n_words) AS words_sum,
+       CAST(SUM(stop_hits) AS DOUBLE) / SUM(n_words) AS stop_ratio,
+       SUM(CASE WHEN len_band = 1 THEN 1 ELSE 0 END) AS n_ok_len
+FROM feats GROUP BY lang ORDER BY lang
+"""
+
+
+# --- L10: token counting ------------------------------------------
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(T.token_count_ws("text")).alias("ws_tokens"),
+            F.sum(T.token_count_regex("text")).alias("re_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT source,
+       SUM(len({_TOKS})) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --- L11: fingerprinting ------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc polynomial rolling hash (first 100 docs — exact
+    integer arithmetic, bit-identical across engines)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(text)+1),
+                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+# --- L1: exact dedup ----------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the corpus plus planted copies (docs with
+    doc_id % 7 == 0 duplicated at id+1_000_000): emits each
+    duplicate group with its keeper."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    base = docs.unionByName(planted)
+    return (
+        D.exact_groups(base, "text", "doc_id")
+        .where(F.col("n_dups") > 1)
+        .orderBy("keep_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH base AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+), hashed AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+    FROM base
+)
+SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM hashed GROUP BY h HAVING COUNT(*) > 1
+ORDER BY keep_id
+"""
+
+
+# --- L4: n-gram Jaccard near-dup ----------------------------------
+
+JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_FREQ = 100
+
+_SQL_SHINGLES = f"""
+    SELECT doc_id AS doc,
+           unnest(list_distinct(list_transform(
+               range(1, len({_TOKS}) - 1),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+           ))) AS shingle
+    FROM documents
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh_all AS ({_SQL_SHINGLES}),
+freq AS (
+    SELECT shingle, COUNT(*) AS df_ FROM sh_all GROUP BY shingle
+),
+sh AS (
+    SELECT doc, sh_all.shingle FROM sh_all
+    JOIN freq ON sh_all.shingle = freq.shingle
+    WHERE df_ <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- L2: MinHash + LSH (rows-only: xxhash64-based) -----------------
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accelerated near-dup: banded minhash candidates, verified
+    with exact jaccard ≥ threshold. The LSH join replaces the full
+    inverted-index product — the scale path for 100 TB corpora."""
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, "text", "doc_id", n=3)
+    cands = D.minhash_candidates(sigs)
+    verified = D.jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=None,
+    )
+    return (
+        cands.join(verified, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- L3: SimHash (rows-only) --------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = D.simhash_signatures(docs, "text", "doc_id")
+    return D.simhash_candidates(sigs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+# --- L5: embedding cosine near-dup --------------------------------
+
+EMB_THRESHOLD = 0.4
+
+_SQL_DOT = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.embedding_near_dups(
+        emb, block_col="label", threshold=EMB_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {EMB_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- L6: brute-force cosine top-k ---------------------------------
+
+ANN_K = 5
+ANN_N_QUERIES = 20
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return S.brute_force_topk(queries, emb, k=ANN_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_sql_cosine("q.embedding", "c.embedding")} AS cos_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {ANN_N_QUERIES}
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
+# --- L7: LSH-bucketed ANN (rows-only) ------------------------------
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return S.lsh_topk(queries, emb, k=ANN_K, n_planes=8).orderBy(
+        "query_id", "rank"
+    )
