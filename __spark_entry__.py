@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_npl_pipeline_spark.plans import (
+    extras,
     llmdata,
     npl,
     reference_ops as rops,
@@ -65,6 +66,12 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding": llmdata.dedup_embedding,
         "ann_topk": llmdata.ann_topk,
         "ann_lsh": llmdata.ann_lsh,
+        # streaming / multimodal / sources (SURVEY §2.1, §2.4 L12, §2.5)
+        "stream_events_window": extras.stream_events_window,
+        "stream_sessionize": extras.stream_sessionize_q,
+        "mm_decode_meta": extras.mm_decode_meta,
+        "mm_frame_sample": extras.mm_frame_sample,
+        "src_csv_roundtrip": extras.src_csv_roundtrip,
     }
 
 
@@ -100,6 +107,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": llmdata.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding": llmdata.DEDUP_EMBEDDING_SQL,
         "ann_topk": llmdata.ANN_TOPK_SQL,
+        "stream_events_window": extras.STREAM_EVENTS_WINDOW_SQL,
+        "stream_sessionize": extras.STREAM_SESSIONIZE_SQL,
+        "mm_decode_meta": extras.MM_DECODE_META_SQL,
+        "mm_frame_sample": extras.MM_FRAME_SAMPLE_SQL,
+        "src_csv_roundtrip": extras.SRC_CSV_ROUNDTRIP_SQL,
         # dedup_minhash / dedup_simhash / ann_lsh are xxhash64-based
         # (engine-specific hashes) → rows-only driver check.
     }

@@ -160,16 +160,23 @@ def jaccard_pairs(
     pairs; capping frequency bounds the quadratic term while
     keeping discriminative shingles).
     """
+    from pyspark.sql import Window
+
     sh = _exploded_shingles(df, text_col, id_col, n)
+    # Document frequency via a window over the shingle partitioning:
+    # the exchange on `shingle` is planned once and reused by the
+    # self-join below (same key) — one shuffle, not two.
+    wfreq = Window.partitionBy("shingle")
+    sh = sh.withColumn("df_", F.count(F.lit(1)).over(wfreq))
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = (
-            sh.join(F.broadcast(freq.where(F.col("df_") <= max_shingle_freq)), "shingle")
-            .select("doc", "shingle")
-        )
+        sh = sh.where(F.col("df_") <= max_shingle_freq)
+    # doc sizes count the full (capped) universe, including df=1
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # df=1 shingles can never produce a pair — drop them from the
+    # join sides only (semantics unchanged, posting lists shrink)
+    joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
@@ -187,6 +194,42 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for a (small) candidate pair set only.
+
+    Joins each (doc_a, doc_b) pair to the two shingle *arrays* and
+    intersects per pair — O(|candidates| x shingles/doc), not the
+    full inverted-index product. This is the verify stage after LSH
+    candidate generation: at corpus scale the candidate set is
+    orders of magnitude smaller than all-pairs, so verification
+    cost tracks the LSH output, not the corpus.
+    """
+    sets_ = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("sh")
+    )
+    sa = sets_.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

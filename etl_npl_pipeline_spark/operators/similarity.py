@@ -24,19 +24,37 @@ from pyspark.sql import DataFrame, Window
 N_PLANES = 16
 
 
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Left-to-right dot product of two array<double> columns —
+    fixed fold order for cross-engine determinism."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_normalize(v: F.Column) -> F.Column:
+    """v / ||v||, norm computed as sqrt(left-to-right sum of x²).
+
+    Pre-normalizing once per row turns every pairwise cosine into a
+    single dot product — 3x fewer array folds on the O(pairs) side,
+    which is where all the time goes at corpus scale.
+    """
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return F.transform(v, lambda x: x / norm)
+
+
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity of two array<double> columns, computed in a
     fixed order for cross-engine determinism."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     na = F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
     nb = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    return dot / (na * nb)
+    return dot(a, b) / (na * nb)
 
 
 def brute_force_topk(
@@ -52,10 +70,12 @@ def brute_force_topk(
     desc with id tiebreak so results are total-ordered.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        l2_normalize(F.col(vec_col)).alias("cv"),
     )
     sims = (
         F.broadcast(q)
@@ -64,7 +84,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -118,12 +138,12 @@ def lsh_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
         _hyperplane_signature(F.col(vec_col), n_planes).alias("sig"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        l2_normalize(F.col(vec_col)).alias("cv"),
         _hyperplane_signature(F.col(vec_col), n_planes).alias("sig"),
     )
     cand = (
@@ -132,7 +152,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -161,12 +181,12 @@ def embedding_near_dups(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("blk_a"),
-        F.col(vec_col).alias("va"),
+        l2_normalize(F.col(vec_col)).alias("va"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(block_col).alias("blk_b"),
-        F.col(vec_col).alias("vb"),
+        l2_normalize(F.col(vec_col)).alias("vb"),
     )
     return (
         a.join(
@@ -176,7 +196,7 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+            dot(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -1,0 +1,160 @@
+"""Streaming, multimodal, and file-source queries (SURVEY §2.1 S1,
+§2.4 L12, §2.5 ST1-ST2).
+
+The streaming queries drain a real Structured Streaming query
+(availableNow trigger → memory sink) and return the materialized
+table — the driver's oracle then checks the streaming result equals
+the batch semantics (windowed agg / sessionization) exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_npl_pipeline_spark.operators.multimodal import (
+    build_media_frame,
+    decode_media,
+    frame_sample,
+)
+from etl_npl_pipeline_spark.sources.files import read_csv
+from etl_npl_pipeline_spark.sources.tables import load_table
+from etl_npl_pipeline_spark.streaming import (
+    stream_sessionize as _stream_sessionize,
+    stream_windowed_counts,
+)
+
+
+# --- ST1: streaming windowed agg ----------------------------------
+
+def stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window agg; oracle = the batch SQL (the
+    availableNow drain must reproduce batch semantics exactly)."""
+    return stream_windowed_counts(spark, sf_dir).orderBy("hour", "event_type")
+
+
+STREAM_EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- ST2: stateful streaming sessionization -----------------------
+
+def stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState session counts, folded to one row per
+    user (update-mode sinks may emit a user more than once across
+    micro-batches; max() takes the final state)."""
+    mem = _stream_sessionize(spark, sf_dir)
+    return (
+        mem.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH marked AS (
+    SELECT user_id,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id
+                ) > 300.0 THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, SUM(new_session) + 1 AS n_sessions,
+       COUNT(*) AS n_events
+FROM marked GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- L12: multimodal decode via mapInPandas -----------------------
+
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct → mapInPandas decode (STUB
+    codec, real plumbing). Deterministic fake features mean the
+    oracle can verify the full Arrow round-trip."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = build_media_frame(docs, "text", "doc_id")
+    return decode_media(media).orderBy("doc_id")
+
+
+MM_DECODE_META_SQL = """
+SELECT doc_id, 'image/fake' AS kind,
+       strlen(text) AS n_bytes,
+       strlen(text) % 640 + 1 AS width,
+       strlen(text) % 480 + 1 AS height,
+       strlen(text) % 16 + 1 AS n_frames,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(text)+1),
+                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape: explode every-4th frame index per
+    payload, count sampled frames per doc."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = build_media_frame(docs, "text", "doc_id")
+    return (
+        frame_sample(media, every_nth=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("doc_id")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       ((strlen(text) % 16 + 1) - 1) // 4 + 1 AS n_sampled
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+
+# --- S1: CSV source round-trip ------------------------------------
+
+_CSV_TMP = "/root/repo/.tmp/csv_roundtrip"
+
+
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer out as CSV, read it back through the CSV
+    source with an explicit schema, aggregate — exercises the CSV
+    reader/writer against parquet ground truth."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    shutil.rmtree(_CSV_TMP, ignore_errors=True)
+    cust.write.mode("overwrite").option("header", "true").csv(_CSV_TMP)
+    back = read_csv(
+        spark,
+        _CSV_TMP,
+        schema="c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE, "
+        "c_mktsegment STRING",
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SRC_CSV_ROUNDTRIP_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -260,15 +260,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs, "text", "doc_id", n=3)
     cands = D.minhash_candidates(sigs)
-    verified = D.jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD,
-        max_shingle_freq=None,
-    )
-    return (
-        cands.join(verified, ["doc_a", "doc_b"])
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    return D.verify_jaccard_pairs(
+        docs, cands, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
 
 
 # --- L3: SimHash (rows-only) --------------------------------------
@@ -283,16 +277,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_THRESHOLD = 0.4
 
-_SQL_DOT = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+# Mirrors Spark's l2_normalize + dot exactly: square-fold
+# left-to-right, sqrt, per-element division, then product-fold.
+_SQL_NORMED = """
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding::DOUBLE[], y -> y * y)),
+                   (acc, v) -> acc + v))) AS nv
+    FROM embeddings
+"""
+
+_SQL_NDOT = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, 65), i -> {a}[i] * {b}[i])),
         (acc, x) -> acc + x)"""
-
-
-def _sql_cosine(a: str, b: str) -> str:
-    dot = _SQL_DOT.format(a=a, b=b)
-    na = _SQL_DOT.format(a=a, b=a)
-    nb = _SQL_DOT.format(a=b, b=b)
-    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,11 +302,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_SQL = f"""
+WITH nrm AS ({_SQL_NORMED})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_sql_cosine("a.embedding", "b.embedding")} AS cos_sim
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {EMB_THRESHOLD}
+       {_SQL_NDOT.format(a="a.nv", b="b.nv")} AS cos_sim
+FROM nrm a
+JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_NDOT.format(a="a.nv", b="b.nv")} >= {EMB_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
@@ -327,10 +327,11 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_TOPK_SQL = f"""
-WITH sims AS (
+WITH nrm AS ({_SQL_NORMED}),
+sims AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_sql_cosine("q.embedding", "c.embedding")} AS cos_sim
-    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
     WHERE q.vec_id < {ANN_N_QUERIES}
 ), ranked AS (
     SELECT query_id, neighbor_id, cos_sim,

@@ -88,29 +88,58 @@ _SQL_BASE = """
 """
 
 
+def _seg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregation pass per (segment, quarter), keeping DECIMAL
+    sums un-cast so downstream re-aggregation stays exact.
+
+    Every quarterly series derives from this frame: decimal sums
+    re-associate exactly, so sum-of-segment-sums equals the direct
+    per-quarter sum bit-for-bit — and Spark's ReusedExchange runs
+    the heavy lineitem join ONCE for all consumers (the three
+    series share this subtree's shuffle).
+    """
+    base = _li_with_quarter(spark, sf_dir)
+    return base.groupBy("segment", "quarter").agg(
+        F.sum(_returned()).alias("gross_dec"),
+        F.sum(money("l_extendedprice")).alias("total_dec"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def npl_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (segment, quarter): gross_npl, total_loan, pct_npl
     (ref: npl_transform output per category, src:121-191)."""
-    base = _li_with_quarter(spark, sf_dir)
-    return (
-        base.groupBy("segment", "quarter")
-        .agg(
-            dsum(_returned()).alias("gross_npl"),
-            dsum(money("l_extendedprice")).alias("total_loan"),
-        )
-        .withColumn("pct_npl", F.col("gross_npl") / F.col("total_loan"))
+    return _seg_agg(spark, sf_dir).select(
+        "segment",
+        "quarter",
+        F.col("gross_dec").cast("double").alias("gross_npl"),
+        F.col("total_dec").cast("double").alias("total_loan"),
+        (F.col("gross_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+            "pct_npl"
+        ),
+    )
+
+
+def quarter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both lineitem-derived quarterly series (flowrate + price
+    index) in ONE re-aggregation of the segment frame — a single
+    consumer, so no diamond-shaped plan and one lineitem scan."""
+    seg = _seg_agg(spark, sf_dir)
+    return seg.groupBy("quarter").agg(
+        (
+            F.sum("gross_dec").cast("double") / F.sum("total_dec").cast("double")
+        ).alias("flowrate_ratio"),
+        (
+            (F.sum("total_dec").cast("double") / F.sum("n_items"))
+            / F.lit(100000.0)
+        ).alias("price_index"),
     )
 
 
 def flowrate_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global quarterly flowrate = returned / total revenue
     (ref: flowrate_transform, src:238-261)."""
-    base = _li_with_quarter(spark, sf_dir)
-    return base.groupBy("quarter").agg(
-        (dsum(_returned()) / dsum(money("l_extendedprice"))).alias(
-            "flowrate_ratio"
-        )
-    )
+    return quarter_series(spark, sf_dir).select("quarter", "flowrate_ratio")
 
 
 def macro_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,21 +158,23 @@ def macro_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def discount_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second macro series: a per-quarter price index, mirroring the
     groupby-mean in inflation_transformation (ref src:353)."""
-    base = _li_with_quarter(spark, sf_dir)
-    return base.groupBy("quarter").agg(
-        (davg(money("l_extendedprice")) / F.lit(100000.0)).alias("price_index")
-    )
+    return quarter_series(spark, sf_dir).select("quarter", "price_index")
 
 
 def npl_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """common_df analog: outer-join chain of the quarterly series +
-    shock flag (ref: src:706-708). Tiny frames — every join
-    broadcasts; the chain reuses the quarter key."""
+    shock flag (ref: src:706-708).
+
+    flowrate + price_index come out of one aggregation (no repeated
+    lineitem scan); the orders-derived macro frame outer-joins on
+    the shared quarter key — column order mirrors the oracle: the
+    series frame leads so its quarters coalesce first.
+    """
     common = merge_chain(
         [
-            flowrate_by_quarter(spark, sf_dir),
+            quarter_series(spark, sf_dir).select("quarter", "flowrate_ratio"),
             macro_by_quarter(spark, sf_dir),
-            discount_by_quarter(spark, sf_dir),
+            quarter_series(spark, sf_dir).select("quarter", "price_index"),
         ],
         on="quarter",
         how="outer",
@@ -155,13 +186,56 @@ def npl_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def npl_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline: per-segment NPL series ⟗ common macro frame
-    (ref: housing/automobile/credit_card assembly, src:714-728 —
-    one frame with a segment column instead of a dict of frames)."""
-    seg = npl_by_segment(spark, sf_dir)
-    common = npl_assemble(spark, sf_dir)
-    return seg.join(F.broadcast(common), on="quarter", how="outer").orderBy(
-        "segment", "quarter"
+    """Full pipeline: per-segment NPL series with quarter-level
+    series attached via window sums (ref: housing/automobile/
+    credit_card assembly, src:714-728 — one frame with a segment
+    column instead of a dict of frames).
+
+    Window aggregation over the quarter partition replaces the
+    seg ⟗ re-aggregated-seg diamond — ONE lineitem scan end to end
+    (column pruning makes diamond subtrees non-identical, so
+    Spark's ReusedExchange cannot deduplicate them; the window
+    formulation sidesteps that). Decimal sums keep the window
+    totals bit-identical to the oracle's direct per-quarter sums.
+    """
+    from pyspark.sql import Window
+
+    seg = _seg_agg(spark, sf_dir)
+    w = Window.partitionBy("quarter")
+    enriched = seg.select(
+        "quarter",
+        "segment",
+        F.col("gross_dec").cast("double").alias("gross_npl"),
+        F.col("total_dec").cast("double").alias("total_loan"),
+        (F.col("gross_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+            "pct_npl"
+        ),
+        (
+            F.sum("gross_dec").over(w).cast("double")
+            / F.sum("total_dec").over(w).cast("double")
+        ).alias("flowrate_ratio"),
+        (
+            (F.sum("total_dec").over(w).cast("double") / F.sum("n_items").over(w))
+            / F.lit(100000.0)
+        ).alias("price_index"),
+    )
+    macro = macro_by_quarter(spark, sf_dir)
+    return (
+        enriched.join(F.broadcast(macro), on="quarter", how="outer")
+        .withColumn("shock", shock_flag("quarter", SHOCK_START, SHOCK_END))
+        .select(
+            "quarter",
+            "segment",
+            "gross_npl",
+            "total_loan",
+            "pct_npl",
+            "flowrate_ratio",
+            "avg_order_value",
+            "n_orders",
+            "price_index",
+            "shock",
+        )
+        .orderBy("segment", "quarter")
     )
 
 

@@ -1,0 +1,58 @@
+"""Load stage — reference parity for the timestamped per-segment
+CSV writes (src/ETL-NPL-Pipeline.py:768-793), Spark-first.
+
+``write_segmented`` replaces the reference's per-category loop with
+ONE partitioned write: a single pass over the data lays out
+``.../segment=<value>/`` directories. At 100 TB the difference
+between one partitioned write and N filtered full scans is N-1
+extra reads of the corpus.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+
+def run_timestamp(now: datetime | None = None) -> str:
+    """``YYYYmmdd_HHMM`` tag (ref: src:769)."""
+    dt = now or datetime.now(timezone.utc)
+    return dt.strftime("%Y%m%d_%H%M")
+
+
+def write_segmented(
+    df: DataFrame,
+    path: str,
+    segment_col: str,
+    fmt: str = "parquet",
+    timestamp: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """One-pass segmented write: ``{path}/{ts}/segment=<v>/...``.
+
+    parquet by default (columnar, splittable, statistics); pass
+    fmt="csv" for reference-identical output files.
+    """
+    ts = timestamp or run_timestamp()
+    target = f"{path.rstrip('/')}/{ts}"
+    writer = df.write.mode(mode).partitionBy(segment_col)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(target)
+    return target
+
+
+def write_timestamped(
+    df: DataFrame, path: str, name: str, fmt: str = "csv",
+    timestamp: str | None = None,
+) -> str:
+    """Single-table timestamped write (ref's per-category filename
+    pattern ``{cate}_processed_{ts}``)."""
+    ts = timestamp or run_timestamp()
+    target = f"{path.rstrip('/')}/{name}_processed_{ts}"
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(target)
+    return target

@@ -1,0 +1,101 @@
+"""REST/JSON extraction — reference parity for the BOT API pulls
+(observations_bot src:78, interest_bot src:271, flowrate_extract
+src:200 in src/ETL-NPL-Pipeline.py).
+
+The transport is injectable (``fetcher``): tests and offline runs
+pass a stub; production passes a requests-backed callable. The
+month-chunked pagination loop mirrors the reference's API-limit
+workaround (src:295-323). Fetched JSON lands in Spark via
+``json_normalize``-equivalent flattening (flatten_structs).
+
+Extraction runs on the driver (API calls are not a distributed
+workload); the moment data becomes a DataFrame everything downstream
+is distributed. For very large API backfills, parallelize by
+chunking the date range into a DataFrame and fetching per-partition
+with mapInPandas — same fetcher signature.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from datetime import date, timedelta
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+Fetcher = Callable[[str, dict], str]
+"""(url, params) -> response body (JSON text)."""
+
+
+def month_chunks(start: date, end: date) -> list[tuple[date, date]]:
+    """[start, end) split into calendar-month windows (ref's
+    month-by-month loop, src:295)."""
+    out = []
+    cur = start
+    while cur < end:
+        if cur.month == 12:
+            nxt = date(cur.year + 1, 1, 1)
+        else:
+            nxt = date(cur.year, cur.month + 1, 1)
+        out.append((cur, min(nxt - timedelta(days=1), end)))
+        cur = nxt
+    return out
+
+
+def fetch_observations(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    url: str,
+    series_code: str,
+    start: date,
+    end: date,
+    record_path: Sequence[str] = ("result", "series", 0, "observations"),
+) -> DataFrame:
+    """Fetch a series month-by-month and return one DataFrame.
+
+    ``record_path`` walks the JSON envelope to the record list
+    (ref: data_dict['result']['series'][0]['observations']).
+    """
+    records: list[dict] = []
+    for lo, hi in month_chunks(start, end):
+        body = fetcher(
+            url,
+            {
+                "series_code": series_code,
+                "start_period": lo.isoformat(),
+                "end_period": hi.isoformat(),
+            },
+        )
+        node = json.loads(body)
+        for step in record_path:
+            node = node[step]
+        records.extend(node)
+    if not records:
+        raise ValueError(f"no records for {series_code} in [{start}, {end})")
+    return spark.createDataFrame(records)
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten struct columns (pd.json_normalize parity):
+    ``a: struct<b,c>`` → columns ``a_b, a_c``."""
+    from pyspark.sql.types import StructType
+
+    while True:
+        struct_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, StructType)
+        ]
+        if not struct_cols:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if f.name in struct_cols:
+                for sub in f.dataType.fields:  # type: ignore[union-attr]
+                    cols.append(
+                        F.col(f"`{f.name}`.`{sub.name}`").alias(
+                            f"{f.name}{sep}{sub.name}"
+                        )
+                    )
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        df = df.select(*cols)

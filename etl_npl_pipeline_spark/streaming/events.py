@@ -1,0 +1,154 @@
+"""Structured Streaming over the events table.
+
+The stream source is the events parquet read incrementally
+(``readStream``); tests and the driver run with
+``trigger(availableNow=True)`` so the stream drains the backlog and
+stops — semantically the production shape (watermark + windowed
+state) with a bounded run.
+
+- ``stream_windowed_counts``: event-time tumbling window + watermark.
+  With availableNow over a bounded input it produces exactly the
+  batch tumbling-window aggregation (events_window_agg), which is
+  what the oracle checks.
+- ``stream_sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` — gap-based sessions per user with a
+  processing-timeout flush. The per-group state is a pandas-side
+  dict; Arrow batches move the data.
+
+Scale notes: watermarks bound state; the window agg shuffles on
+(window, event_type) with partial aggregation; the stateful op
+shuffles once on user_id. Nanos timestamps are normalized to
+micros exactly as the batch catalog does.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from etl_npl_pipeline_spark.functions.exact import MONEY
+
+_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the nanos→micros ts fix
+    (same normalization as sources.tables.load_table)."""
+    # the streaming file source wants a directory; select just the
+    # events file out of the shared sf_dir with a glob filter
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts/sums per event_type with a
+    10-minute watermark (streaming twin of events_window_agg)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(MONEY)).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+_SESSION_STATE = StructType(
+    [StructField("last_sec", LongType()), StructField("n_sessions", IntegerType())]
+)
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", IntegerType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+GAP_SECONDS = 300
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Per-user session counter: a new session starts after a gap of
+    more than GAP_SECONDS between consecutive events."""
+    if state.hasTimedOut:
+        (last_sec, n_sessions) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [0]}
+        )
+        return
+    rows = pd.concat(list(pdfs))
+    secs = rows["sec"].sort_values().to_numpy()
+    if state.exists:
+        last_sec, n_sessions = state.get
+    else:
+        last_sec, n_sessions = None, 0
+    n_events = len(secs)
+    for s in secs:
+        if last_sec is None or s - last_sec > GAP_SECONDS * 1_000_000:
+            n_sessions += 1
+        last_sec = int(s)
+    state.update((last_sec, n_sessions))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap-based session counts (streaming twin of
+    events_sessionize)."""
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", (F.col("ts").cast("double") * 1_000_000).cast("long").alias("sec")
+    )
+    # NoTimeout: the availableNow drain ends the stream after the
+    # backlog — idle-group timeout flushes (ProcessingTimeTimeout)
+    # are for continuously running streams and stall this trigger.
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(sessions, output_mode="update")
+
+
+def run_stream_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming frame with availableNow into a memory sink
+    and return the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
