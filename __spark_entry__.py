@@ -18,6 +18,7 @@ from etl_npl_pipeline_spark.plans import (
     npl,
     reference_ops as rops,
     tpch,
+    tpch_extra,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -36,6 +37,12 @@ def queries() -> dict[str, QueryFn]:
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
         "q10_returned_items": tpch.q10_returned_items,
         "q18_large_orders": tpch.q18_large_orders,
+        "q4_order_priority": tpch_extra.q4_order_priority,
+        "q12_priority_shipping": tpch_extra.q12_priority_shipping,
+        "q14_promo_revenue": tpch_extra.q14_promo_revenue,
+        "q19_disjunctive": tpch_extra.q19_disjunctive,
+        "q_rollup_region": tpch_extra.q_rollup_region,
+        "q_top_parts_per_brand": tpch_extra.q_top_parts_per_brand,
         # reference-parity pipeline (SURVEY §2.2 T8/T12/T13/T15)
         "npl_by_segment": npl.npl_by_segment,
         "npl_assemble": npl.npl_assemble,
@@ -83,6 +90,12 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": tpch.Q6_SQL,
         "q10_returned_items": tpch.Q10_SQL,
         "q18_large_orders": tpch.Q18_SQL,
+        "q4_order_priority": tpch_extra.Q4_SQL,
+        "q12_priority_shipping": tpch_extra.Q12_SQL,
+        "q14_promo_revenue": tpch_extra.Q14_SQL,
+        "q19_disjunctive": tpch_extra.Q19_SQL,
+        "q_rollup_region": tpch_extra.Q_ROLLUP_SQL,
+        "q_top_parts_per_brand": tpch_extra.Q_TOP_PARTS_SQL,
         "npl_by_segment": npl.NPL_BY_SEGMENT_SQL,
         "npl_assemble": npl.NPL_ASSEMBLE_SQL,
         "npl_quarterly": npl.NPL_QUARTERLY_SQL,
