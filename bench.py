@@ -26,20 +26,31 @@ from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
     "q18_large_orders",
+    "q19_disjunctive",
+    "q_rollup_region",
+    "q_top_parts_per_brand",
     "npl_quarterly",
     "events_sessionize",
     "events_window_agg",
+    "stream_events_window",
     "text_quality",
+    "text_token_count",
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "ann_topk",
+    "ann_lsh",
+    "mm_decode_meta",
 ]
 
 
