@@ -1,0 +1,107 @@
+"""Physical-plan assertions: the properties that make these queries
+viable at 100 TB. A regression here usually costs more at scale
+than any logic bug — so the plan shape is pinned by test.
+
+(SURVEY §5.4: PushedFilters / ReadSchema pruning / broadcast joins /
+single-scan guarantees.)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_npl_pipeline_spark.plans import llmdata, npl, tpch, tpch_extra
+
+
+def _formatted(df, execute: bool = False) -> str:
+    """Full formatted explain (the toString() form truncates
+    PushedFilters lists). execute=True lets AQE finalize first."""
+    if execute:
+        # collect() executes THIS plan object so AQE finalizes it
+        # (count() would plan a separate query)
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_column_pruning_and_pushdown(spark, sf_dir):
+    plan = _formatted(tpch.q1_pricing_summary(spark, sf_dir))
+    # only the needed lineitem columns reach the scan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
+    assert "l_partkey" not in plan
+    # the shipdate predicate reaches the parquet reader
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_filters_pushed(spark, sf_dir):
+    plan = _formatted(tpch.q6_forecast_revenue(spark, sf_dir))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"missing pushdown: {pushed}"
+
+
+@pytest.mark.parametrize(
+    "qfn",
+    [
+        tpch.q3_shipping_priority,
+        tpch.q5_local_supplier,
+        tpch.q10_returned_items,
+        tpch.q18_large_orders,
+        tpch_extra.q14_promo_revenue,
+        tpch_extra.q_rollup_region,
+    ],
+)
+def test_dimension_joins_broadcast(qfn, spark, sf_dir):
+    plan = _formatted(qfn(spark, sf_dir), execute=True)
+    assert "BroadcastHashJoin" in plan
+    # no accidental cartesian products
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_npl_quarterly_single_lineitem_scan(spark, sf_dir):
+    plan = _formatted(npl.npl_quarterly(spark, sf_dir), execute=True)
+    assert plan.count("lineitem.parquet") == 1, (
+        "quarterly series must derive from ONE lineitem scan "
+        "(window formulation), not a diamond of re-scans"
+    )
+
+
+def test_npl_base_join_prunes_columns(spark, sf_dir):
+    plan = _formatted(npl.npl_by_segment(spark, sf_dir))
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_returnflag:string"
+        in plan
+    )
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_dir):
+    plan = _formatted(llmdata.ann_topk(spark, sf_dir), execute=True)
+    # the small query side must broadcast; corpus streams
+    assert "Broadcast" in plan
+
+
+def test_whole_stage_codegen_on_agg_paths(spark, sf_dir):
+    # codegen stages appear as "*(n)" markers in the simple plan
+    # string (formatted mode doesn't render them)
+    df = tpch.q1_pricing_summary(spark, sf_dir)
+    # collect() executes THIS plan object (count() builds a new one,
+    # leaving this query's AQE un-finalized)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
+
+
+def test_dedup_exact_no_cartesian(spark, sf_dir):
+    plan = _formatted(llmdata.dedup_exact(spark, sf_dir), execute=True)
+    assert "CartesianProduct" not in plan
