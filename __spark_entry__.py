@@ -73,6 +73,8 @@ def queries() -> dict[str, QueryFn]:
         "dedup_embedding": llmdata.dedup_embedding,
         "ann_topk": llmdata.ann_topk,
         "ann_lsh": llmdata.ann_lsh,
+        "ann_ivf": llmdata.ann_ivf,
+        "text_scrub": llmdata.text_scrub,
         # streaming / multimodal / sources (SURVEY §2.1, §2.4 L12, §2.5)
         "stream_events_window": extras.stream_events_window,
         "stream_sessionize": extras.stream_sessionize_q,
@@ -120,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": llmdata.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding": llmdata.DEDUP_EMBEDDING_SQL,
         "ann_topk": llmdata.ANN_TOPK_SQL,
+        "text_scrub": llmdata.TEXT_SCRUB_SQL,
         "stream_events_window": extras.STREAM_EVENTS_WINDOW_SQL,
         "stream_sessionize": extras.STREAM_SESSIONIZE_SQL,
         "mm_decode_meta": extras.MM_DECODE_META_SQL,

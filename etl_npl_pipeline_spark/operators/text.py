@@ -92,6 +92,20 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[a-z0-9._-]+@[a-z0-9.-]+"
+
+
+def scrub_text(col: Column | str) -> Column:
+    """Training-data cleaning pass: remove URLs and email addresses
+    (PII/noise scrubbing), collapse the leftover whitespace. Pure
+    regexp_replace chain — codegen, map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_url = F.regexp_replace(c, URL_RE, "")
+    no_email = F.regexp_replace(no_url, EMAIL_RE, "")
+    return F.trim(F.regexp_replace(no_email, r"\s+", " "))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Polynomial rolling hash over the characters of the text,
     ``acc = (acc*31 + ascii(ch)) mod 1e9+7`` left-to-right.

@@ -165,6 +165,60 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+# --- L13: PII/noise scrubbing -------------------------------------
+
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append synthetic URL/email noise to every 5th doc, scrub it
+    back out, verify lengths return to the original distribution."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or https://spam.example/x?y=1 now"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.length(dirty).alias("dirty_len"),
+            F.length(T.scrub_text(dirty)).alias("clean_len"),
+        )
+        .where(F.col("doc_id") < 100)
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SCRUB_SQL = """
+WITH dirty AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' contact bob@example.com or https://spam.example/x?y=1 now'
+                ELSE text END AS d
+    FROM documents
+)
+SELECT doc_id, len(d) AS dirty_len,
+       len(trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(d, 'https?://\\S+', '', 'g'),
+               '[a-z0-9._-]+@[a-z0-9.-]+', '', 'g'),
+           '\\s+', ' ', 'g'))) AS clean_len
+FROM dirty WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+# --- L7b: IVF ANN (rows-only: k-means model) -----------------------
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_npl_pipeline_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return ivf_topk(queries, emb, k=ANN_K, n_clusters=8, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 # --- L1: exact dedup ----------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

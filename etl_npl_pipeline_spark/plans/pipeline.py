@@ -1,0 +1,48 @@
+"""End-to-end pipeline runner — the reference's Extract → Transform
+→ Load wired as one Spark job (src/ETL-NPL-Pipeline.py's __main__
+flow: extract raw frames, transform per source, assemble, write
+per-segment outputs, src:762-793).
+
+Extract here reads the synthetic parquet tables (the REST/CSV/Excel
+sources in sources/ are the swap-in points for live data);
+Transform is plans/npl; Load is one partitioned write per output
+family via sinks.write_segmented — a single pass produces every
+segment directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from etl_npl_pipeline_spark.plans import npl
+from etl_npl_pipeline_spark.sinks import write_segmented, write_timestamped
+
+
+def run_full_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    timestamp: str | None = None,
+) -> dict[str, str]:
+    """Run the complete NPL pipeline and write analytics-ready
+    outputs. Returns {output_name: written_path}.
+
+    Writes:
+    - ``segments``: the per-segment quarterly NPL frame partitioned
+      by segment (the Housing/Automobile/... split of the reference,
+      one pass instead of a loop of filtered writes)
+    - ``common``: the assembled quarterly macro frame
+    """
+    quarterly = npl.npl_quarterly(spark, sf_dir)
+    common = npl.npl_assemble(spark, sf_dir)
+    out = {}
+    out["segments"] = write_segmented(
+        quarterly.where(quarterly.segment.isNotNull()),
+        f"{out_dir}/segments",
+        "segment",
+        timestamp=timestamp,
+    )
+    out["common"] = write_timestamped(
+        common, out_dir, "common", fmt="csv", timestamp=timestamp
+    )
+    return out

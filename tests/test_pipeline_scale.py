@@ -1,0 +1,115 @@
+"""End-to-end pipeline run, skew salting, IVF ANN, and bucketed
+co-located joins."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_npl_pipeline_spark.operators.skew import salted_join
+from etl_npl_pipeline_spark.plans.pipeline import run_full_pipeline
+from etl_npl_pipeline_spark.sources.tables import load_table
+
+TMP = "/root/repo/.tmp/pipeline"
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    shutil.rmtree(TMP, ignore_errors=True)
+    yield
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_full_pipeline_writes_outputs(spark, sf_dir):
+    out = run_full_pipeline(spark, sf_dir, TMP, timestamp="20260101_0000")
+    segs = spark.read.parquet(out["segments"])
+    assert segs.count() > 0
+    assert set(segs.select("segment").distinct().toPandas()["segment"]) == {
+        "AUTOMOBILE",
+        "BUILDING",
+        "FURNITURE",
+        "HOUSEHOLD",
+        "MACHINERY",
+    }
+    common = spark.read.option("header", "true").csv(out["common"])
+    assert common.count() > 0
+    assert "flowrate_ratio" in common.columns
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain = li.join(supp, li.l_suppkey == supp.s_suppkey).count()
+    salted = salted_join(
+        li, supp.withColumnRenamed("s_suppkey", "l_suppkey"), on="l_suppkey",
+        buckets=4,
+    ).count()
+    assert salted == plain
+
+
+def test_salting_spreads_hot_key(spark):
+    # one key carries 99% of rows — salted join must distribute it
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") < 990, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(7, "hot"), (995, "cold")], "k LONG, name STRING")
+    out = salted_join(fact, dim, on="k", buckets=8)
+    assert out.count() == 991
+    # deterministic: same result on re-execution (retry safety)
+    assert out.count() == 991
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from etl_npl_pipeline_spark.operators.ivf import ivf_topk
+    from etl_npl_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(queries, emb, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing both sides on the join key co-locates the join:
+    the physical plan must contain no Exchange — at 100 TB this is
+    the difference between a network-bound and a local join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    j = (
+        spark.table("b_lineitem")
+        .join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the join itself must not shuffle either side (the final
+    # small agg exchange is fine)
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "bucketed: true" in plan or "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    sides = plan.split("SortMergeJoin")
+    if len(sides) > 1:
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
