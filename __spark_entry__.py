@@ -16,6 +16,7 @@ from etl_npl_pipeline_spark.plans import (
     extras,
     llmdata,
     npl,
+    profiling,
     reference_ops as rops,
     tpch,
     tpch_extra,
@@ -78,6 +79,10 @@ def queries() -> dict[str, QueryFn]:
         # streaming / multimodal / sources (SURVEY §2.1, §2.4 L12, §2.5)
         "stream_events_window": extras.stream_events_window,
         "stream_sessionize": extras.stream_sessionize_q,
+        "stream_dedup_events": extras.stream_dedup_events,
+        "events_quantiles": profiling.events_quantiles,
+        "profile_orders": profiling.profile_orders,
+        "events_hopping_window": profiling.events_hopping_window,
         "mm_decode_meta": extras.mm_decode_meta,
         "mm_frame_sample": extras.mm_frame_sample,
         "src_csv_roundtrip": extras.src_csv_roundtrip,
@@ -125,6 +130,10 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub": llmdata.TEXT_SCRUB_SQL,
         "stream_events_window": extras.STREAM_EVENTS_WINDOW_SQL,
         "stream_sessionize": extras.STREAM_SESSIONIZE_SQL,
+        "stream_dedup_events": extras.STREAM_DEDUP_EVENTS_SQL,
+        "events_quantiles": profiling.EVENTS_QUANTILES_SQL,
+        "profile_orders": profiling.PROFILE_ORDERS_SQL,
+        "events_hopping_window": profiling.EVENTS_HOPPING_WINDOW_SQL,
         "mm_decode_meta": extras.MM_DECODE_META_SQL,
         "mm_frame_sample": extras.MM_FRAME_SAMPLE_SQL,
         "src_csv_roundtrip": extras.SRC_CSV_ROUNDTRIP_SQL,

@@ -75,6 +75,32 @@ FROM marked GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- ST3: streaming dedup -----------------------------------------
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates with a watermark: emits each
+    (user_id, event_type) key once on first arrival. The oracle is
+    the batch DISTINCT — which row wins is arrival-dependent, so
+    only the (deterministic) key set is emitted."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    mem = run_stream_to_memory(deduped, output_mode="append")
+    return mem.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+STREAM_DEDUP_EVENTS_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
 # --- L12: multimodal decode via mapInPandas -----------------------
 
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

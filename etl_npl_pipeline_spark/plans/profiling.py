@@ -1,0 +1,136 @@
+"""Data profiling & distribution queries (SURVEY §2.3 A15-A17) —
+the validation/QA surface of an ETL engine (the reference's
+"data cleaning and validation" stage, README: Transform).
+
+- exact percentiles: Spark's `percentile` uses the same linear
+  interpolation as DuckDB's `quantile_cont` (verified bit-identical
+  on this data), so the oracle holds without rounding.
+- column profiling: one aggregation pass computes null counts,
+  ranges, and distincts for every profiled column — never one scan
+  per column.
+- hopping windows: the batch twin of a sliding streaming window;
+  window starts are emitted as epoch seconds so both engines
+  compare on exact integers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_npl_pipeline_spark.sources.tables import load_table
+
+
+# --- A15: exact percentiles ---------------------------------------
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- A16: column profiling ----------------------------------------
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of the orders table: one row per profiled
+    column with count/nulls/distinct/min/max (stringified so the
+    frame is uniform)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) as "
+            "(col_name, n, nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+PROFILE_ORDERS_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+ORDER BY col_name
+"""
+
+
+# --- A17: hopping (sliding) window --------------------------------
+
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    exactly two windows. Start emitted as epoch seconds (exact int
+    compare across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+EVENTS_HOPPING_WINDOW_SQL = """
+WITH windows AS (
+    SELECT event_type,
+           unnest([CAST(floor(epoch(ts)/1800)*1800 AS BIGINT),
+                   CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS win_start
+    FROM events
+)
+SELECT win_start, event_type, COUNT(*) AS n
+FROM windows GROUP BY 1, 2 ORDER BY 1, 2
+"""

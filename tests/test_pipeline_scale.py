@@ -90,6 +90,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a stale warehouse dir from a previous session blocks
+    # saveAsTable even after DROP (catalog entry is gone, dir isn't)
+    shutil.rmtree("/root/repo/spark-warehouse/b_orders", ignore_errors=True)
+    shutil.rmtree("/root/repo/spark-warehouse/b_lineitem", ignore_errors=True)
     (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey").saveAsTable("b_orders"))
     (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
