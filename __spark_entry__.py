@@ -43,6 +43,7 @@ def queries() -> dict[str, QueryFn]:
         "q14_promo_revenue": tpch_extra.q14_promo_revenue,
         "q19_disjunctive": tpch_extra.q19_disjunctive,
         "q_rollup_region": tpch_extra.q_rollup_region,
+        "q_cube_status_priority": tpch_extra.q_cube_status_priority,
         "q_top_parts_per_brand": tpch_extra.q_top_parts_per_brand,
         # reference-parity pipeline (SURVEY §2.2 T8/T12/T13/T15)
         "npl_by_segment": npl.npl_by_segment,
@@ -83,6 +84,8 @@ def queries() -> dict[str, QueryFn]:
         "events_quantiles": profiling.events_quantiles,
         "profile_orders": profiling.profile_orders,
         "events_hopping_window": profiling.events_hopping_window,
+        "events_asof_join": profiling.events_asof_join,
+        "stream_static_join": extras.stream_static_join,
         "mm_decode_meta": extras.mm_decode_meta,
         "mm_frame_sample": extras.mm_frame_sample,
         "src_csv_roundtrip": extras.src_csv_roundtrip,
@@ -102,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": tpch_extra.Q14_SQL,
         "q19_disjunctive": tpch_extra.Q19_SQL,
         "q_rollup_region": tpch_extra.Q_ROLLUP_SQL,
+        "q_cube_status_priority": tpch_extra.Q_CUBE_SQL,
         "q_top_parts_per_brand": tpch_extra.Q_TOP_PARTS_SQL,
         "npl_by_segment": npl.NPL_BY_SEGMENT_SQL,
         "npl_assemble": npl.NPL_ASSEMBLE_SQL,
@@ -134,6 +138,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": profiling.EVENTS_QUANTILES_SQL,
         "profile_orders": profiling.PROFILE_ORDERS_SQL,
         "events_hopping_window": profiling.EVENTS_HOPPING_WINDOW_SQL,
+        "events_asof_join": profiling.EVENTS_ASOF_JOIN_SQL,
+        "stream_static_join": extras.STREAM_STATIC_JOIN_SQL,
         "mm_decode_meta": extras.MM_DECODE_META_SQL,
         "mm_frame_sample": extras.MM_FRAME_SAMPLE_SQL,
         "src_csv_roundtrip": extras.SRC_CSV_ROUNDTRIP_SQL,

@@ -35,7 +35,12 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive",
     "q_rollup_region",
+    "q_cube_status_priority",
     "q_top_parts_per_brand",
+    "events_quantiles",
+    "profile_orders",
+    "events_hopping_window",
+    "events_asof_join",
     "npl_quarterly",
     "events_sessionize",
     "events_window_agg",
@@ -50,6 +55,8 @@ HEADLINE = [
     "dedup_embedding",
     "ann_topk",
     "ann_lsh",
+    "ann_ivf",
+    "text_scrub",
     "mm_decode_meta",
 ]
 

@@ -101,6 +101,39 @@ FROM events ORDER BY user_id, event_type
 """
 
 
+# --- ST4: stream-static join --------------------------------------
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events joined against a static dimension (the
+    canonical enrichment shape: the static side broadcasts into
+    every micro-batch). Aggregated per segment; oracle = batch
+    join."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(cust, "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+    )
+    mem = run_stream_to_memory(agg, output_mode="complete")
+    return mem.orderBy("c_mktsegment")
+
+
+STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # --- L12: multimodal decode via mapInPandas -----------------------
 
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,3 +134,54 @@ WITH windows AS (
 SELECT win_start, event_type, COUNT(*) AS n
 FROM windows GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- A18: as-of join ----------------------------------------------
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, attach the value of the user's
+    latest click at-or-before the purchase (backward as-of join),
+    then aggregate per user. Oracle: DuckDB's native ASOF JOIN —
+    the composed union+window operator must reproduce it exactly."""
+    from etl_npl_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        value_cols=["value"],
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("value_asof").alias("n_matched"),
+            F.sum(F.col("value_asof").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("click_value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), joined AS (
+    SELECT p.user_id, c.value AS value_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+       COUNT(value_asof) AS n_matched,
+       CAST(SUM(CAST(value_asof AS DECIMAL(18,2))) AS DOUBLE) AS click_value_sum
+FROM joined GROUP BY user_id ORDER BY user_id
+"""
