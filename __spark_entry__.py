@@ -20,6 +20,7 @@ from etl_npl_pipeline_spark.plans import (
     reference_ops as rops,
     tpch,
     tpch_extra,
+    tpch_more,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -44,6 +45,13 @@ def queries() -> dict[str, QueryFn]:
         "q19_disjunctive": tpch_extra.q19_disjunctive,
         "q_rollup_region": tpch_extra.q_rollup_region,
         "q_cube_status_priority": tpch_extra.q_cube_status_priority,
+        "q7_nation_volume": tpch_more.q7_nation_volume,
+        "q8_market_share": tpch_more.q8_market_share,
+        "q9_product_profit": tpch_more.q9_product_profit,
+        "q13_order_distribution": tpch_more.q13_order_distribution,
+        "q15_top_supplier": tpch_more.q15_top_supplier,
+        "q17_small_quantity": tpch_more.q17_small_quantity,
+        "q22_global_sales": tpch_more.q22_global_sales,
         "q_top_parts_per_brand": tpch_extra.q_top_parts_per_brand,
         # reference-parity pipeline (SURVEY §2.2 T8/T12/T13/T15)
         "npl_by_segment": npl.npl_by_segment,
@@ -106,6 +114,13 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": tpch_extra.Q19_SQL,
         "q_rollup_region": tpch_extra.Q_ROLLUP_SQL,
         "q_cube_status_priority": tpch_extra.Q_CUBE_SQL,
+        "q7_nation_volume": tpch_more.Q7_SQL,
+        "q8_market_share": tpch_more.Q8_SQL,
+        "q9_product_profit": tpch_more.Q9_SQL,
+        "q13_order_distribution": tpch_more.Q13_SQL,
+        "q15_top_supplier": tpch_more.Q15_SQL,
+        "q17_small_quantity": tpch_more.Q17_SQL,
+        "q22_global_sales": tpch_more.Q22_SQL,
         "q_top_parts_per_brand": tpch_extra.Q_TOP_PARTS_SQL,
         "npl_by_segment": npl.NPL_BY_SEGMENT_SQL,
         "npl_assemble": npl.NPL_ASSEMBLE_SQL,

@@ -37,6 +37,13 @@ HEADLINE = [
     "q_rollup_region",
     "q_cube_status_priority",
     "q_top_parts_per_brand",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_global_sales",
     "events_quantiles",
     "profile_orders",
     "events_hopping_window",
