@@ -66,6 +66,8 @@ def queries() -> dict[str, QueryFn]:
         "op_melt": rops.op_melt,
         "op_pivot": rops.op_pivot,
         "op_quarter_agg": rops.op_quarter_agg,
+        "op_rolling_avg": rops.op_rolling_avg,
+        "op_yoy_growth": rops.op_yoy_growth,
         "op_filter_pushdown": rops.op_filter_pushdown,
         "op_segment": rops.op_segment,
         "src_json_props": rops.src_json_props,
@@ -133,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "op_melt": rops.OP_MELT_SQL,
         "op_pivot": rops.OP_PIVOT_SQL,
         "op_quarter_agg": rops.OP_QUARTER_AGG_SQL,
+        "op_rolling_avg": rops.OP_ROLLING_AVG_SQL,
+        "op_yoy_growth": rops.OP_YOY_GROWTH_SQL,
         "op_filter_pushdown": rops.OP_FILTER_PUSHDOWN_SQL,
         "op_segment": rops.OP_SEGMENT_SQL,
         "src_json_props": rops.SRC_JSON_PROPS_SQL,

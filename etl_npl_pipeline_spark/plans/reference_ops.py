@@ -325,6 +325,83 @@ SELECT seg, COUNT(*) AS n,
 """
 
 
+# --- T16: rolling window average -----------------------------------
+
+def op_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-quarter rolling average of order totals — the smoothing
+    pass a macro series gets before modeling (time-series analog of
+    the reference's quarterly means). Decimal sums keep the rolling
+    numerator exact."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        quarter_of("o_orderdate").alias("quarter"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    q = orders.groupBy("quarter").agg(
+        F.sum("p").alias("tot_dec"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("quarter").rowsBetween(-3, 0)
+    return q.select(
+        "quarter",
+        (F.sum("tot_dec").over(w).cast("double") / F.sum("n").over(w)).alias(
+            "rolling_avg"
+        ),
+    ).orderBy("quarter")
+
+
+OP_ROLLING_AVG_SQL = """
+WITH q AS (
+    SELECT (YEAR(o_orderdate) || '-Q' || QUARTER(o_orderdate)) AS quarter,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot_dec,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+)
+SELECT quarter,
+       CAST(SUM(tot_dec) OVER w AS DOUBLE) / SUM(n) OVER w AS rolling_avg
+FROM q
+WINDOW w AS (ORDER BY quarter ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY quarter
+"""
+
+
+# --- T17: YoY growth (the reference's GDP-growth semantics) --------
+
+def op_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth of quarterly revenue: (v - lag(v,4)) /
+    lag(v,4), the exact semantics of the reference's GDP Growth
+    (%YoY) series (src:363-410)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        quarter_of("o_orderdate").alias("quarter"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    q = orders.groupBy("quarter").agg(
+        F.sum("p").cast("double").alias("rev")
+    )
+    w = Window.orderBy("quarter")
+    prev = F.lag("rev", 4).over(w)
+    return q.select(
+        "quarter",
+        "rev",
+        ((F.col("rev") - prev) / prev).alias("yoy_growth"),
+    ).orderBy("quarter")
+
+
+OP_YOY_GROWTH_SQL = """
+WITH q AS (
+    SELECT (YEAR(o_orderdate) || '-Q' || QUARTER(o_orderdate)) AS quarter,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT quarter, rev,
+       (rev - LAG(rev, 4) OVER (ORDER BY quarter))
+           / LAG(rev, 4) OVER (ORDER BY quarter) AS yoy_growth
+FROM q ORDER BY quarter
+"""
+
+
 # --- S4: JSON flatten ----------------------------------------------
 
 def src_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,33 @@ def write_segmented(
     return target
 
 
+def upsert_by_partition(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> str:
+    """Incremental upsert at partition granularity: only the
+    partitions present in ``df`` are replaced; others are untouched
+    (dynamic partition overwrite). This is the parquet-native
+    incremental-load pattern when no table format (Delta/Iceberg)
+    is available — idempotent per partition, safe to re-run a
+    failed batch.
+
+    Pair with ``foreachBatch`` on a stream for continuous
+    incremental loads: each micro-batch overwrites exactly the
+    partitions it carries.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(path)
+    )
+    return path
+
+
 def write_timestamped(
     df: DataFrame, path: str, name: str, fmt: str = "csv",
     timestamp: str | None = None,

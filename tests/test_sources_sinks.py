@@ -154,3 +154,18 @@ def test_multimodal_real_codec_gate(spark, sf_dir):
     out = decode_media(media).collect()
     assert len(out) == 5
     assert all(r.width == r.n_bytes % 640 + 1 for r in out)
+
+
+def test_upsert_by_partition_replaces_only_touched(spark):
+    from etl_npl_pipeline_spark.sinks import upsert_by_partition
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "part STRING, v INT"
+    )
+    upsert_by_partition(base, f"{TMP}/ups", "part")
+    # new batch touches only partition 'a'
+    batch = spark.createDataFrame([("a", 99)], "part STRING, v INT")
+    upsert_by_partition(batch, f"{TMP}/ups", "part")
+    back = spark.read.parquet(f"{TMP}/ups")
+    got = {(r.part, r.v) for r in back.collect()}
+    assert got == {("a", 99), ("b", 10)}, got
