@@ -87,6 +87,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "text_scrub": llmdata.text_scrub,
+        "text_commonness": llmdata.text_commonness,
+        "data_split": llmdata.data_split,
         # streaming / multimodal / sources (SURVEY §2.1, §2.4 L12, §2.5)
         "stream_events_window": extras.stream_events_window,
         "stream_sessionize": extras.stream_sessionize_q,
@@ -151,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": llmdata.DEDUP_EMBEDDING_SQL,
         "ann_topk": llmdata.ANN_TOPK_SQL,
         "text_scrub": llmdata.TEXT_SCRUB_SQL,
+        "text_commonness": llmdata.TEXT_COMMONNESS_SQL,
+        "data_split": llmdata.DATA_SPLIT_SQL,
         "stream_events_window": extras.STREAM_EVENTS_WINDOW_SQL,
         "stream_sessionize": extras.STREAM_SESSIONIZE_SQL,
         "stream_dedup_events": extras.STREAM_DEDUP_EVENTS_SQL,

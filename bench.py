@@ -64,6 +64,8 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "text_scrub",
+    "text_commonness",
+    "data_split",
     "mm_decode_meta",
 ]
 

@@ -165,6 +165,94 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+# --- L15: corpus-frequency commonness score -----------------------
+
+def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM-style quality signal without the float-log
+    hazard: score each document by the average corpus document-
+    frequency of its distinct words (common-word docs score high,
+    OOV-heavy docs low). Two passes: global DF table (broadcast),
+    then per-doc join+agg — integer arithmetic end to end, so the
+    oracle matches exactly. (A real LM scorer swaps the DF table
+    for token logprobs; the plan shape is identical.)"""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w")
+    )
+    df_table = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_"))
+    scored = (
+        words.join(F.broadcast(df_table), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("df_").alias("df_sum"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+        )
+        .withColumn(
+            "commonness",
+            F.col("df_sum").cast("double") / F.col("n_distinct_words"),
+        )
+    )
+    return scored.where(F.col("doc_id") < 100).orderBy("doc_id")
+
+
+TEXT_COMMONNESS_SQL = """
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+    FROM documents
+), dfreq AS (
+    SELECT w, COUNT(*) AS df_ FROM words GROUP BY w
+)
+SELECT doc_id, SUM(df_) AS df_sum,
+       COUNT(*) AS n_distinct_words,
+       CAST(SUM(df_) AS DOUBLE) / COUNT(*) AS commonness
+FROM words JOIN dfreq USING (w)
+WHERE doc_id < 100
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- L16: deterministic dataset split -----------------------------
+
+def data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split from md5(doc_id): stable
+    across runs, engines, and partitionings (never rand() — a retry
+    would reshuffle examples between splits). 80/10/10 by the first
+    hex byte of the hash."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    split = (
+        F.when(bucket < 204, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("split")
+    )
+
+
+DATA_SPLIT_SQL = """
+WITH assigned AS (
+    SELECT CASE
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 204 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 230 THEN 'val'
+             ELSE 'test'
+           END AS split,
+           n_chars
+    FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 # --- L13: PII/noise scrubbing -------------------------------------
 
 def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
