@@ -97,6 +97,7 @@ def queries() -> dict[str, QueryFn]:
         "profile_orders": profiling.profile_orders,
         "events_hopping_window": profiling.events_hopping_window,
         "events_asof_join": profiling.events_asof_join,
+        "events_session_window": profiling.events_session_window,
         "stream_static_join": extras.stream_static_join,
         "mm_decode_meta": extras.mm_decode_meta,
         "mm_frame_sample": extras.mm_frame_sample,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": profiling.PROFILE_ORDERS_SQL,
         "events_hopping_window": profiling.EVENTS_HOPPING_WINDOW_SQL,
         "events_asof_join": profiling.EVENTS_ASOF_JOIN_SQL,
+        "events_session_window": profiling.EVENTS_SESSION_WINDOW_SQL,
         "stream_static_join": extras.STREAM_STATIC_JOIN_SQL,
         "mm_decode_meta": extras.MM_DECODE_META_SQL,
         "mm_frame_sample": extras.MM_FRAME_SAMPLE_SQL,

@@ -48,6 +48,7 @@ HEADLINE = [
     "profile_orders",
     "events_hopping_window",
     "events_asof_join",
+    "events_session_window",
     "npl_quarterly",
     "events_sessionize",
     "events_window_agg",

@@ -136,6 +136,66 @@ FROM windows GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --- A19b: native session window ----------------------------------
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window (5-minute gap) — the
+    engine-native twin of the manual lag-based sessionize. Oracle
+    reconstructs sessions with a cumulative gap-flag sum and
+    compares per-user session counts and exact total duration in
+    microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            # session_window end = last event + gap; subtract the
+            # constant gap per session to get exact event spans
+            (
+                F.sum(
+                    F.col("w.end").cast("decimal(20,6)")
+                    - F.col("w.start").cast("decimal(20,6)")
+                )
+                - F.count(F.lit(1)).cast("decimal(20,6)") * F.lit(300)
+            )
+            .cast("double")
+            .alias("total_span_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = """
+WITH marked AS (
+    -- Spark's session end (last + gap) is EXCLUSIVE: an event at
+    -- exactly prev+gap starts a new session, hence >= not >
+    SELECT user_id, epoch(ts) AS sec,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id
+                ) >= 300.0 THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessioned AS (
+    SELECT user_id, sec,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM marked
+), spans AS (
+    SELECT user_id, sid, COUNT(*) AS n_events,
+           CAST(MAX(sec) - MIN(sec) AS DECIMAL(20,6)) AS span
+    FROM sessioned GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       CAST(SUM(span) AS DOUBLE) AS total_span_sec
+FROM spans GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- A18: as-of join ----------------------------------------------
 
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,3 +105,33 @@ def test_whole_stage_codegen_on_agg_paths(spark, sf_dir):
 def test_dedup_exact_no_cartesian(spark, sf_dir):
     plan = _formatted(llmdata.dedup_exact(spark, sf_dir), execute=True)
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir):
+    """Hive-partitioned layout + a partition-key filter must show up
+    as PartitionFilters on the scan (whole directories skipped) —
+    at 100 TB, partition pruning is the first and cheapest filter."""
+    import shutil
+
+    from etl_npl_pipeline_spark.sources.tables import load_table
+
+    tmp = "/root/repo/.tmp/part_prune"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp).where(F.col("day") == "2024-01-03")
+    plan = _formatted(back)
+    assert "PartitionFilters" in plan
+    # the filter must be in PartitionFilters (directory pruning),
+    # not only in the row-level PushedFilters
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "2024-01-03" in pf_line or "day" in pf_line
+    assert back.count() > 0
+    shutil.rmtree(tmp, ignore_errors=True)
