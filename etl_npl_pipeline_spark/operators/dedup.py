@@ -294,26 +294,39 @@ def verify_jaccard_pairs(
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc from word-unigram hashes.
 
-    explode tokens → per-doc signed sum of each of the 64 bits of
-    xxhash64(token) → sign → bit. 64 agg expressions, one shuffle.
+    Token hashing stays JVM-side (xxhash64 over the token array);
+    the 64 signed bit-sums + sign fold run numpy-vectorized in an
+    Arrow pandas_udf (same rationale as minhash_signatures: the
+    explode + 64-agg formulation pays a shuffle and interpreted
+    expression evaluation). Map-only, one batch pass.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sim_udf(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for row_i, lst in enumerate(hs):
+            if len(lst) == 0:
+                out[row_i] = 0
+                continue
+            h = np.asarray(lst, dtype=np.uint64)
+            # bits[i, j] = bit j of hash i → ±1 contributions
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(64):
+                if sums[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[row_i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{i}")
-        for i in range(64)
-    ]
-    sums = toks.groupBy("doc").agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        # bit 63 is the long's sign bit — two's-complement literal
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        sig = sig + F.when(F.col(f"s_{i}") > 0, F.lit(bit_val)).otherwise(0)
-    return sums.select("doc", sig.alias("simhash"))
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    )
+    return toks.select("doc", sim_udf(F.col("hs")).alias("simhash"))
 
 
 def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
