@@ -21,6 +21,7 @@ from etl_npl_pipeline_spark.plans import (
     tpch,
     tpch_extra,
     tpch_more,
+    tpch_rest,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -52,6 +53,11 @@ def queries() -> dict[str, QueryFn]:
         "q15_top_supplier": tpch_more.q15_top_supplier,
         "q17_small_quantity": tpch_more.q17_small_quantity,
         "q22_global_sales": tpch_more.q22_global_sales,
+        "q2_min_cost_supplier": tpch_rest.q2_min_cost_supplier,
+        "q11_important_parts": tpch_rest.q11_important_parts,
+        "q16_part_supplier_counts": tpch_rest.q16_part_supplier_counts,
+        "q20_excess_shippers": tpch_rest.q20_excess_shippers,
+        "q21_waiting_suppliers": tpch_rest.q21_waiting_suppliers,
         "q_top_parts_per_brand": tpch_extra.q_top_parts_per_brand,
         # reference-parity pipeline (SURVEY §2.2 T8/T12/T13/T15)
         "npl_by_segment": npl.npl_by_segment,
@@ -126,6 +132,11 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": tpch_more.Q15_SQL,
         "q17_small_quantity": tpch_more.Q17_SQL,
         "q22_global_sales": tpch_more.Q22_SQL,
+        "q2_min_cost_supplier": tpch_rest.Q2_SQL,
+        "q11_important_parts": tpch_rest.Q11_SQL,
+        "q16_part_supplier_counts": tpch_rest.Q16_SQL,
+        "q20_excess_shippers": tpch_rest.Q20_SQL,
+        "q21_waiting_suppliers": tpch_rest.Q21_SQL,
         "q_top_parts_per_brand": tpch_extra.Q_TOP_PARTS_SQL,
         "npl_by_segment": npl.NPL_BY_SEGMENT_SQL,
         "npl_assemble": npl.NPL_ASSEMBLE_SQL,
