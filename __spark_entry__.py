@@ -86,6 +86,8 @@ def queries() -> dict[str, QueryFn]:
         "text_fingerprint": llmdata.text_fingerprint,
         "dedup_exact": llmdata.dedup_exact,
         "dedup_ngram_jaccard": llmdata.dedup_ngram_jaccard,
+        "dedup_components": llmdata.dedup_components,
+        "dedup_chunks": llmdata.dedup_chunks,
         "dedup_minhash": llmdata.dedup_minhash,
         "dedup_simhash": llmdata.dedup_simhash,
         "dedup_embedding": llmdata.dedup_embedding,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": llmdata.TEXT_FINGERPRINT_SQL,
         "dedup_exact": llmdata.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": llmdata.DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_components": llmdata.DEDUP_COMPONENTS_SQL,
+        "dedup_chunks": llmdata.DEDUP_CHUNKS_SQL,
         "dedup_embedding": llmdata.DEDUP_EMBEDDING_SQL,
         "ann_topk": llmdata.ANN_TOPK_SQL,
         "text_scrub": llmdata.TEXT_SCRUB_SQL,

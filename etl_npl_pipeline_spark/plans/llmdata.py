@@ -496,3 +496,129 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(queries, emb, k=ANN_K, n_planes=8).orderBy(
         "query_id", "rank"
     )
+
+
+# --- L12: duplicate-cluster formation (connected components) -------
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group the near-duplicate PAIRS (3-gram jaccard, same edge set
+    as dedup_ngram_jaccard) into duplicate CLUSTERS via iterative
+    hash-min label propagation (operators/components.py) — the
+    distributed stand-in for single-node union-find. Output:
+    (doc, component=min doc id in cluster)."""
+    from etl_npl_pipeline_spark.operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.jaccard_pairs(
+        docs, "text", "doc_id", n=3,
+        threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").orderBy("node")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE sh_all AS ({_SQL_SHINGLES}),
+freq AS (
+    SELECT shingle, COUNT(*) AS df_ FROM sh_all GROUP BY shingle
+),
+sh AS (
+    SELECT doc, sh_all.shingle FROM sh_all
+    JOIN freq ON sh_all.shingle = freq.shingle
+    WHERE df_ <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+# --- L13: chunk-granularity dedup (paragraph analog) ---------------
+
+CHUNK_WORDS = 20
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split each doc into fixed 20-word chunks
+    (the synthetic corpus has no newlines, so word windows stand in
+    for paragraphs) and score each doc by the fraction of its chunks
+    that also occur in OTHER docs.
+
+    The chunking is map-side array slicing (no per-word explode +
+    re-group shuffle); the only shuffles are the chunk-frequency agg
+    and the per-doc rollup. At 100 TB the chunk join key would be
+    xxhash64(chunk) instead of the raw string — the string form is
+    kept here so the DuckDB oracle can reproduce it exactly.
+    """
+    docs = _docs(spark, sf_dir)
+    arr = F.split(F.trim(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(arr) / CHUNK_WORDS).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(arr, i * CHUNK_WORDS + 1, CHUNK_WORDS)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    cf = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(cf, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("dup_chunks").cast("double") / F.col("n_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CHUNKS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           array_to_string(
+               list_slice(arr, c * {CHUNK_WORDS} + 1, (c + 1) * {CHUNK_WORDS}),
+               ' '
+           ) AS chunk
+    FROM base,
+         UNNEST(range(0, CAST(CEIL(len(arr) / {CHUNK_WORDS}.0) AS INT))) AS t(c)
+),
+cf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS dup_ratio
+FROM chunks JOIN cf USING (chunk)
+GROUP BY 1 ORDER BY 1
+"""

@@ -117,3 +117,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     if len(sides) > 1:
         assert "Exchange hashpartitioning(l_orderkey" not in plan
         assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_connected_components_labels_clusters(spark):
+    from etl_npl_pipeline_spark.operators.components import connected_components
+
+    # two chains + an isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
