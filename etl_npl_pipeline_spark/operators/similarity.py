@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -199,4 +201,103 @@ def embedding_near_dups(
             dot(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _lsh_table_signatures(n_planes: int, n_tables: int, seed: int = 7):
+    """Arrow pandas_udf computing all L table signatures per vector
+    in one numpy pass: X @ R.T > 0, bits packed per table.
+
+    The plane matrix R is regenerated per batch from a fixed seed —
+    stateless like _hyperplane_signature, but one BLAS matmul
+    instead of n_tables*n_planes interpreted HOF folds per row
+    (measured: Catalyst HOF lambdas evaluate interpreted per
+    element; see minhash_signatures).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    total = n_planes * n_tables
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        rng = np.random.default_rng(seed)
+        dim = len(emb.iloc[0])
+        planes = rng.standard_normal((total, dim))
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (x @ planes.T) > 0  # (batch, total)
+        packed = bits.reshape(len(emb), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(packed))
+
+    return sigs
+
+
+def lsh_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 12,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Multi-table, multiprobe hyperplane LSH top-k.
+
+    Single-table LSH recall collapses when true neighbors sit at
+    wide angles (θ≈65° ⇒ P[8-bit signature match] ≈ 0.02 — measured
+    on the synthetic embeddings). Standard fixes, both applied:
+
+    - L independent tables: recall 1-(1-p)^L for per-table collision
+      probability p — union of candidates over tables.
+    - Hamming-1 multiprobe (probe_bits=1): each query also probes
+      the n_planes buckets one bit-flip away, boosting p per table
+      by ~n_planes * p_bit without growing the corpus index.
+
+    Cost model at scale: the corpus index is L rows per vector
+    (explode), candidates = sum over (table, probed bucket) of
+    bucket size. Vectors do NOT travel through the explode — the
+    bucket join carries ids only, and exact cosine re-rank joins
+    vectors back by id afterward, so the wide array column is
+    shuffled once per side, not L*(1+probes) times.
+    """
+    sig_udf = _lsh_table_signatures(n_planes, n_tables)
+    c_idx = corpus.select(
+        F.col(id_col).alias("neighbor_id"), sig_udf(F.col(vec_col)).alias("sigs")
+    ).select("neighbor_id", F.posexplode("sigs").alias("t", "sig"))
+    q_sig = queries.select(
+        F.col(id_col).alias("query_id"), sig_udf(F.col(vec_col)).alias("sigs")
+    ).select("query_id", F.posexplode("sigs").alias("t", "sig"))
+    probes = [F.col("sig")]
+    if probe_bits >= 1:
+        probes += [
+            F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    q_idx = q_sig.select(
+        "query_id", "t", F.explode(F.array(*probes)).alias("sig")
+    )
+    cand = (
+        q_idx.join(c_idx, ["t", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), l2_normalize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
     )

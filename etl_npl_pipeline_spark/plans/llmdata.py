@@ -491,11 +491,15 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank
 # --- L7: LSH-bucketed ANN (rows-only) ------------------------------
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multiprobe LSH (12 tables x 6 planes, Hamming-1
+    probes): measured recall@5 ≈ 0.9 vs ann_topk on this corpus,
+    where the old single 8-plane table scored 0.02 — wide-angle
+    neighbors need the union over tables."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
-    return S.lsh_topk(queries, emb, k=ANN_K, n_planes=8).orderBy(
-        "query_id", "rank"
-    )
+    return S.lsh_topk_multi(
+        queries, emb, k=ANN_K, n_planes=6, n_tables=12, probe_bits=1
+    ).orderBy("query_id", "rank")
 
 
 # --- L12: duplicate-cluster formation (connected components) -------

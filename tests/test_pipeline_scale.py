@@ -136,3 +136,27 @@ def test_connected_components_labels_clusters(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_multitable_lsh_recall_vs_brute_force(spark, sf_dir):
+    from etl_npl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk_multi,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk_multi(
+            queries, emb, k=5, n_planes=6, n_tables=12, probe_bits=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"multi-table LSH recall too low: {recall}"
