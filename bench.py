@@ -44,6 +44,11 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity",
     "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_part_supplier_counts",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     "events_quantiles",
     "profile_orders",
     "events_hopping_window",
@@ -60,6 +65,8 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_chunks",
     "dedup_embedding",
     "ann_topk",
     "ann_lsh",
