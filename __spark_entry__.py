@@ -88,6 +88,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": llmdata.dedup_ngram_jaccard,
         "dedup_components": llmdata.dedup_components,
         "dedup_chunks": llmdata.dedup_chunks,
+        "dedup_survivors": llmdata.dedup_survivors,
         "dedup_minhash": llmdata.dedup_minhash,
         "dedup_simhash": llmdata.dedup_simhash,
         "dedup_embedding": llmdata.dedup_embedding,
@@ -107,6 +108,7 @@ def queries() -> dict[str, QueryFn]:
         "events_asof_join": profiling.events_asof_join,
         "events_session_window": profiling.events_session_window,
         "stream_static_join": extras.stream_static_join,
+        "stream_stream_join": extras.stream_stream_join,
         "mm_decode_meta": extras.mm_decode_meta,
         "mm_frame_sample": extras.mm_frame_sample,
         "src_csv_roundtrip": extras.src_csv_roundtrip,
@@ -166,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": llmdata.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_components": llmdata.DEDUP_COMPONENTS_SQL,
         "dedup_chunks": llmdata.DEDUP_CHUNKS_SQL,
+        "dedup_survivors": llmdata.DEDUP_SURVIVORS_SQL,
         "dedup_embedding": llmdata.DEDUP_EMBEDDING_SQL,
         "ann_topk": llmdata.ANN_TOPK_SQL,
         "text_scrub": llmdata.TEXT_SCRUB_SQL,
@@ -180,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": profiling.EVENTS_ASOF_JOIN_SQL,
         "events_session_window": profiling.EVENTS_SESSION_WINDOW_SQL,
         "stream_static_join": extras.STREAM_STATIC_JOIN_SQL,
+        "stream_stream_join": extras.STREAM_STREAM_JOIN_SQL,
         "mm_decode_meta": extras.MM_DECODE_META_SQL,
         "mm_frame_sample": extras.MM_FRAME_SAMPLE_SQL,
         "src_csv_roundtrip": extras.SRC_CSV_ROUNDTRIP_SQL,

@@ -217,3 +217,59 @@ SELECT c_mktsegment, COUNT(*) AS n,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+# --- ST5: stream-stream join --------------------------------------
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click→purchase attribution within
+    30 minutes per user. Both sides are watermarked streams and the
+    join carries an event-time range condition, so Spark can expire
+    buffered state — the unbounded-state trap of stream-stream
+    joins is exactly what the watermark + time bound prevent.
+    Oracle = the equivalent batch self-join."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "click_id", "purchase_id")
+    mem = run_stream_to_memory(joined, output_mode="append")
+    return mem.orderBy("user_id", "click_id", "purchase_id")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY user_id, click_id, purchase_id
+"""

@@ -626,3 +626,74 @@ SELECT doc_id, COUNT(*) AS n_chunks,
 FROM chunks JOIN cf USING (chunk)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --- L19: dedup application (keep one doc per cluster) -------------
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of near-dup dedup: from each duplicate cluster
+    (dedup_components) keep only the canonical member (min doc id)
+    and drop the rest — a left-anti join of the corpus against the
+    non-canonical cluster members. Output: surviving doc ids.
+
+    This is the query a training-data pipeline actually ships:
+    pairs → clusters → filtered corpus, all distributed; the anti
+    join's right side is tiny (only docs inside clusters), so it
+    broadcasts."""
+    from etl_npl_pipeline_spark.operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.jaccard_pairs(
+        docs, "text", "doc_id", n=3,
+        threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.where(F.col("node") != F.col("component")).select("node")
+    return (
+        docs.join(
+            F.broadcast(drop), docs.doc_id == F.col("node"), "left_anti"
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE sh_all AS ({_SQL_SHINGLES}),
+freq AS (
+    SELECT shingle, COUNT(*) AS df_ FROM sh_all GROUP BY shingle
+),
+sh AS (
+    SELECT doc, sh_all.shingle FROM sh_all
+    JOIN freq ON sh_all.shingle = freq.shingle
+    WHERE df_ <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT u, u FROM edges
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+),
+drop_docs AS (
+    SELECT node FROM reach GROUP BY node HAVING node != MIN(label)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drop_docs)
+ORDER BY doc_id
+"""
