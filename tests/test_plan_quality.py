@@ -135,3 +135,39 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir):
     assert "2024-01-03" in pf_line or "day" in pf_line
     assert back.count() > 0
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_q16_filters_pushed_and_dims_broadcast(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import tpch_rest
+
+    plan = _formatted(tpch_rest.q16_part_supplier_counts(spark, sf_dir))
+    # part-attribute filters reach the parquet scan
+    assert "In(p_size, [1,4,9,14,19,23,36,45])" in plan or "In(p_size" in plan
+    assert "Not(EqualTo(p_brand,Brand#13))" in plan
+    # part and the bad-supplier anti side both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_catalog_agg_before_window(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import tpch_rest
+
+    plan = _formatted(tpch_rest.q2_min_cost_supplier(spark, sf_dir), execute=True)
+    # the correlated-min rewrite must keep dims broadcast and avoid
+    # any nested-loop/cartesian fallback
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # lineitem is scanned once (catalog agg), not once per side
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q21_two_shuffles_no_cartesian(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import tpch_rest
+
+    plan = _formatted(tpch_rest.q21_waiting_suppliers(spark, sf_dir), execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the EXISTS/NOT-EXISTS collapse derives both rollups from ONE
+    # lineitem scan (Spark reuses the shuffled per-pair agg)
+    assert plan.count("lineitem.parquet") <= 2
