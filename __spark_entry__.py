@@ -109,6 +109,8 @@ def queries() -> dict[str, QueryFn]:
         "events_session_window": profiling.events_session_window,
         "stream_static_join": extras.stream_static_join,
         "stream_stream_join": extras.stream_stream_join,
+        "events_range_join": extras.events_range_join,
+        "events_gapfill": extras.events_gapfill,
         "mm_decode_meta": extras.mm_decode_meta,
         "mm_frame_sample": extras.mm_frame_sample,
         "src_csv_roundtrip": extras.src_csv_roundtrip,
@@ -184,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": profiling.EVENTS_SESSION_WINDOW_SQL,
         "stream_static_join": extras.STREAM_STATIC_JOIN_SQL,
         "stream_stream_join": extras.STREAM_STREAM_JOIN_SQL,
+        "events_range_join": extras.EVENTS_RANGE_JOIN_SQL,
+        "events_gapfill": extras.EVENTS_GAPFILL_SQL,
         "mm_decode_meta": extras.MM_DECODE_META_SQL,
         "mm_frame_sample": extras.MM_FRAME_SAMPLE_SQL,
         "src_csv_roundtrip": extras.SRC_CSV_ROUNDTRIP_SQL,

@@ -13,7 +13,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_npl_pipeline_spark.operators.multimodal import (
     build_media_frame,
@@ -272,4 +272,128 @@ JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 ORDER BY user_id, click_id, purchase_id
+"""
+
+
+# --- X4: bucketed range join --------------------------------------
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join with NO equi key: clicks within ±2
+    minutes of each error event, counted per error. Naively this is
+    a BroadcastNestedLoopJoin (O(|errors| x |clicks|)); the
+    bucketed_range_join operator quantizes time into 5-minute
+    buckets and turns it into a hash equi-join + refine. Timestamps
+    compare as exact integer microseconds on both engines."""
+    from etl_npl_pipeline_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (F.unix_micros("ts") - 120_000_000).alias("lo"),
+        (F.unix_micros("ts") + 120_000_000).alias("hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("pt")
+    )
+    joined = bucketed_range_join(
+        errors, clicks, "lo", "hi", "pt", bucket_width=300_000_000
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("error_id")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT e.event_id AS error_id, COUNT(*) AS n_clicks
+FROM events e JOIN events c
+  ON e.event_type = 'error' AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(e.ts) - 120000000
+                        AND epoch_us(e.ts) + 120000000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- X5: time-spine gapfill + forward fill ------------------------
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous hourly series per event_type: a generated time
+    spine (min..max hour x event types, all declarative — no
+    driver-side loop) left-joins the observed hourly aggregates;
+    empty hours get n=0 and the forward-filled last observed hourly
+    average (the time-series gapfill/locf shape).
+
+    The spine explode is map-side; the only shuffles are the hourly
+    agg and the per-type ffill window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ff"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS h0,
+           date_trunc('hour', MAX(ts)) AS h1
+    FROM events
+), spine AS (
+    SELECT t.event_type, s.hour
+    FROM (SELECT DISTINCT event_type FROM events) t,
+         bounds,
+         UNNEST(generate_series(bounds.h0, bounds.h1, INTERVAL 1 HOUR))
+             AS s(hour)
+)
+SELECT spine.event_type, spine.hour,
+       COALESCE(hourly.n, 0) AS n,
+       LAST_VALUE(hourly.avg_value IGNORE NULLS) OVER (
+           PARTITION BY spine.event_type ORDER BY spine.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_value_ff
+FROM spine LEFT JOIN hourly
+  ON spine.event_type = hourly.event_type AND spine.hour = hourly.hour
+ORDER BY 1, 2
 """

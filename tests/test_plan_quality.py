@@ -171,3 +171,15 @@ def test_q21_two_shuffles_no_cartesian(spark, sf_dir):
     # the EXISTS/NOT-EXISTS collapse derives both rollups from ONE
     # lineitem scan (Spark reuses the shuffled per-pair agg)
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The whole point of bucketed_range_join: a pure range
+    predicate must NOT plan as BroadcastNestedLoopJoin/cartesian —
+    the bucket key turns it into a hash equi-join."""
+    from etl_npl_pipeline_spark.plans import extras
+
+    plan = _formatted(extras.events_range_join(spark, sf_dir), execute=True)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(__bucket" in plan or "BroadcastHashJoin" in plan
