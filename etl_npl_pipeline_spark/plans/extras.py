@@ -397,3 +397,94 @@ FROM spine LEFT JOIN hourly
   ON spine.event_type = hourly.event_type AND spine.hour = hourly.hour
 ORDER BY 1, 2
 """
+
+
+# --- A36: ordered funnel ------------------------------------------
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → click → purchase funnel: each stage counts
+    users whose earliest stage-event strictly follows their earliest
+    completion of the previous stage. Three per-user min-aggs chained
+    by broadcast-joined stage timestamps (the per-stage frames are
+    one row per user, tiny next to the event log); the event scan is
+    type-filtered before each agg, so no stage reads the full log."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_min(etype, after=None, out="t"):
+        df = ev.where(F.col("event_type") == etype)
+        if after is not None:
+            df = df.join(after, "user_id").where(F.col("ts") > F.col("prev_t"))
+        return df.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s1 = stage_min("signup", out="t1")
+    s2 = stage_min(
+        "click", after=F.broadcast(s1.select("user_id", F.col("t1").alias("prev_t"))),
+        out="t2",
+    )
+    s3 = stage_min(
+        "purchase",
+        after=F.broadcast(s2.select("user_id", F.col("t2").alias("prev_t"))),
+        out="t3",
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .join(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .join(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+       (SELECT COUNT(*) FROM s2) AS n_click_after,
+       (SELECT COUNT(*) FROM s3) AS n_purchase_after
+"""
+
+
+# --- A37: cohort retention ----------------------------------------
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted
+    distinct on each day-offset 0-7 after joining their cohort day
+    back onto the event log (cohort frame broadcasts — one row per
+    user). One wide shuffle on (cohort_day, offset)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH cohort AS (
+    SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+    FROM events GROUP BY 1
+)
+SELECT cohort_day,
+       datediff('day', cohort_day, date_trunc('day', e.ts)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN cohort USING (user_id)
+WHERE datediff('day', cohort_day, date_trunc('day', e.ts)) <= 7
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
