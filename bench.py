@@ -54,6 +54,10 @@ HEADLINE = [
     "events_hopping_window",
     "events_asof_join",
     "events_session_window",
+    "events_range_join",
+    "events_gapfill",
+    "events_funnel",
+    "events_retention",
     "npl_quarterly",
     "events_sessionize",
     "events_window_agg",
