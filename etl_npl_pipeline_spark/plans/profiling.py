@@ -245,3 +245,25 @@ SELECT user_id, COUNT(*) AS n_purchases,
        CAST(SUM(CAST(value_asof AS DECIMAL(18,2))) AS DOUBLE) AS click_value_sum
 FROM joined GROUP BY user_id ORDER BY user_id
 """
+
+
+# --- A38: sketch profiling (approximate, the 100 TB path) ----------
+
+def profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile per event_type: HyperLogLog++ distinct
+    users and quantile-sketch medians. At 100 TB exact countDistinct
+    shuffles every key and exact percentiles sort every group —
+    sketches are mergeable map-side summaries with fixed memory, the
+    only viable profile at that scale. rows-only (sketch outputs are
+    engine-specific); accuracy vs the exact profile is pinned by
+    test instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_percentile("value", 0.5, 10_000).alias("approx_p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

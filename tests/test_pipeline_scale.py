@@ -160,3 +160,25 @@ def test_multitable_lsh_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"multi-table LSH recall too low: {recall}"
+
+
+def test_sketch_profile_tracks_exact(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=2%) and approx_percentile
+    must land within sketch error of the exact profile."""
+    from etl_npl_pipeline_spark.plans.profiling import profile_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.users, r.p50)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for r in profile_sketches(spark, sf_dir).collect():
+        users, p50 = exact[r.event_type]
+        assert abs(r.approx_users - users) <= max(2, 0.05 * users), r
+        spread = abs(p50) + 1.0
+        assert abs(r.approx_p50 - p50) <= 0.1 * spread, r
