@@ -83,3 +83,68 @@ def write_timestamped(
         writer = writer.option("header", "true")
     writer.format(fmt).save(target)
     return target
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    fmt: str = "parquet",
+) -> str:
+    """Row-level MERGE (upsert) on a plain parquet table — the
+    copy-on-write emulation of ``MERGE INTO`` when no transactional
+    table format (Delta/Iceberg) is available.
+
+    1. The partitions touched by ``updates`` are enumerated (tiny
+       distinct on the update batch).
+    2. ONLY those partitions are read back from the target —
+       partition pruning keeps the rewrite proportional to the
+       update footprint, not the table size.
+    3. Existing rows are anti-joined out on the key, the updates
+       unioned in, and the affected partitions dynamically
+       overwritten. Untouched partitions' files are never opened.
+
+    Semantics: last-writer-wins per key (update replaces existing
+    row; new keys insert). Idempotent — re-running the same batch
+    yields the same state. At 100 TB the rewrite cost is
+    O(affected partitions); choose the partition key so updates
+    cluster (e.g. event date for late-arriving facts).
+
+    Not atomic across partitions (no table format, no transaction
+    log): a crash mid-write can leave some partitions updated.
+    Each partition's own overwrite is atomic-by-rename, and
+    re-running the batch converges.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    import os
+
+    existing = [
+        p for p in parts
+        if os.path.isdir(f"{target_path}/{partition_col}={p}")
+    ]
+    if existing:
+        import pyspark.sql.functions as F
+
+        old = (
+            spark.read.format(fmt)
+            .option("basePath", target_path)
+            .load([f"{target_path}/{partition_col}={p}" for p in existing])
+        )
+        keep = old.join(
+            F.broadcast(updates.select(*key_cols).distinct()),
+            on=key_cols,
+            how="left_anti",
+        )
+        merged = keep.select(*updates.columns).unionByName(updates)
+    else:
+        merged = updates
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(target_path)
+    )
+    return target_path

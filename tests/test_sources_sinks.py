@@ -169,3 +169,41 @@ def test_upsert_by_partition_replaces_only_touched(spark):
     back = spark.read.parquet(f"{TMP}/ups")
     got = {(r.part, r.v) for r in back.collect()}
     assert got == {("a", 99), ("b", 10)}, got
+
+
+def test_merge_upsert_row_level(spark):
+    import glob
+    import os
+
+    from etl_npl_pipeline_spark.sinks import merge_upsert
+
+    base = spark.createDataFrame(
+        [("d1", 1, "old1"), ("d1", 2, "old2"), ("d2", 3, "old3")],
+        "day STRING, k INT, payload STRING",
+    )
+    path = f"{TMP}/merge"
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+    untouched_before = sorted(glob.glob(f"{path}/day=d2/*.parquet"))
+    mtimes_before = [os.path.getmtime(f) for f in untouched_before]
+
+    # update k=1, insert k=9 — both land in partition d1
+    updates = spark.createDataFrame(
+        [("d1", 1, "NEW1"), ("d1", 9, "NEW9")],
+        "day STRING, k INT, payload STRING",
+    )
+    merge_upsert(spark, path, updates, key_cols=["day", "k"], partition_col="day")
+
+    got = {(r.day, r.k, r.payload) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("d1", 1, "NEW1"), ("d1", 2, "old2"), ("d1", 9, "NEW9"),
+        ("d2", 3, "old3"),
+    }, got
+    # the untouched partition's files were never rewritten
+    untouched_after = sorted(glob.glob(f"{path}/day=d2/*.parquet"))
+    assert untouched_after == untouched_before
+    assert [os.path.getmtime(f) for f in untouched_after] == mtimes_before
+
+    # idempotent: re-running the same batch converges to same state
+    merge_upsert(spark, path, updates, key_cols=["day", "k"], partition_col="day")
+    again = {(r.day, r.k, r.payload) for r in spark.read.parquet(path).collect()}
+    assert again == got
