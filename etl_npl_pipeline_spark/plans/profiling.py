@@ -267,3 +267,48 @@ def profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- A39: declarative data-quality suite ---------------------------
+
+def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-rule quality suite over orders (nulls, key uniqueness,
+    range, domain, FK into customer) — one aggregation pass + one
+    broadcast ref join (operators/quality.py), stacked to a
+    (rule, n_violations) report."""
+    from etl_npl_pipeline_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        Q.not_null("o_custkey"),
+        Q.unique("o_orderkey"),
+        Q.in_range("o_totalprice", 0, 10_000_000),
+        Q.in_set("o_orderstatus", ["F", "O", "P"]),
+        Q.ref("o_custkey", cust, "c_custkey"),
+    ]
+    return Q.run_checks(orders, rules)
+
+
+DQ_ORDERS_SQL = """
+WITH agg AS (
+    SELECT
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        COUNT(*) - COUNT(DISTINCT o_orderkey) AS uq,
+        SUM(CASE WHEN o_totalprice IS NULL
+                  OR o_totalprice NOT BETWEEN 0 AND 10000000
+                 THEN 1 ELSE 0 END) AS rg,
+        SUM(CASE WHEN o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('F', 'O', 'P')
+                 THEN 1 ELSE 0 END) AS st,
+        SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS rf
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+        ON o_custkey = c_custkey
+)
+SELECT 'not_null_o_custkey' AS rule, nn AS n_violations FROM agg
+UNION ALL SELECT 'unique_o_orderkey', uq FROM agg
+UNION ALL SELECT 'range_o_totalprice', rg FROM agg
+UNION ALL SELECT 'set_o_orderstatus', st FROM agg
+UNION ALL SELECT 'ref_o_custkey', rf FROM agg
+ORDER BY rule
+"""

@@ -182,3 +182,71 @@ def test_sketch_profile_tracks_exact(spark, sf_dir):
         assert abs(r.approx_users - users) <= max(2, 0.05 * users), r
         spread = abs(p50) + 1.0
         assert abs(r.approx_p50 - p50) <= 0.1 * spread, r
+
+
+def test_dq_checks_count_crafted_violations(spark):
+    from etl_npl_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (1, -5.0, "B"), (None, 20.0, "A"), (3, 999.0, "Z")],
+        "k INT, v DOUBLE, s STRING",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "dk INT")
+    out = {
+        r.rule: r.n_violations
+        for r in Q.run_checks(
+            df,
+            [
+                Q.not_null("k"),
+                Q.unique("k"),
+                Q.in_range("v", 0, 100),
+                Q.in_set("s", ["A", "B"]),
+                Q.ref("k", dim, "dk"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "not_null_k": 1,
+        "unique_k": 2,        # k=1 twice + null row (COUNT DISTINCT skips nulls)
+        "range_v": 2,         # -5 and 999
+        "set_s": 1,           # Z
+        "ref_k": 2,           # null and 3 dangle
+    }, out
+
+
+def test_scd2_apply_versions_changes(spark):
+    from etl_npl_pipeline_spark.operators.quality import scd2_apply
+
+    cur = spark.createDataFrame(
+        [
+            (1, "alice", "gold", "2024-01-01", "9999-12-31"),
+            (2, "bob", "silver", "2024-01-01", "9999-12-31"),
+            (2, "bob", "bronze", "2023-01-01", "2024-01-01"),  # history
+            (3, "carol", "gold", "2024-01-01", "9999-12-31"),
+        ],
+        "id INT, name STRING, tier STRING, valid_from STRING, valid_to STRING",
+    )
+    # alice changes tier; dave is new; bob/carol untouched
+    changes = spark.createDataFrame(
+        [(1, "alice", "platinum"), (4, "dave", "silver"), (3, "carol", "gold")],
+        "id INT, name STRING, tier STRING",
+    )
+    out = scd2_apply(
+        cur, changes, key_cols=["id"], attr_cols=["name", "tier"],
+        batch_ts="2024-06-01",
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (1, "alice", "gold", "2024-01-01", "2024-06-01"),      # closed
+        (1, "alice", "platinum", "2024-06-01", "9999-12-31"),  # new open
+        (2, "bob", "silver", "2024-01-01", "9999-12-31"),      # untouched
+        (2, "bob", "bronze", "2023-01-01", "2024-01-01"),      # history
+        (3, "carol", "gold", "2024-01-01", "9999-12-31"),      # no-op change
+        (4, "dave", "silver", "2024-06-01", "9999-12-31"),     # insert
+    }, got
+    # idempotent: re-applying the same batch changes nothing
+    again = scd2_apply(
+        out, changes, key_cols=["id"], attr_cols=["name", "tier"],
+        batch_ts="2024-06-01",
+    )
+    assert {tuple(r) for r in again.collect()} == got
