@@ -207,3 +207,38 @@ def test_merge_upsert_row_level(spark):
     merge_upsert(spark, path, updates, key_cols=["day", "k"], partition_col="day")
     again = {(r.day, r.k, r.payload) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_pandas_on_spark_compat_matches_native(spark, sf_dir):
+    """The pandas-idiom compat layer must agree with the native
+    DataFrame plans (migration-bridge correctness)."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    from etl_npl_pipeline_spark import compat
+    from etl_npl_pipeline_spark.sources.tables import load_table
+
+    got = {
+        (r["quarter"], r["n"])
+        for _, r in compat.quarterly_avg_pandas_style(sf_dir)
+        .to_pandas()
+        .iterrows()
+    }
+    native = {
+        (r.quarter, r.n)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.concat(
+                F.year("o_orderdate").cast("string"),
+                F.lit("-Q"),
+                F.quarter("o_orderdate").cast("string"),
+            ).alias("quarter")
+        )
+        .agg(F.count("o_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == native
+
+    rt = compat.melt_pivot_roundtrip_pandas_style(sf_dir).to_pandas()
+    assert list(rt["n_nationkey"]) == sorted(rt["n_nationkey"])
+    assert len(rt) == 10
