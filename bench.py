@@ -51,6 +51,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "events_quantiles",
     "profile_orders",
+    "profile_sketches",
+    "dq_orders",
     "events_hopping_window",
     "events_asof_join",
     "events_session_window",
