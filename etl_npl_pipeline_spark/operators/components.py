@@ -62,11 +62,26 @@ def connected_components(
         msgs = und.join(
             labels, und.v == labels.node
         ).select(F.col("u").alias("node"), "component")
-        new_labels = (
+        relaxed = (
             labels.select("node", "component")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump (path halving): component ids are themselves
+        # node ids, so chase one hop — label <- label(label). Edge
+        # relaxation alone moves the min ONE hop per round (O(diameter)
+        # rounds: a 40-node chain would exceed any sane cap); with the
+        # jump, convergence is O(log diameter).
+        ptr = relaxed.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            relaxed.join(ptr, relaxed.component == ptr.c_node, "left")
+            .select(
+                "node",
+                F.coalesce("c_comp", "component").alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

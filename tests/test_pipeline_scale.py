@@ -250,3 +250,19 @@ def test_scd2_apply_versions_changes(spark):
         batch_ts="2024-06-01",
     )
     assert {tuple(r) for r in again.collect()} == got
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node chain has diameter 39 — pure edge relaxation would
+    need 39 rounds; pointer jumping must converge well inside the
+    default cap."""
+    from etl_npl_pipeline_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 139)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(n, 100) for n in range(100, 140)}

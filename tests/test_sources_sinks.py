@@ -242,3 +242,49 @@ def test_pandas_on_spark_compat_matches_native(spark, sf_dir):
     rt = compat.melt_pivot_roundtrip_pandas_style(sf_dir).to_pandas()
     assert list(rt["n_nationkey"]) == sorted(rt["n_nationkey"])
     assert len(rt) == 10
+
+
+def test_streaming_foreachbatch_merge_upsert(spark, sf_dir):
+    """Continuous incremental load: a stream drained through
+    foreachBatch, each micro-batch row-level-merged into a parquet
+    table — the end-to-end shape of a production incremental
+    pipeline without a transactional table format."""
+    from etl_npl_pipeline_spark.sinks import merge_upsert
+    from etl_npl_pipeline_spark.sources.tables import load_table
+    from etl_npl_pipeline_spark.streaming.events import events_stream
+
+    path = f"{TMP}/stream_merge"
+    ev = events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.to_date("ts").cast("string").alias("day"),
+    )
+
+    def apply_batch(batch_df, _batch_id):
+        # last-writer-wins per event_id within the batch, then merge
+        merge_upsert(
+            batch_df.sparkSession,
+            path,
+            batch_df.dropDuplicates(["event_id"]),
+            key_cols=["event_id"],
+            partition_col="day",
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{TMP}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_truth = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    merged = spark.read.parquet(path)
+    assert merged.count() == batch_truth
+    assert merged.select("event_id").distinct().count() == batch_truth
