@@ -700,3 +700,43 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM drop_docs)
 ORDER BY doc_id
 """
+
+
+# --- L20: n-gram vocabulary (tokenizer prep) -----------------------
+
+def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary frequency table — the counting pass behind
+    tokenizer training (BPE merge candidates / vocab pruning): top
+    word bigrams by document frequency with deterministic
+    (count desc, bigram asc) ranking. One explode + one shuffle on
+    the bigram; at corpus scale add a map-side frequency floor
+    before the shuffle to drop the long singleton tail early."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    bigrams = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            )
+        ).alias("z")
+    ).select(F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+VOCAB_TOP_NGRAMS_SQL = """
+WITH toks AS (
+    SELECT string_split(trim(text), ' ') AS t FROM documents
+), bigrams AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks
+)
+SELECT bigram, COUNT(*) AS n FROM bigrams
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+"""
