@@ -488,3 +488,65 @@ FROM events e JOIN cohort USING (user_id)
 WHERE datediff('day', cohort_day, date_trunc('day', e.ts)) <= 7
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- S7/S8: ORC and JSON-lines source round trips ------------------
+
+_ORC_TMP = "/root/repo/.tmp/orc_roundtrip"
+_JSONL_TMP = "/root/repo/.tmp/jsonl_roundtrip"
+
+
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → read back → aggregate. ORC is the other
+    columnar format Spark ships natively (predicate pushdown +
+    column pruning work the same as parquet); the oracle checks the
+    round trip against the parquet ground truth."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    shutil.rmtree(_ORC_TMP, ignore_errors=True)
+    supp.write.mode("overwrite").orc(_ORC_TMP)
+    back = spark.read.orc(_ORC_TMP)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("balance"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SRC_ORC_ROUNDTRIP_SQL = """
+SELECT s_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+FROM supplier GROUP BY 1 ORDER BY 1
+"""
+
+
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → JSON-lines → schema-explicit read back. JSONL is the
+    interchange format of most data-pipeline tooling; the explicit
+    schema skips Spark's inference pass (one full read saved)."""
+    nation = load_table(spark, sf_dir, "nation")
+    shutil.rmtree(_JSONL_TMP, ignore_errors=True)
+    nation.write.mode("overwrite").json(_JSONL_TMP)
+    back = spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).json(_JSONL_TMP)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+SRC_JSONL_ROUNDTRIP_SQL = """
+SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+FROM nation GROUP BY 1 ORDER BY 1
+"""
