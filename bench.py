@@ -80,6 +80,8 @@ HEADLINE = [
     "text_scrub",
     "text_commonness",
     "data_split",
+    "vocab_top_ngrams",
+    "corpus_curation",
     "mm_decode_meta",
 ]
 
