@@ -312,3 +312,58 @@ UNION ALL SELECT 'set_o_orderstatus', st FROM agg
 UNION ALL SELECT 'ref_o_custkey', rf FROM agg
 ORDER BY rule
 """
+
+
+# --- A40: anomaly detection (z-score outliers) ---------------------
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values more than 3 population standard deviations from their
+    event_type's mean. Mean/stddev come from ONE grouped pass
+    (decimal-exact sums so both engines derive identical moments:
+    var = E[x²] - E[x]², computed in double from exact sums), then a
+    broadcast join back — no window over the full log needed."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v = F.col("value").cast("decimal(12,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            (F.sum(v).cast("double") / F.count(F.lit(1))).alias("mu"),
+            F.sum((v * v).cast("decimal(24,4)")).cast("double").alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn(
+            "sigma",
+            F.sqrt(F.col("sq") / F.col("cnt") - F.col("mu") * F.col("mu")),
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ANOMALIES_SQL = """
+WITH stats AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2))
+                         * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4)))
+                AS DOUBLE) AS sq,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+), st2 AS (
+    SELECT event_type, mu, sqrt(sq / cnt - mu * mu) AS sigma FROM stats
+)
+SELECT event_id, e.event_type AS event_type, value,
+       ROUND((value - mu) / sigma, 4) AS z
+FROM events e JOIN st2 ON e.event_type = st2.event_type
+WHERE ABS(value - mu) > 3 * sigma
+ORDER BY event_id
+"""
