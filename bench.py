@@ -53,6 +53,7 @@ HEADLINE = [
     "profile_orders",
     "profile_sketches",
     "dq_orders",
+    "events_anomalies",
     "events_hopping_window",
     "events_asof_join",
     "events_session_window",
