@@ -329,3 +329,39 @@ GROUP BY 1
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# --- A41: relational set operators ---------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1995 and 1996 but not in 1997 —
+    INTERSECT / EXCEPT as hash-based set operators (each is one
+    shuffle on the key, no join-condition bookkeeping). Summarized
+    to count + key range so the result stays small at any SF."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year):
+        return orders.where(F.year("o_orderdate") == year).select("o_custkey")
+
+    keys = active(1995).intersect(active(1996)).exceptAll(
+        active(1997).distinct()
+    )
+    return keys.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").alias("min_key"),
+        F.max("o_custkey").alias("max_key"),
+    )
+
+
+Q_SET_OPS_SQL = """
+WITH keys AS (
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1997
+)
+SELECT COUNT(*) AS n_customers, MIN(o_custkey) AS min_key,
+       MAX(o_custkey) AS max_key
+FROM keys
+"""
