@@ -37,7 +37,9 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curated document set: (doc_id, split) after quality gate
     and near-dup removal."""
     docs = _docs(spark, sf_dir)
-    n_words = F.size(F.split(F.trim("text"), " "))
+    # \s+ split everywhere (operators.text.tokens semantics) — a
+    # single-space split diverges on runs of whitespace/newlines.
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
     good = docs.where(n_words.between(MIN_WORDS, MAX_WORDS))
     pairs = D.jaccard_pairs(
         good, "text", "doc_id", n=3,
@@ -73,13 +75,15 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
 _SQL_GOOD_SHINGLES = f"""
     SELECT doc_id AS doc,
            unnest(list_distinct(list_transform(
-               range(1, len(string_split(trim(text), ' ')) - 1),
-               i -> string_split(trim(text), ' ')[i] || ' '
-                    || string_split(trim(text), ' ')[i+1] || ' '
-                    || string_split(trim(text), ' ')[i+2]
+               range(1, len({_SQL_TOKS}) - 1),
+               i -> {_SQL_TOKS}[i] || ' '
+                    || {_SQL_TOKS}[i+1] || ' '
+                    || {_SQL_TOKS}[i+2]
            ))) AS shingle
     FROM good
 """
@@ -87,7 +91,7 @@ _SQL_GOOD_SHINGLES = f"""
 CORPUS_CURATION_SQL = f"""
 WITH RECURSIVE good AS (
     SELECT * FROM documents
-    WHERE len(string_split(trim(text), ' ')) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+    WHERE len({_SQL_TOKS}) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
 ),
 sh_all AS ({_SQL_GOOD_SHINGLES}),
 freq AS (
@@ -136,6 +140,6 @@ assigned AS (
            n_chars
     FROM kept
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM assigned GROUP BY split ORDER BY split
 """

@@ -69,7 +69,7 @@ WITH marked AS (
                 ) > 300.0 THEN 1 ELSE 0 END AS new_session
     FROM events
 )
-SELECT user_id, SUM(new_session) + 1 AS n_sessions,
+SELECT user_id, CAST(SUM(new_session) + 1 AS INTEGER) AS n_sessions,
        COUNT(*) AS n_events
 FROM marked GROUP BY user_id ORDER BY user_id
 """
@@ -156,6 +156,49 @@ SELECT doc_id, 'image/fake' AS kind,
                list_transform(range(1, len(text)+1),
                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip: wrap each doc's bytes in a genuine BMP
+    (even ids) or PCM WAV (odd ids) container, then parse the
+    binary headers back with the stdlib decoders — encode and
+    decode both run as Arrow-batched mapInPandas. The oracle
+    recomputes every decoded field from strlen(text) alone, so a
+    header-parse bug cannot hash-match."""
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        build_real_media_frame,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = build_real_media_frame(docs, "text", "doc_id")
+    return decode_media(media, codec="sniff").orderBy("doc_id")
+
+
+# checksum = left fold (acc*31 + byte) mod 1e9+7 over the content
+# bytes (full text for BMP; truncated-to-even text for WAV data)
+_MM_CHK = """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {n} + 1),
+                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007)"""
+
+MM_DECODE_REAL_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + strlen(text)
+            ELSE 44 + strlen(text) - strlen(text) % 2 END AS INT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text) % 640 + 1
+            ELSE 16000 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text) % 480 + 1
+            ELSE 1 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+            ELSE strlen(text) // 2 END AS INT) AS n_frames,
+       CASE WHEN doc_id % 2 = 0 THEN {_MM_CHK.format(n="strlen(text)")}
+            ELSE {_MM_CHK.format(n="strlen(text) - strlen(text) % 2")}
+       END AS checksum
 FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
@@ -472,16 +515,26 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("day_offset") <= 7)
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
+        # cohort_day as a string: engines serialize DATE columns at
+        # different arrow logical types (date32 vs timestamp); the
+        # ISO string is unambiguous on both
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
         .orderBy("cohort_day", "day_offset")
     )
 
 
 EVENTS_RETENTION_SQL = """
 WITH cohort AS (
-    SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+    -- CAST to DATE: Spark's to_date emits date32; an uncast
+    -- date_trunc stays TIMESTAMP and hash-mismatches
+    SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
     FROM events GROUP BY 1
 )
-SELECT cohort_day,
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
        datediff('day', cohort_day, date_trunc('day', e.ts)) AS day_offset,
        COUNT(DISTINCT e.user_id) AS n_users
 FROM events e JOIN cohort USING (user_id)

@@ -26,7 +26,10 @@ _STOP_EN = "['the','a','of','and','to','in']"
 _STOP_ES = "['el','la','de','que','y','en']"
 _STOP_DE = "['der','die','und','das','nicht']"
 _STOP_FR = "['le','la','et','les','des']"
-_TOKS = "string_split(trim(text), ' ')"
+# Mirror of operators.text.tokens(): Spark splits on the \s+ regexp,
+# so the oracle must too — string_split(' ') agrees only on corpora
+# with no runs of whitespace.
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,10 +114,10 @@ WITH feats AS (
                 WHEN len({_TOKS}) <= 120 THEN 1 ELSE 2 END AS len_band
     FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum,
-       SUM(n_words) AS words_sum,
-       CAST(SUM(stop_hits) AS DOUBLE) / SUM(n_words) AS stop_ratio,
-       SUM(CASE WHEN len_band = 1 THEN 1 ELSE 0 END) AS n_ok_len
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(n_words) AS BIGINT) AS words_sum,
+       CAST(SUM(stop_hits) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT) AS stop_ratio,
+       CAST(SUM(CASE WHEN len_band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_len
 FROM feats GROUP BY lang ORDER BY lang
 """
 
@@ -136,8 +139,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKEN_COUNT_SQL = f"""
 SELECT source,
-       SUM(len({_TOKS})) AS ws_tokens,
-       SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
@@ -195,14 +198,14 @@ def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(F.col("doc_id") < 100).orderBy("doc_id")
 
 
-TEXT_COMMONNESS_SQL = """
+TEXT_COMMONNESS_SQL = f"""
 WITH words AS (
-    SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS w
     FROM documents
 ), dfreq AS (
     SELECT w, COUNT(*) AS df_ FROM words GROUP BY w
 )
-SELECT doc_id, SUM(df_) AS df_sum,
+SELECT doc_id, CAST(SUM(df_) AS BIGINT) AS df_sum,
        COUNT(*) AS n_distinct_words,
        CAST(SUM(df_) AS DOUBLE) / COUNT(*) AS commonness
 FROM words JOIN dfreq USING (w)
@@ -248,7 +251,7 @@ WITH assigned AS (
            n_chars
     FROM documents
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM assigned GROUP BY split ORDER BY split
 """
 
@@ -577,7 +580,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept here so the DuckDB oracle can reproduce it exactly.
     """
     docs = _docs(spark, sf_dir)
-    arr = F.split(F.trim(F.col("text")), " ")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = F.ceil(F.size(arr) / CHUNK_WORDS).cast("int")
     chunks = docs.select(
         "doc_id",
@@ -610,7 +613,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CHUNKS_SQL = f"""
 WITH base AS (
-    SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    SELECT doc_id, {_TOKS} AS arr FROM documents
 ),
 chunks AS (
     SELECT doc_id,
@@ -623,7 +626,7 @@ chunks AS (
 ),
 cf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
 SELECT doc_id, COUNT(*) AS n_chunks,
-       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
        CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
            AS dup_ratio
 FROM chunks JOIN cf USING (chunk)
@@ -712,7 +715,7 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram; at corpus scale add a map-side frequency floor
     before the shuffle to drop the long singleton tail early."""
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), " ")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
     bigrams = docs.select(
         F.explode(
             F.arrays_zip(
@@ -729,9 +732,9 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-VOCAB_TOP_NGRAMS_SQL = """
+VOCAB_TOP_NGRAMS_SQL = f"""
 WITH toks AS (
-    SELECT string_split(trim(text), ' ') AS t FROM documents
+    SELECT {_TOKS} AS t FROM documents
 ), bigrams AS (
     SELECT unnest(list_transform(range(1, len(t)),
                   i -> t[i] || ' ' || t[i+1])) AS bigram

@@ -77,25 +77,25 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROFILE_ORDERS_SQL = """
 SELECT 'o_orderkey' AS col_name, COUNT(*) AS n,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
        COUNT(DISTINCT o_orderkey) AS n_distinct,
        CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
        CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
 UNION ALL
 SELECT 'o_custkey', COUNT(*),
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_custkey),
        CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_totalprice', COUNT(*),
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_totalprice),
        CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', COUNT(*),
-       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderstatus),
        CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
 FROM orders
@@ -190,7 +190,7 @@ WITH marked AS (
            CAST(MAX(sec) - MIN(sec) AS DECIMAL(20,6)) AS span
     FROM sessioned GROUP BY user_id, sid
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(SUM(span) AS DOUBLE) AS total_span_sec
 FROM spans GROUP BY user_id ORDER BY user_id
 """
@@ -293,15 +293,15 @@ def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_ORDERS_SQL = """
 WITH agg AS (
     SELECT
-        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
         COUNT(*) - COUNT(DISTINCT o_orderkey) AS uq,
-        SUM(CASE WHEN o_totalprice IS NULL
+        CAST(SUM(CASE WHEN o_totalprice IS NULL
                   OR o_totalprice NOT BETWEEN 0 AND 10000000
-                 THEN 1 ELSE 0 END) AS rg,
-        SUM(CASE WHEN o_orderstatus IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS rg,
+        CAST(SUM(CASE WHEN o_orderstatus IS NULL
                   OR o_orderstatus NOT IN ('F', 'O', 'P')
-                 THEN 1 ELSE 0 END) AS st,
-        SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS rf
+                 THEN 1 ELSE 0 END) AS BIGINT) AS st,
+        CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf
     FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
         ON o_custkey = c_custkey
 )

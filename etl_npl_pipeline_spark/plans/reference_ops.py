@@ -423,7 +423,7 @@ def src_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SRC_JSON_PROPS_SQL = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS INT)) AS k_sum,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
        CAST(SUM(CAST(props->>'$.k' AS INT)) AS DOUBLE)
            / COUNT(CAST(props->>'$.k' AS INT)) AS k_avg
 FROM events GROUP BY event_type ORDER BY event_type
@@ -465,7 +465,7 @@ WITH marked AS (
                 ) > 300.0 THEN 1 ELSE 0 END AS new_session
     FROM events
 )
-SELECT user_id, SUM(new_session) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM marked GROUP BY user_id ORDER BY user_id
 """
 
@@ -478,8 +478,11 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs incrementally with a watermark)."""
     ev = load_table(spark, sf_dir, "events")
     return (
+        # hour as epoch seconds: bigint on both engines — raw
+        # timestamp columns round-trip at different arrow precisions
+        # (ns vs us) and hash-mismatch even when values are equal.
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour"),
             "event_type",
         )
         .agg(
@@ -493,7 +496,7 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_WINDOW_AGG_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY 1, 2 ORDER BY 1, 2

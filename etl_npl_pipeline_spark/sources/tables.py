@@ -32,6 +32,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. No cache, no collect — a pure plan."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Self-sufficient under ANY SparkSession (not just session.get_spark()):
+    # events.parquet stores TIMESTAMP(NANOS), which Spark only reads with
+    # nanosAsLong; timestamp literals in downstream plans assume UTC. Both
+    # confs are runtime-settable, so pin them here at read time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk, read as a nanos long via

@@ -48,6 +48,11 @@ _RAW_SCHEMA = (
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the nanos→micros ts fix
     (same normalization as sources.tables.load_table)."""
+    # Self-sufficient under ANY SparkSession (see sources.tables.load_table):
+    # the nanos physical type needs nanosAsLong even with an explicit
+    # BIGINT schema, and window boundaries assume a UTC session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the streaming file source wants a directory; select just the
     # events file out of the shared sf_dir with a glob filter
     raw = (
