@@ -153,7 +153,37 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(sigs: DataFrame) -> DataFrame:
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _drop_oversize_buckets(
+    long: DataFrame, keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Remove rows whose bucket exceeds ``max_bucket_size`` BEFORE any
+    collect_list, so no aggregation buffer can grow unbounded.
+
+    An oversize LSH bucket is degenerate (boilerplate / constant
+    content): it contributes C(n,2) ~ 10^12 pairs for n=10^6 and no
+    discriminative signal — the same rationale as jaccard_pairs'
+    ``max_shingle_freq``. Implemented as a count over the bucket-key
+    window, NOT a separate groupBy + anti-join: the window keeps the
+    (expensive) signature subtree evaluated exactly once, its buffer
+    spills to disk rather than OOMing on a mega-bucket, and its
+    exchange on ``keys`` is reused by the downstream groupBy.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        long.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
+def minhash_candidates(
+    sigs: DataFrame, max_bucket_size: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidates.
 
     melt the signature into (doc, band, band_hash), group buckets,
@@ -161,8 +191,10 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     ONE evaluation of the signature subtree — a self-join
     formulation would execute the (expensive) signature computation
     once per join side. Pair count is sum of C(bucket,2), the
-    irreducible LSH cost; bucket skew is the thing to watch, not
-    the join strategy.
+    irreducible LSH cost; buckets larger than ``max_bucket_size``
+    are dropped before the collect (degenerate boilerplate buckets —
+    see _drop_oversize_buckets), which bounds both executor memory
+    and the pair explosion at corpus scale.
     """
     bands = sigs.select(
         "doc",
@@ -177,6 +209,7 @@ def minhash_candidates(sigs: DataFrame) -> DataFrame:
     long = bands.select(
         "doc", F.expr(f"stack({N_BANDS}, {pairs}) as (band, bh)")
     )
+    long = _drop_oversize_buckets(long, ["band", "bh"], max_bucket_size)
     buckets = (
         long.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
@@ -329,9 +362,20 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toks.select("doc", sim_udf(F.col("hs")).alias("simhash"))
 
 
-def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via 16-bit chunk
-    blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal)."""
+    blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks equal).
+
+    Bucket pairing uses the minhash groupBy + pair-explode pattern —
+    a self-join here would execute the signature pandas_udf subtree
+    once per join side (2x the dominant cost). One exchange on
+    (chunk, cv), one signature evaluation, oversize buckets dropped
+    before the collect (same memory bound as minhash_candidates).
+    """
     chunks = sigs.select(
         "doc",
         "simhash",
@@ -347,21 +391,35 @@ def simhash_candidates(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "simhash",
         F.expr("stack(4, 0, c_0, 1, c_1, 2, c_2, 3, c_3) as (chunk, cv)"),
     )
-    a = long.alias("a")
-    b = long.alias("b")
+    long = _drop_oversize_buckets(long, ["chunk", "cv"], max_bucket_size)
+    buckets = (
+        long.groupBy("chunk", "cv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc", "simhash"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") > 1)
+    )
+    # all ordered pairs within a bucket (array_sort on the struct
+    # orders by doc, the first field)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds")) - i - 1),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    x["simhash"].alias("ha"),
+                    y["simhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
         .distinct()
     )
     return (
