@@ -23,11 +23,21 @@ from pyspark.sql import DataFrame, Window
 from etl_npl_pipeline_spark.operators.similarity import dot, l2_normalize
 
 
+TRAIN_SAMPLE_CAP = 100_000
+
+
 def _centroids(corpus: DataFrame, vec_col: str, n_clusters: int, seed: int) -> np.ndarray:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    # Coarse quantizers need only a corpus sample: centroid quality
+    # saturates far below full-corpus size, while a full-corpus fit
+    # at 100 TB would dominate the whole search. Deterministic
+    # (seeded) sample capped at TRAIN_SAMPLE_CAP rows.
+    n = train.count()
+    if n > TRAIN_SAMPLE_CAP:
+        train = train.sample(fraction=TRAIN_SAMPLE_CAP / n, seed=seed)
     model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
     return np.array(model.clusterCenters())
 
