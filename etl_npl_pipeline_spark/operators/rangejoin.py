@@ -52,9 +52,19 @@ def bucketed_range_join(
         F.col(point_col) <= F.col(hi_col)
     )
     if how == "left_semi":
-        return left.join(
-            l_exp.join(r_b, "__bucket").where(contained).select(lo_col).distinct(),
-            on=lo_col,
-            how="left_semi",
+        # Semi-join back on ALL left columns (null-safe): lo_col is
+        # not a row key — two intervals sharing lo but different hi
+        # would make the non-matching one pass an EXISTS keyed on lo
+        # alone. <=> keeps this an equi hash join.
+        matched = (
+            l_exp.join(r_b, "__bucket")
+            .where(contained)
+            .select(*[F.col(c).alias(f"__m_{c}") for c in left.columns])
+            .distinct()
         )
+        cond = None
+        for c in left.columns:
+            eq = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return left.join(matched, cond, "left_semi")
     return l_exp.join(r_b, "__bucket").where(contained).drop("__bucket")

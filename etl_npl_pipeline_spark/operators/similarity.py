@@ -44,7 +44,11 @@ def l2_normalize(v: F.Column) -> F.Column:
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    return F.transform(v, lambda x: x / norm)
+    # zero-vector guard: divide by 1 so the result stays all-zero
+    # (cosine 0 against everything) instead of NaN — NaN rows pass/
+    # fail >= filters differently across engines.
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.transform(v, lambda x: x / safe)
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
