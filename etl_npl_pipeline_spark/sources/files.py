@@ -1,23 +1,27 @@
 """File sources — reference parity for get_csv / get_excel
 (src/ETL-NPL-Pipeline.py:34, :48).
 
-CSV reads are native Spark (splittable, parallel, schema-able);
-Excel has no JVM reader in this container, so it goes through
-pandas/openpyxl on the driver behind an import gate — correct for
-config-sized sheets (the reference's use case: small macro tables),
-not for bulk data, and it says so.
+CSV reads are native Spark (splittable, parallel, schema-able).
+Excel has no JVM reader in this container, so .xlsx is parsed on the
+driver with a pure-stdlib reader (zipfile + ElementTree over the
+OOXML parts) — correct for config-sized sheets (the reference's use
+case: small macro tables), not for bulk data. Bulk data belongs in
+parquet/CSV; a driver-side parse of a 100 GB sheet would be wrong at
+any implementation quality.
 """
 
 from __future__ import annotations
 
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
 from pyspark.sql import DataFrame, SparkSession
 
-try:
-    import pandas as _pd
-
-    _HAS_PANDAS = True
-except Exception:  # pragma: no cover
-    _HAS_PANDAS = False
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
 
 
 def read_csv(
@@ -39,20 +43,123 @@ def read_csv(
     return reader.csv(path)
 
 
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'BC12' → 54 (0-based column index)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _sheet_paths(zf: zipfile.ZipFile) -> list[str]:
+    """Worksheet part names in workbook order (via the rels part)."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rel_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    targets = {
+        r.get("Id"): r.get("Target") for r in rels.iter(f"{rel_ns}Relationship")
+    }
+    paths = []
+    for sh in wb.iter(f"{_NS}sheet"):
+        target = targets.get(sh.get(f"{_REL_NS}id"), "")
+        if target and not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        paths.append(target)
+    return paths
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        raw = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    out = []
+    for si in ET.fromstring(raw).iter(f"{_NS}si"):
+        # concatenate all text runs (<t> under <si> or rich <r> runs)
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _cell_value(cell, shared: list[str]):
+    ctype = cell.get("t", "n")
+    if ctype == "inlineStr":
+        return "".join(t.text or "" for t in cell.iter(f"{_NS}t"))
+    v = cell.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    if ctype == "s":
+        return shared[int(v.text)]
+    if ctype == "str":
+        return v.text
+    if ctype == "b":
+        return v.text == "1"
+    # numeric: int when exact, else float
+    txt = v.text
+    if re.fullmatch(r"-?\d+", txt):
+        return int(txt)
+    return float(txt)
+
+
+def parse_xlsx(path: str, sheet_name: str | int = 0) -> list[list]:
+    """Rows of one worksheet as Python values (pure stdlib)."""
+    with zipfile.ZipFile(path) as zf:
+        if isinstance(sheet_name, int):
+            sheet_path = _sheet_paths(zf)[sheet_name]
+        else:
+            wb = ET.fromstring(zf.read("xl/workbook.xml"))
+            names = [s.get("name") for s in wb.iter(f"{_NS}sheet")]
+            sheet_path = _sheet_paths(zf)[names.index(sheet_name)]
+        shared = _shared_strings(zf)
+        rows: list[list] = []
+        width = 0
+        for row in ET.fromstring(zf.read(sheet_path)).iter(f"{_NS}row"):
+            vals: list = []
+            for cell in row.iter(f"{_NS}c"):
+                ci = _col_index(cell.get("r", ""))
+                if ci < 0:
+                    ci = len(vals)
+                while len(vals) <= ci:
+                    vals.append(None)
+                vals[ci] = _cell_value(cell, shared)
+            width = max(width, len(vals))
+            rows.append(vals)
+    for r in rows:
+        while len(r) < width:
+            r.append(None)
+    return rows
+
+
 def read_excel(
     spark: SparkSession, path: str, sheet_name: str | int = 0
 ) -> DataFrame:
-    """Excel sheet → DataFrame (ref get_excel), via driver-side
-    pandas/openpyxl. Suitable for small reference tables only; bulk
-    data belongs in parquet/CSV."""
-    if not _HAS_PANDAS:
-        raise NotImplementedError(
-            "read_excel needs pandas+openpyxl; not available here"
-        )
-    try:
-        pdf = _pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl missing
-        raise NotImplementedError(
-            "read_excel needs openpyxl for .xlsx files"
-        ) from exc
-    return spark.createDataFrame(pdf)
+    """Excel sheet → DataFrame (ref get_excel src:48). First row is
+    the header. Column types are unified bottom-up (all-int → long,
+    numeric → double, else string) so Spark gets a stable schema."""
+    rows = parse_xlsx(path, sheet_name)
+    if not rows:
+        raise ValueError(f"empty workbook: {path}")
+    header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
+    data = rows[1:]
+
+    def unify(col_vals):
+        present = [v for v in col_vals if v is not None]
+        if present and all(isinstance(v, bool) for v in present):
+            return lambda v: v
+        if present and all(
+            isinstance(v, int) and not isinstance(v, bool) for v in present
+        ):
+            return lambda v: v
+        if present and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in present
+        ):
+            return lambda v: float(v) if v is not None else None
+        return lambda v: str(v) if v is not None else None
+
+    casts = [unify([r[i] for r in data]) for i in range(len(header))]
+    norm = [
+        tuple(casts[i](r[i]) for i in range(len(header))) for r in data
+    ]
+    return spark.createDataFrame(norm, header)
