@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode itself is a
-clearly marked STUB (`_decode_stub`) producing deterministic fake
-features derived from the payload bytes; the Spark-side plumbing —
-binary column handling, metadata struct schema, mapInPandas batch
-shape, partition-parallel execution — is real and is what this
-module demonstrates. Swap `_decode_stub` for a PIL/ffmpeg call in a
-codec-equipped image and nothing else changes.
+Two decode paths:
+
+- REAL stdlib codecs for BMP and WAV: genuine container formats
+  encoded and parsed byte-for-byte (``encode_bmp``/``_decode_bmp``,
+  ``encode_wav``/``_decode_wav``) — no library needed, dispatched on
+  magic bytes by ``sniff_and_decode``.
+- A clearly marked STUB (`_decode_stub`) for formats whose decoders
+  need a codec library absent from this container (JPEG/PNG/MP4):
+  deterministic fake features derived from payload bytes. Swap it
+  for a PIL/ffmpeg call in a codec-equipped image and nothing else
+  changes.
 
 Scale notes: media payloads ride as parquet binary; decode is
 map-only (no shuffle), Arrow moves each batch once, and columns
@@ -51,44 +55,152 @@ def build_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _rolling_checksum(data: bytes) -> int:
+    checksum = 0
+    for b in data:
+        checksum = (checksum * 31 + b) % 1_000_000_007
+    return checksum
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, int]:
     """STUB decoder: deterministic fake (width, height, n_frames,
-    checksum) from the payload bytes. A real deployment decodes
-    here (PIL / libav) — see decode_media for the gate."""
+    checksum) from the payload bytes. Used for formats that need a
+    codec library (JPEG/PNG/MP4...) — see decode_media."""
     n = len(payload)
-    checksum = 0
-    for b in payload:
-        checksum = (checksum * 31 + b) % 1_000_000_007
-    return (n % 640 + 1, n % 480 + 1, n % 16 + 1, checksum)
+    return (n % 640 + 1, n % 480 + 1, n % 16 + 1, _rolling_checksum(payload))
 
 
-def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+# --- real stdlib codecs: BMP and WAV headers need no library -------
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bpp BMP container around raw pixel bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, no compression)."""
+    off = 54
+    size = off + len(pixels)
+    file_header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    info_header = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")   # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + bytes(24)                   # compression..palette, all 0
+    )
+    return file_header + info_header + pixels
+
+
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a BMP header: (kind, width, height, 1 frame, checksum
+    of the pixel section)."""
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    data_off = int.from_bytes(payload[10:14], "little")
+    return ("image/bmp", width, height, 1, _rolling_checksum(payload[data_off:]))
+
+
+def encode_wav(
+    samples: bytes, sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """Minimal PCM-16 WAV container around raw sample bytes (must be
+    an even number of bytes for 16-bit samples)."""
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    data = b"data" + len(samples).to_bytes(4, "little") + samples
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a WAV header by walking RIFF chunks: (kind,
+    sample_rate as 'width', channels as 'height', n_samples as
+    'n_frames', checksum of the data section)."""
+    channels, rate, n_samples, data_chk = 1, 0, 0, 0
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            n_samples = csize // (channels * 2)
+            data_chk = _rolling_checksum(body)
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    return ("audio/wav", rate, channels, n_samples, data_chk)
+
+
+def sniff_and_decode(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Dispatch on magic bytes: BMP and WAV decode for real
+    (stdlib); anything else falls back to the stub."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    w, h, f, chk = _decode_stub(payload)
+    return ("unknown/stub", w, h, f, chk)
+
+
+def decode_media(
+    media: DataFrame, use_real_codec: bool = False, codec: str = "stub"
+) -> DataFrame:
     """Decode/feature-extract each payload via mapInPandas.
 
     Arrow delivers column batches; each batch is processed in one
-    Python call (not per-row). ``use_real_codec=True`` requires a
-    codec library and raises if unavailable — the stub path is the
-    default in this container.
+    Python call (not per-row). ``codec``:
+
+    - ``"stub"`` (default): deterministic fake features — stands in
+      for formats whose decoders need a library (JPEG/PNG/MP4).
+    - ``"sniff"``: REAL header decode for BMP and WAV payloads
+      (stdlib parsers, see _decode_bmp/_decode_wav), stub fallback
+      for unrecognized magic; the emitted ``kind`` is the detected
+      one.
+
+    ``use_real_codec=True`` additionally demands a library-backed
+    decoder (PIL) for the non-BMP/WAV formats and raises when the
+    container lacks one.
     """
     if use_real_codec and not _HAS_PIL:
         raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg, not present in this "
-            "container — run with use_real_codec=False for the "
-            "deterministic stub"
+            "library-backed media decode needs PIL/ffmpeg, not present "
+            "in this container — BMP/WAV decode for real via "
+            "codec='sniff'; other formats use the deterministic stub"
         )
+    sniff = codec == "sniff"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            if sniff:
+                decoded = [sniff_and_decode(p) for p in pdf["payload"]]
+                kinds = [d[0] for d in decoded]
+                feats = [d[1:] for d in decoded]
+            else:
+                kinds = list(pdf["kind"])
+                feats = [_decode_stub(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "kind": [k for k in pdf["kind"]],
+                    "kind": kinds,
                     "n_bytes": pdf["n_bytes"].values,
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "n_frames": [d[2] for d in decoded],
-                    "checksum": [d[3] for d in decoded],
+                    "width": [d[0] for d in feats],
+                    "height": [d[1] for d in feats],
+                    "n_frames": [d[2] for d in feats],
+                    "checksum": [d[3] for d in feats],
                 }
             )
 
@@ -97,6 +209,40 @@ def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
     )
     return flat.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def build_real_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Encode each doc's text bytes into a REAL media container —
+    BMP for even ids, WAV for odd ids — via mapInPandas. Width/
+    height (BMP) and sample count (WAV) derive deterministically
+    from the byte length, so a SQL oracle can verify the decoded
+    output without seeing the bytes."""
+    flat = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if doc_id % 2 == 0:
+                    w, h = len(data) % 640 + 1, len(data) % 480 + 1
+                    payloads.append(encode_bmp(data, w, h))
+                else:
+                    even = data[: len(data) - (len(data) % 2)]
+                    payloads.append(encode_wav(even, 16_000, 1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    enc = flat.mapInPandas(batches, schema="doc_id BIGINT, payload BINARY")
+    return enc.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("kind"),
+            F.octet_length("payload").alias("n_bytes"),
+        ).alias("meta"),
+    )
 
 
 def frame_sample(media: DataFrame, every_nth: int = 4) -> DataFrame:
