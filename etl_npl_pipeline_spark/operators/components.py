@@ -18,12 +18,15 @@ iteration and the driver OOMs planning round ~15 long before the
 executors feel anything.
 
 At 1000-executor scale the known failure mode is a giant skewed
-component (one hub node in most edges). The GraphFrames/GoogleCC
-answer is large-star/small-star rewriting; for dedup clusters
-(bounded by LSH candidate caps upstream, see dedup.jaccard_pairs's
-max_shingle_freq) hash-min with a round cap is the right
-cost/robustness tradeoff — document-similarity graphs here cannot
-form deep chains.
+component (one hub node in most edges). For that shape use
+``connected_components_star`` below: the large-star/small-star
+rewrite (Kiveris et al., "Connected Components in MapReduce and
+Beyond") — every round is plain groupBy + join (no per-node
+neighbor lists, so no unbounded buffer on a hub) and converges in
+O(log n) rounds regardless of diameter or skew. Hash-min remains
+the default for dedup clusters (bounded by LSH candidate caps
+upstream, see dedup.jaccard_pairs's max_shingle_freq) where
+components are shallow and the simpler loop wins on constants.
 """
 
 from __future__ import annotations
@@ -94,3 +97,86 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical (hi, lo) orientation, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Skew-safe connected components: alternating large-star /
+    small-star edge rewriting until the graph is a star forest.
+
+    Same contract as :func:`connected_components` — ``(node,
+    component)`` with component = min reachable id, only nodes with
+    at least one edge labeled. Unlike hash-min, each round is
+    groupBy(min) + equi-join: per-node state is ONE value, so a hub
+    appearing in half of all edges costs a skewed join (AQE handles
+    that) rather than an unbounded neighbor buffer, and rounds are
+    O(log n) in any topology.
+
+    - large-star: every neighbor v > u re-attaches to m(u) =
+      min(Γ(u) ∪ {u})
+    - small-star: every neighbor v ≤ u re-attaches to m⁻(u) =
+      min of the ≤-neighborhood
+    """
+    cur = _canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        # --- large-star (operate on both orientations) ---
+        und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        cur = _canon(ls).localCheckpoint(eager=True)
+        # --- small-star (canonical orientation: v < u already) ---
+        mins2 = cur.groupBy("u").agg(F.min("v").alias("m"))
+        ss_nbrs = (
+            cur.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+        )
+        ss_self = mins2.select(F.col("u").alias("n"), F.col("m"))
+        cur = _canon(
+            ss_nbrs.union(ss_self).select(
+                F.col("n").alias("u"), F.col("m").alias("v")
+            )
+        ).localCheckpoint(eager=True)
+        # --- fixpoint: edge-set signature unchanged ---
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent, overflow-free under ANSI
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star forest: every edge is (node, root); roots label themselves
+    return (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(
+            cur.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )

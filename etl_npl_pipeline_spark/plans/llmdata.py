@@ -526,6 +526,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").orderBy("node")
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster formation as dedup_components but via the
+    skew-safe large-star/small-star rewrite — the variant for
+    hub-dominated duplicate graphs (boilerplate docs near-matching
+    thousands of others). Identical output contract, so it shares
+    dedup_components' oracle."""
+    from etl_npl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.jaccard_pairs(
+        docs, "text", "doc_id", n=3,
+        threshold=JACCARD_THRESHOLD, max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).select("doc_a", "doc_b")
+    return connected_components_star(pairs, "doc_a", "doc_b").orderBy("node")
+
+
 DEDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE sh_all AS ({_SQL_SHINGLES}),
 freq AS (
