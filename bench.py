@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_components_star",
     "dedup_chunks",
     "dedup_embedding",
     "ann_topk",
@@ -86,6 +87,7 @@ HEADLINE = [
     "vocab_top_ngrams",
     "corpus_curation",
     "mm_decode_meta",
+    "mm_decode_real",
 ]
 
 

@@ -54,10 +54,13 @@ def connected_components(
     )
     # One materialization of the edge list reused every round.
     und = und.localCheckpoint(eager=True)
+    # Warm start: label(v) = min(v, min neighbor) — one relaxation
+    # round folded into the init aggregation (same single shuffle a
+    # distinct-nodes init would cost).
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mn"))
+        .select("node", F.least("node", F.col("mn")).alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

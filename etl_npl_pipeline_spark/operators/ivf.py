@@ -4,9 +4,9 @@ The scale path for ANN beyond hyperplane LSH: partition the corpus
 into coarse cells with k-means, then search only the ``n_probe``
 cells nearest each query.
 
-- Training uses pyspark.ml KMeans (seeded) on a sample — the model
-  is a tiny centroid matrix that ships to executors inside a
-  pandas_udf closure.
+- Training is seeded numpy k-means on a driver-collected sample
+  (capped) — the model is a tiny centroid matrix that ships to
+  executors inside a pandas_udf closure.
 - Cell assignment and probe-list computation are numpy-vectorized
   (centroid matrix × Arrow batch), map-only.
 - The search is an equi-join on cell id: cost is
@@ -20,26 +20,46 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from etl_npl_pipeline_spark.operators.similarity import dot, l2_normalize
+from etl_npl_pipeline_spark.operators.similarity import l2_normalize, pair_dot
 
 
 TRAIN_SAMPLE_CAP = 100_000
 
 
-def _centroids(corpus: DataFrame, vec_col: str, n_clusters: int, seed: int) -> np.ndarray:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def _kmeans_lloyd(m: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations, pure numpy."""
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding: spread initial centroids by D² sampling
+    cents = m[rng.integers(len(m))][None, :]
+    for _ in range(k - 1):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents = np.vstack([cents, m[rng.choice(len(m), p=probs)]])
+    for _ in range(iters):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    # Coarse quantizers need only a corpus sample: centroid quality
-    # saturates far below full-corpus size, while a full-corpus fit
-    # at 100 TB would dominate the whole search. Deterministic
-    # (seeded) sample capped at TRAIN_SAMPLE_CAP rows.
+
+def _centroids(corpus: DataFrame, vec_col: str, n_clusters: int, seed: int) -> np.ndarray:
+    """Coarse-quantizer training: collect a bounded sample to the
+    driver and run numpy k-means there.
+
+    Centroid quality saturates far below full-corpus size, so the
+    sample cap (not the corpus) bounds the work: ≤100k × dim floats
+    is a few MB on the driver — the standard IVF training shape at
+    any corpus scale, and ~30 fewer Spark jobs than a pyspark.ml
+    KMeans fit (which dominated this operator's wall-clock)."""
+    train = corpus.select(F.col(vec_col).alias("v"))
     n = train.count()
     if n > TRAIN_SAMPLE_CAP:
         train = train.sample(fraction=TRAIN_SAMPLE_CAP / n, seed=seed)
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(train)
-    return np.array(model.clusterCenters())
+    m = np.array([row["v"] for row in train.collect()], dtype=np.float64)
+    return _kmeans_lloyd(m, n_clusters, seed)
 
 
 def ivf_topk(
@@ -61,13 +81,13 @@ def ivf_topk(
 
     @F.pandas_udf("long")
     def assign_cell(vs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        m = np.concatenate(vs.to_numpy()).astype(np.float64).reshape(len(vs), -1)
         d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype(np.int64))
 
     @F.pandas_udf("array<long>")
     def probe_cells(vs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        m = np.concatenate(vs.to_numpy()).astype(np.float64).reshape(len(vs), -1)
         d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int64)
         return pd.Series(list(order))
@@ -88,7 +108,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            pair_dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

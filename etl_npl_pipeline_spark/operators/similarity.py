@@ -51,6 +51,36 @@ def l2_normalize(v: F.Column) -> F.Column:
     return F.transform(v, lambda x: x / safe)
 
 
+def pair_dot(a: F.Column, b: F.Column) -> F.Column:
+    """Arrow-vectorized dot product of two (pre-normalized) array
+    columns — the O(pairs) hot path of every ANN/near-dup operator.
+
+    Accumulates acc = acc + a[:,d]*b[:,d] in ascending dim order:
+    the exact FP operation sequence of the scalar left-to-right fold
+    (`dot` above), so results stay bit-identical to the DuckDB
+    oracle — while evaluating ~100x faster than the interpreted
+    Catalyst HOF lambda on large pair sets. np.dot/matmul would be
+    faster still but use pairwise/SIMD summation and drift in the
+    last bits.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_dot(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        if len(pa) == 0:
+            return pd.Series([], dtype=float)
+        n = len(pa)
+        # concat+reshape: ~2x faster than a per-row python listcomp
+        ma = np.concatenate(pa.to_numpy()).astype(np.float64).reshape(n, -1)
+        mb = np.concatenate(pb.to_numpy()).astype(np.float64).reshape(n, -1)
+        acc = np.zeros(len(ma))
+        for d in range(ma.shape[1]):
+            acc = acc + ma[:, d] * mb[:, d]
+        return pd.Series(acc)
+
+    return _pair_dot(a, b)
+
+
 def cosine(a: F.Column, b: F.Column) -> F.Column:
     """Cosine similarity of two array<double> columns, computed in a
     fixed order for cross-engine determinism."""
@@ -75,23 +105,67 @@ def brute_force_topk(
     queries broadcast against the corpus scan; rank by similarity
     desc with id tiebreak so results are total-ordered.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        l2_normalize(F.col(vec_col)).alias("qv"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        l2_normalize(F.col(vec_col)).alias("cv"),
-    )
-    sims = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
-        )
+    from collections.abc import Iterator
+
+    # The query side is small by contract (it would broadcast in a
+    # join formulation); ship it to every corpus partition as a
+    # dense matrix inside the mapInPandas closure instead of paying
+    # a |Q| x |corpus| row explosion. Each corpus batch computes the
+    # full score block in numpy and emits only its local top-k per
+    # query — the tournament-pruning equivalent of map-side partial
+    # aggregation (global top-k ⊆ union of per-batch top-k under
+    # the same total order).
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    dim = qm.shape[1]
+    # dim-ordered normalization — bit-identical to l2_normalize
+    qn = np.zeros(len(qm))
+    for d in range(dim):
+        qn = qn + qm[:, d] * qm[:, d]
+    qm = qm / np.sqrt(np.where(qn == 0.0, 1.0, qn))[:, None]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = (
+                np.concatenate(pdf[vec_col].to_numpy())
+                .astype(np.float64)
+                .reshape(len(pdf), -1)
+            )
+            nn = np.zeros(len(x))
+            for d in range(dim):
+                nn = nn + x[:, d] * x[:, d]
+            x = x / np.sqrt(np.where(nn == 0.0, 1.0, nn))[:, None]
+            # scores[i, j] accumulated in ascending dim order: the
+            # exact FP sequence of the scalar left-to-right fold
+            scores = np.zeros((len(x), len(qm)))
+            for d in range(dim):
+                scores = scores + np.outer(x[:, d], qm[:, d])
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qm)):
+                col = scores[:, j]
+                mask = ids != qids[j]
+                cid, cs = ids[mask], col[mask]
+                top = min(k, len(cid))
+                # total order (score desc, id asc) — same as the
+                # final window, so per-batch pruning is exact
+                order = np.lexsort((cid, -cs))[:top]
+                out_q.append(np.full(top, qids[j]))
+                out_n.append(cid[order])
+                out_s.append(cs[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    sims = corpus.select(id_col, vec_col).mapInPandas(
+        batches, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -158,7 +232,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            pair_dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -202,7 +276,7 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            dot(F.col("va"), F.col("vb")).alias("cos_sim"),
+            pair_dot(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -230,7 +304,7 @@ def _lsh_table_signatures(n_planes: int, n_tables: int, seed: int = 7):
         rng = np.random.default_rng(seed)
         dim = len(emb.iloc[0])
         planes = rng.standard_normal((total, dim))
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        x = np.concatenate(emb.to_numpy()).astype(np.float64).reshape(len(emb), -1)
         bits = (x @ planes.T) > 0  # (batch, total)
         packed = bits.reshape(len(emb), n_tables, n_planes).astype(np.int64) @ weights
         return pd.Series(list(packed))
@@ -297,7 +371,7 @@ def lsh_topk_multi(
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select("query_id", "neighbor_id", pair_dot(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -345,11 +419,17 @@ def embedding_near_dups_blocked(
                 {"id_a": [], "id_b": [], "blk": [], "cos_sim": []}
             )
         ids = pdf[id_col].to_numpy()
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        x = (
+            np.concatenate(pdf[vec_col].to_numpy())
+            .astype(np.float64)
+            .reshape(len(pdf), -1)
+        )
         dim = x.shape[1]
         nrm = np.zeros(n)
         for d in range(dim):
             nrm += x[:, d] * x[:, d]
+        # zero-vector guard (mirrors l2_normalize): keep all-zero
+        nrm = np.where(nrm == 0.0, 1.0, nrm)
         xn = x / np.sqrt(nrm)[:, None]
         sim = np.zeros((n, n))
         for d in range(dim):
