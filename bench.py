@@ -63,10 +63,13 @@ HEADLINE = [
     "events_gapfill",
     "events_funnel",
     "events_retention",
+    "q_salted_join",
     "npl_quarterly",
     "events_sessionize",
     "events_window_agg",
+    "src_json_variant",
     "stream_events_window",
+    "stream_user_totals",
     "text_quality",
     "text_token_count",
     "text_fingerprint",

@@ -75,6 +75,24 @@ FROM marked GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- ST6: transformWithState running totals ------------------------
+
+def stream_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas: per-user running totals
+    in a ValueState (see streaming.events.stream_user_totals)."""
+    from etl_npl_pipeline_spark.streaming.events import stream_user_totals
+
+    return stream_user_totals(spark, sf_dir)
+
+
+STREAM_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- ST3: streaming dedup -----------------------------------------
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +145,40 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- X1: skew-safe salted join (driver-checkable demo) -------------
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted events⋈customer join + per-segment rollup. Salting
+    spreads each hot key over 8 reducers and NEVER changes results,
+    so the oracle is the plain join — the driver check proves
+    exactly that equivalence."""
+    from etl_npl_pipeline_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", buckets=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_SALTED_JOIN_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
 FROM events JOIN customer ON user_id = c_custkey

@@ -202,6 +202,53 @@ SELECT metric, CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
 """
 
 
+def op_unpivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same reshape as op_melt through Spark's native DataFrame
+    ``unpivot`` (ids/values/variable/value) instead of the stack()
+    SQL generator — identical semantics and plan shape, so it
+    shares op_melt's oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("metric")
+    )
+
+
+OP_UNPIVOT_NATIVE_SQL = OP_MELT_SQL
+
+
+def events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median via Spark's native median() (exact
+    percentile, linear interpolation between middle values) —
+    DuckDB's median interpolates identically, so the comparison is
+    value-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.median("value").alias("med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_MEDIAN_SQL = """
+SELECT event_type, median(value) AS med, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- T7: pivot_wide ------------------------------------------------
 
 def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +475,30 @@ SELECT event_type,
            / COUNT(CAST(props->>'$.k' AS INT)) AS k_avg
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def src_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same JSON-props aggregation as src_json_props but through
+    Spark 4's VARIANT type (parse_json + variant_get) instead of a
+    fixed from_json schema — the semi-structured path for payloads
+    whose shape isn't known at plan time. Shredding/pushdown happens
+    engine-side; the plan stays schema-free until variant_get."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SRC_JSON_VARIANT_SQL = SRC_JSON_PROPS_SQL
 
 
 # --- A7: sessionize ------------------------------------------------

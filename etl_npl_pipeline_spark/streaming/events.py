@@ -144,6 +144,129 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(sessions, output_mode="update")
 
 
+_TWS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover - pre-4.0 pyspark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas (the Spark 4
+    arbitrary-state API, successor of applyInPandasWithState):
+    per-user running (event count, value cents) in a ValueState.
+
+    Exactness contract: cents are computed JVM-side (decimal cast)
+    BEFORE the stateful op, so the processor only adds int64 —
+    order- and batch-boundary-independent, hence oracle-checkable.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n BIGINT, cents BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = (0, 0)
+        if self._state.exists():
+            n, cents = self._state.get()
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; absent in some containers (including this one)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _user_totals_fn(key, pdfs, state: GroupState):
+    """applyInPandasWithState twin of _UserTotalsProcessor — same
+    int64-cents accumulation, same output schema."""
+    if state.hasTimedOut:  # pragma: no cover - NoTimeout below
+        state.remove()
+        return
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+    )
+
+
+def stream_user_totals(
+    spark: SparkSession, sf_dir: str, api: str = "auto"
+) -> DataFrame:
+    """Running per-user totals (event count + exact value cents) as
+    a custom stateful streaming operator, drained with availableNow
+    and folded to final rows (update-mode sinks may emit a user once
+    per micro-batch; max() of monotonic counters takes the final
+    state).
+
+    ``api``: 'tws' = Spark 4 transformWithStateInPandas
+    (StatefulProcessor + ValueState — needs protobuf in the python
+    env), 'applyInPandasWithState' = the 3.4-era API, 'auto' = tws
+    when available, else fallback. Both paths produce identical
+    output (the exactness contract lives in the JVM-side cents
+    cast, not the state API).
+    """
+    if api == "auto":
+        api = "tws" if _tws_available() else "applyInPandasWithState"
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    if api == "tws":
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserTotalsProcessor(),
+            outputStructType=_TWS_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            _user_totals_fn,
+            outputStructType=_TWS_OUT,
+            stateStructType="n BIGINT, cents BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    mem = run_stream_to_memory(out, output_mode="update")
+    return (
+        mem.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("cents").alias("cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def run_stream_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain a streaming frame with availableNow into a memory sink
     and return the materialized result as a batch DataFrame."""

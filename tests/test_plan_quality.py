@@ -84,10 +84,14 @@ def test_npl_base_join_prunes_columns(spark, sf_dir):
     )
 
 
-def test_ann_topk_broadcasts_queries(spark, sf_dir):
+def test_ann_topk_streams_corpus_no_pair_explosion(spark, sf_dir):
     plan = _formatted(llmdata.ann_topk(spark, sf_dir), execute=True)
-    # the small query side must broadcast; corpus streams
-    assert "Broadcast" in plan
+    # brute force is a mapInPandas matrix kernel: the query matrix
+    # rides in the closure, the corpus streams map-only, and no
+    # |Q| x |corpus| row product ever materializes
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_whole_stage_codegen_on_agg_paths(spark, sf_dir):
