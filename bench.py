@@ -112,6 +112,21 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # ANN quality alongside speed: recall@5 of each approximate
+    # index vs the exact brute-force baseline (speed without recall
+    # is not a result).
+    def pairs(name):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in queries[name](spark, sf_dir).collect()
+        }
+
+    exact = pairs("ann_topk")
+    recall = {
+        name: round(len(exact & pairs(name)) / max(len(exact), 1), 4)
+        for name in ("ann_lsh", "ann_ivf")
+    }
+
     print(
         json.dumps(
             {
@@ -119,6 +134,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_5": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -85,6 +85,97 @@ def write_timestamped(
     return target
 
 
+def mor_init(df: DataFrame, path: str, fmt: str = "parquet") -> str:
+    """Initialize a merge-on-read table: base snapshot at
+    ``{path}/base``, deltas land under ``{path}/_deltas/v=N``."""
+    df.write.mode("overwrite").format(fmt).save(f"{path.rstrip('/')}/base")
+    return path
+
+
+def _mor_versions(path: str) -> list[int]:
+    import os
+
+    ddir = f"{path.rstrip('/')}/_deltas"
+    if not os.path.isdir(ddir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(ddir)
+        if d.startswith("v=")
+    )
+
+
+def mor_upsert(
+    updates: DataFrame, path: str, fmt: str = "parquet"
+) -> int:
+    """Merge-on-read upsert: append the batch as the next delta
+    version — an O(batch) write with NO read of the base (contrast
+    merge_upsert's copy-on-write, which rewrites affected
+    partitions). The cost moves to read time; ``mor_compact``
+    amortizes it away.
+
+    Rows with ``_deleted = true`` are tombstones. Returns the delta
+    version written.
+    """
+    v = (_mor_versions(path)[-1] + 1) if _mor_versions(path) else 1
+    updates.write.mode("errorifexists").format(fmt).save(
+        f"{path.rstrip('/')}/_deltas/v={v}"
+    )
+    return v
+
+
+def mor_read(
+    spark, path: str, key_cols: list[str], fmt: str = "parquet"
+) -> DataFrame:
+    """Reconciled view of a merge-on-read table: base ∪ deltas,
+    latest version per key wins, tombstones dropped.
+
+    One window shuffle on the key over base+deltas — the read
+    amplification merge-on-read trades for its O(batch) writes. At
+    scale, keys cluster by partition and the window shuffle prunes
+    to partitions with deltas after compaction.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    base = spark.read.format(fmt).load(f"{path.rstrip('/')}/base")
+    if "_deleted" not in base.columns:
+        base = base.withColumn("_deleted", F.lit(False))
+    frames = [base.withColumn("_v", F.lit(0))]
+    for v in _mor_versions(path):
+        d = spark.read.format(fmt).load(f"{path.rstrip('/')}/_deltas/v={v}")
+        if "_deleted" not in d.columns:
+            d = d.withColumn("_deleted", F.lit(False))
+        frames.append(d.withColumn("_v", F.lit(v)))
+    allrows = frames[0]
+    for f in frames[1:]:
+        allrows = allrows.unionByName(f)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_v"))
+    return (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (~F.col("_deleted")))
+        .drop("_rn", "_v", "_deleted")
+    )
+
+
+def mor_compact(
+    spark, path: str, key_cols: list[str], fmt: str = "parquet"
+) -> str:
+    """Fold all deltas into a fresh base snapshot and clear them —
+    the background job that bounds merge-on-read's read
+    amplification. Reconcile → write new base → drop _deltas."""
+    import shutil
+
+    merged = mor_read(spark, path, key_cols, fmt)
+    tmp = f"{path.rstrip('/')}/base_compacting"
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(f"{path.rstrip('/')}/base")
+    shutil.move(tmp, f"{path.rstrip('/')}/base")
+    ddir = f"{path.rstrip('/')}/_deltas"
+    shutil.rmtree(ddir, ignore_errors=True)
+    return path
+
+
 def merge_upsert(
     spark,
     target_path: str,
