@@ -187,3 +187,49 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(__bucket" in plan or "BroadcastHashJoin" in plan
+
+
+def test_data_split_scan_prunes_text_column(spark, sf_dir):
+    """data_split only needs doc_id + n_chars: the (wide) text
+    column must never reach the parquet scan — at 100 TB reading
+    text here would dominate the whole query."""
+    plan = _formatted(llmdata.data_split(spark, sf_dir))
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        assert "text" not in rs
+        assert "doc_id" in rs and "n_chars" in rs
+
+
+def test_media_metadata_query_skips_payload(spark, sf_dir):
+    """A metadata-only projection over the media frame must prune
+    the binary payload out of the upstream scan."""
+    from etl_npl_pipeline_spark.operators.multimodal import build_media_frame
+    from etl_npl_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = build_media_frame(docs, "text", "doc_id")
+    meta_only = media.groupBy().agg(F.sum("meta.n_bytes").alias("total"))
+    plan = _formatted(meta_only)
+    # the payload is derived from text, so text must still be read —
+    # but no other documents columns may survive pruning
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        assert "lang" not in rs and "source" not in rs
+
+
+def test_events_hopping_window_scan_pruned(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import profiling
+    import re
+
+    plan = _formatted(profiling.events_hopping_window(spark, sf_dir))
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        # only ts + event_type needed; value/props must prune away
+        assert "value" not in rs and "props" not in rs
