@@ -81,6 +81,8 @@ HEADLINE = [
     "dedup_components_star",
     "dedup_chunks",
     "dedup_embedding",
+    "dedup_decontaminate",
+    "text_repetition",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",

@@ -298,6 +298,107 @@ FROM dirty WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+# --- L22: benchmark decontamination --------------------------------
+
+DECON_N = 5  # n-gram width for contamination matching
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag corpus documents that
+    share any word 5-gram with a held-out benchmark set (docs with
+    doc_id % 10 == 0 stand in for the benchmark).
+
+    Plan shape at 100 TB: benchmark n-grams are a SMALL distinct set
+    (eval suites are tiny next to a corpus) → broadcast to a
+    map-side semi-join of the corpus's exploded n-grams; one
+    aggregation per contaminated doc. No corpus self-join, no
+    shuffle of the corpus text."""
+    from etl_npl_pipeline_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", DECON_N)).alias("g")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 10 == 0).select("g").distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_GRAMS_5 = f"""
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len({_TOKS}) - {DECON_N - 2}),
+               i -> {" || ' ' || ".join(f"{_TOKS}[i+{j}]" if j else f"{_TOKS}[i]" for j in range(DECON_N))}
+           ))) AS g
+    FROM documents
+"""
+
+DEDUP_DECONTAMINATE_SQL = f"""
+WITH grams AS ({_SQL_GRAMS_5}),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+SELECT doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 10 != 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- L23: intra-document repetition (Gopher-style quality rule) ----
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: fraction of a document's word trigrams
+    that are duplicates (1 - distinct/total) — the MassiveText/
+    Gopher repetition filter family. Map-only HOF arithmetic over
+    the token array; integer counts divide to an exact double."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    # non-distinct trigram count vs distinct count
+    from etl_npl_pipeline_spark.operators.dedup import word_shingles
+
+    nd = F.size(word_shingles("text", 3))  # distinct (array_distinct)
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            n3.alias("n_trigrams"),
+            nd.alias("n_distinct"),
+            F.when(n3 > 0, 1.0 - nd.cast("double") / n3)
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
+        .where(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+), c AS (
+    SELECT doc_id,
+           greatest(len(toks) - 2, 0) AS n_trigrams,
+           len(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ))) AS n_distinct
+    FROM t
+)
+SELECT doc_id, CAST(n_trigrams AS INT) AS n_trigrams,
+       CAST(n_distinct AS INT) AS n_distinct,
+       CASE WHEN n_trigrams > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams
+            ELSE 0.0 END AS rep_ratio
+FROM c ORDER BY doc_id
+"""
+
+
 # --- L7b: IVF ANN (rows-only: k-means model) -----------------------
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
