@@ -89,6 +89,8 @@ HEADLINE = [
     "text_scrub",
     "text_commonness",
     "data_split",
+    "data_mixture",
+    "data_pack",
     "vocab_top_ngrams",
     "corpus_curation",
     "mm_decode_meta",

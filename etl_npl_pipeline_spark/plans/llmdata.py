@@ -399,6 +399,99 @@ FROM c ORDER BY doc_id
 """
 
 
+# --- L24: deterministic mixture sampling (domain mixing) -----------
+
+def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: downsample each language
+    domain to a target rate (en 1.0, others 0.5 here) with the SAME
+    md5-bucket trick as data_split — deterministic across runs,
+    engines, partitionings, and retries (never rand()). Map-only:
+    the rate gate is a codegen'd expression on the scan."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    rate = F.when(F.col("lang") == "en", F.lit(256)).otherwise(F.lit(128))
+    kept = docs.where(bucket < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DATA_MIXTURE_SQL = """
+WITH kept AS (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+               AS bucket
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM kept
+WHERE bucket < CASE WHEN lang = 'en' THEN 256 ELSE 128 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --- L25: sequence packing (context-window budgeting) --------------
+
+PACK_BUDGET = 512  # words per pack
+
+
+def data_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in doc_id order,
+    within each source partition) to fixed word-budget packs —
+    the batch-construction step before tokenizer/packing at train
+    time. pack = floor(cumulative_words_before_doc / budget):
+    deterministic, one window per source partition (parallel across
+    sources — a GLOBAL packing order would serialize the sort at
+    100 TB, so the partition key IS the parallelism knob)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "pack",
+        (F.coalesce(F.sum("w").over(win), F.lit(0)) / PACK_BUDGET).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+        )
+        .orderBy("source", "pack")
+    )
+
+
+DATA_PACK_SQL = f"""
+WITH w AS (
+    SELECT doc_id, source, len(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents
+), p AS (
+    SELECT source,
+           CAST(COALESCE(SUM(w) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {PACK_BUDGET} AS BIGINT) AS pack,
+           w
+    FROM w
+)
+SELECT source, pack, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS n_words
+FROM p GROUP BY source, pack ORDER BY source, pack
+"""
+
+
 # --- L7b: IVF ANN (rows-only: k-means model) -----------------------
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
