@@ -267,16 +267,36 @@ def stream_user_totals(
     )
 
 
-def run_stream_to_memory(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_stream_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int = 8,
+) -> DataFrame:
     """Drain a streaming frame with availableNow into a memory sink
-    and return the materialized result as a batch DataFrame."""
+    and return the materialized result as a batch DataFrame.
+
+    Stateful streaming queries pin their state-store partition count
+    to ``spark.sql.shuffle.partitions`` at query start; each state
+    partition pays a fixed open/commit cost per micro-batch, so a
+    drain-style run with the batch default (32) spends more time in
+    HDFSBackedStateStore bookkeeping than in the operator. Pin a
+    smaller count for the stream only and restore the session conf
+    after the drain. On a real cluster with a long-lived stream,
+    size this to match ingest parallelism instead.
+    """
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
