@@ -131,6 +131,23 @@ def main() -> None:
         for name in ("ann_lsh", "ann_ivf")
     }
 
+    # The knobs behind the approximate numbers, so recall/time are
+    # interpretable (and tunable) without reading the source. Values
+    # come from the SAME constants the queries use — no drift.
+    from etl_npl_pipeline_spark.operators import dedup as _dd
+    from etl_npl_pipeline_spark.plans import llmdata as _ld
+
+    knobs = {
+        "ann_lsh": _ld.LSH_KNOBS,
+        "ann_ivf": _ld.IVF_KNOBS,
+        "dedup_minhash": {
+            "n_perm": _dd.N_PERM,
+            "n_bands": _dd.N_BANDS,
+            "rows_per_band": _dd.ROWS_PER_BAND,
+            "max_bucket": _dd.DEFAULT_MAX_BUCKET,
+        },
+    }
+
     print(
         json.dumps(
             {
@@ -139,6 +156,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "recall_at_5": recall,
+                "knobs": knobs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
