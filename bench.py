@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_decontaminate",
     "text_repetition",
+    "text_lm_score",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",

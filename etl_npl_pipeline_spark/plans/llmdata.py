@@ -492,6 +492,146 @@ FROM p GROUP BY source, pack ORDER BY source, pack
 """
 
 
+# --- L26: bigram-LM quality score (CCNet-style) --------------------
+
+LM_TRAIN_MOD = 10      # docs with doc_id % 10 == 0 are the reference corpus
+LM_TOP_K = 50_000      # model-size cap => broadcastable at any corpus scale
+LM_MIN_COUNT = 2       # drop singleton bigrams from the model
+LM_OOV_LL = -16.11809565095832  # ln(1e-7), same literal both engines
+
+
+def _bigrams(toks: F.Column) -> F.Column:
+    """Non-distinct word bigrams 'w1 w2', in order, [] when <2 tokens.
+    slice(.., 1, size-1) is empty-safe (never sequence(), whose
+    descending-range behavior on size<2 would fabricate elements)."""
+    return F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the CCNet/Dolma filter family:
+    train a bigram LM on a reference slice of the corpus, score every
+    document by mean log-likelihood, flag low-probability text.
+
+    Plan shape at 100 TB:
+    - model training is two aggregations over the REFERENCE slice
+      only (bigram counts, then first-word totals derived from them —
+      no second pass over the text);
+    - the model is capped to LM_TOP_K rows via orderBy+limit, which
+      Spark executes as TakeOrderedAndProject (map-side partial
+      top-K, no global sort materialization), so it broadcasts no
+      matter how big the training slice is;
+    - scoring is a broadcast left join + one aggregation — the
+      corpus text shuffles zero times.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = docs.select(
+        "doc_id", F.explode(_bigrams(toks)).alias("bg")
+    )
+
+    from pyspark.sql import Window
+
+    train = grams.where(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    c12 = train.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # First-word MLE denominators follow from the bigram counts (sum
+    # over w2) as a window over c12 — ONE evaluation of the counting
+    # subtree (a groupBy+self-join formulation would scan and
+    # aggregate the reference slice twice), and the denominators use
+    # the FULL counts even though the broadcast model is capped below.
+    w1_win = Window.partitionBy(F.substring_index("bg", " ", 1))
+    model = (
+        c12.withColumn("c1", F.sum("c12").over(w1_win))
+        .where(F.col("c12") >= LM_MIN_COUNT)
+        .select(
+            "bg",
+            F.log(F.col("c12").cast("double") / F.col("c1")).alias("ll"),
+        )
+        .orderBy(F.desc("ll"), F.asc("bg"))
+        .limit(LM_TOP_K)
+    )
+
+    scored = (
+        grams.where(F.col("doc_id") < 200)
+        .join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("ll").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.coalesce(F.sum("ll"), F.lit(0.0)).alias("_s"),
+        )
+    )
+    base = docs.where(F.col("doc_id") < 200).select("doc_id")
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.round(
+                    (F.col("_s") + F.col("n_oov") * F.lit(LM_OOV_LL))
+                    / F.col("n_bigrams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_BIGRAMS = f"""
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len({_TOKS}), 1)),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]
+           )) AS bg
+    FROM documents
+"""
+
+TEXT_LM_SCORE_SQL = f"""
+WITH grams AS ({_SQL_BIGRAMS}),
+c12 AS (
+    SELECT bg, COUNT(*) AS c12 FROM grams
+    WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY bg
+),
+c1 AS (
+    SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+    FROM c12 GROUP BY w1
+),
+model AS (
+    SELECT bg, ln(CAST(c12.c12 AS DOUBLE) / c1.c1) AS ll
+    FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1
+    WHERE c12.c12 >= {LM_MIN_COUNT}
+    ORDER BY ll DESC, bg ASC LIMIT {LM_TOP_K}
+),
+scored AS (
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN ll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           COALESCE(SUM(ll), 0.0) AS s
+    FROM grams LEFT JOIN model USING (bg)
+    WHERE doc_id < 200
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(n_oov, 0) AS n_oov,
+       CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN ROUND((s + n_oov * ({LM_OOV_LL})) / n_bigrams, 6)
+            ELSE 0.0 END AS lm_score
+FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+LEFT JOIN scored USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- L7b: IVF ANN (rows-only: k-means model) -----------------------
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
