@@ -70,6 +70,7 @@ HEADLINE = [
     "src_json_variant",
     "stream_events_window",
     "stream_user_totals",
+    "stream_stream_join",
     "text_quality",
     "text_token_count",
     "text_fingerprint",
@@ -92,6 +93,7 @@ HEADLINE = [
     "data_split",
     "data_mixture",
     "data_pack",
+    "data_shuffle",
     "vocab_top_ngrams",
     "corpus_curation",
     "mm_decode_meta",

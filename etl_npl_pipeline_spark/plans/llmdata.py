@@ -632,6 +632,35 @@ ORDER BY doc_id
 """
 
 
+# --- L27: deterministic global training-order shuffle --------------
+
+def data_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the training order: sort by
+    md5(seed || doc_id) — reproducible across runs, engines,
+    partitionings, and retries (the same never-rand() doctrine as
+    data_split/data_mixture; change the seed prefix to get a fresh
+    epoch order). Spark executes a global orderBy as sample-based
+    RANGE partitioning, so the full shuffled write distributes; this
+    query returns the first shard (orderBy+limit =
+    TakeOrderedAndProject, map-side partial top-K — no global sort
+    materializes for the preview). A row_number position column
+    would force a single-partition window and is deliberately NOT
+    part of the contract."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("epoch0-"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+DATA_SHUFFLE_SQL = """
+SELECT doc_id, md5('epoch0-' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 100
+"""
+
+
 # --- L7b: IVF ANN (rows-only: k-means model) -----------------------
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
