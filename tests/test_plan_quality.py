@@ -233,3 +233,30 @@ def test_events_hopping_window_scan_pruned(spark, sf_dir):
     for rs in read_schemas:
         # only ts + event_type needed; value/props must prune away
         assert "value" not in rs and "props" not in rs
+
+
+def test_lm_score_model_broadcast_single_train_scan(spark, sf_dir):
+    """text_lm_score's scale contract: the LM model is bounded by a
+    map-side top-K (TakeOrderedAndProject, never a global sort
+    exchange) and joins the corpus bigrams as a BROADCAST build side
+    — the corpus text must not shuffle. The reference-slice counting
+    subtree must evaluate exactly once (three total scans: train
+    slice, scoring slice, doc_id base)."""
+    import re
+
+    plan = _formatted(llmdata.text_lm_score(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # formatted explain prints each scan node twice (tree + details)
+    n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))
+    assert n_scans <= 3, plan
+
+
+def test_data_shuffle_is_partial_topk_not_global_sort(spark, sf_dir):
+    """The shuffled-order preview must run as TakeOrderedAndProject
+    (map-side partial top-K); a rangepartitioning exchange would mean
+    the whole corpus sorts globally just to show 100 rows."""
+    plan = _formatted(llmdata.data_shuffle(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
