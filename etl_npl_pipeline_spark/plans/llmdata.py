@@ -502,12 +502,18 @@ LM_OOV_LL = -16.11809565095832  # ln(1e-7), same literal both engines
 
 def _bigrams(toks: F.Column) -> F.Column:
     """Non-distinct word bigrams 'w1 w2', in order, [] when <2 tokens.
-    slice(.., 1, size-1) is empty-safe (never sequence(), whose
-    descending-range behavior on size<2 would fabricate elements)."""
-    return F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+
+    arrays_zip of the array with its shift-by-one view: each zip
+    argument evaluates ONCE per row. (An `element_at(toks, i+2)`
+    inside the transform lambda would embed the split() in the
+    lambda body, which Catalyst re-evaluates per element — the
+    O(words²) trap word_shingles documents.) zip pads the shorter
+    array with null; a null second field is a window off the end."""
+    z = F.arrays_zip(
+        toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     )
+    full = F.filter(z, lambda s: s["1"].isNotNull())
+    return F.transform(full, lambda s: F.concat_ws(" ", s["0"], s["1"]))
 
 
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
