@@ -71,6 +71,9 @@ HEADLINE = [
     "stream_events_window",
     "stream_user_totals",
     "stream_stream_join",
+    "stream_sessionize",
+    "stream_dedup_events",
+    "stream_static_join",
     "text_quality",
     "text_token_count",
     "text_fingerprint",
