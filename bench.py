@@ -84,10 +84,12 @@ HEADLINE = [
     "dedup_components",
     "dedup_components_star",
     "dedup_chunks",
+    "dedup_spans",
     "dedup_embedding",
     "dedup_decontaminate",
     "text_repetition",
     "text_lm_score",
+    "text_winnow",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",

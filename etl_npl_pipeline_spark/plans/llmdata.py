@@ -1140,3 +1140,203 @@ WITH toks AS (
 SELECT bigram, COUNT(*) AS n FROM bigrams
 GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
 """
+
+# --- L28: overlapping repeated-span detection ----------------------
+
+SPAN_WORDS = 12
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection with OVERLAPPING sliding windows —
+    the distributed analog of exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models
+    Better"). Unlike dedup_chunks' fixed 20-word tiling, a stride-1
+    window catches a copied passage at ANY alignment; each doc is
+    scored by the fraction of its windows that also occur verbatim
+    in another doc.
+
+    Plan shape: explode the window START positions first, then
+    compute slice+concat+md5 as ROW-level codegen'd expressions —
+    not inside a higher-order-function lambda, which Catalyst
+    evaluates interpreted per element. The shuffle key is the
+    16-byte md5, never the raw span text, so the exchange stays
+    narrow at corpus scale.
+
+    Single-pass frequency: a naive spans-join-frequency plan
+    executes the scan+explode+md5 subtree TWICE (Spark does no
+    plan-level CSE across a self-referencing DAG — the simhash
+    lesson). Instead, aggregate per (h, doc_id) with an occurrence
+    count, then a COUNT(*) window over h yields the distinct-doc
+    frequency from the already-shuffled rows: the generation
+    subtree runs once, and no collect_list means no oversized
+    bucket can pin an executor.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    spans = (
+        docs.select("doc_id", arr.alias("toks"))
+        .where(F.size("toks") >= SPAN_WORDS)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - SPAN_WORDS + 1)
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("s"), SPAN_WORDS)
+                )
+            ).alias("h"),
+        )
+    )
+    occ = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        occ.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("dup_spans").cast("double") / F.col("n_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SPANS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS arr FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(arr, s, s + {SPAN_WORDS} - 1), ' ')) AS h
+    FROM base,
+         UNNEST(range(1, len(arr) - {SPAN_WORDS} + 2)) AS t(s)
+    WHERE len(arr) >= {SPAN_WORDS}
+),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS dup_ratio
+FROM spans JOIN freq USING (h)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- L29: winnowing fingerprints ----------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-grams per selection window
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): hash every token k-gram, then
+    keep only the MINIMUM hash of each w-length window. Guarantees
+    any shared run of >= k+w-1 tokens produces at least one shared
+    fingerprint, while storing ~2/(w+1) of the k-gram hashes — the
+    standard local fingerprinting scheme for plagiarism / near-dup
+    detection at corpus scale.
+
+    Entirely relational: one explode (k-gram positions), one
+    doc-partitioned sliding window-min, one distinct — the heavy
+    per-doc work shuffles once on doc_id and the fingerprint
+    frequency pass shuffles 8-byte ints only. Output per doc:
+    fingerprints kept and how many are shared with another doc.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    k, w = WINNOW_K, WINNOW_W
+    grams = (
+        docs.select("doc_id", arr.alias("toks"))
+        .where(F.size("toks") >= k + w - 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - k + 1)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            (F.size("toks") - k + 1).alias("n_kgrams"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), F.col("pos"), k)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    fps = (
+        grams.withColumn("winmin", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("n_kgrams") - w + 1)
+        .select("doc_id", "winmin")
+        .distinct()
+    )
+    # Single evaluation of the window-min subtree: distinct rows are
+    # (doc_id, winmin), so a COUNT(*) window over winmin IS the
+    # distinct-doc frequency — no self-join, no second sort pass.
+    nd = F.count(F.lit(1)).over(Window.partitionBy("winmin"))
+    return (
+        fps.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("shared_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_WINNOW_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS arr FROM documents
+),
+grams AS (
+    SELECT doc_id, s AS pos, len(arr) - {WINNOW_K} + 1 AS n_kgrams,
+           CAST(('0x' || substr(md5(array_to_string(
+               list_slice(arr, s, s + {WINNOW_K} - 1), ' ')), 1, 8))
+               AS BIGINT) AS h
+    FROM base,
+         UNNEST(range(1, len(arr) - {WINNOW_K} + 2)) AS t(s)
+    WHERE len(arr) >= {WINNOW_K} + {WINNOW_W} - 1
+),
+fps AS (
+    SELECT DISTINCT doc_id, winmin FROM (
+        SELECT doc_id, pos, n_kgrams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS winmin
+        FROM grams
+    ) WHERE pos <= n_kgrams - {WINNOW_W} + 1
+),
+freq AS (SELECT winmin, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_fp,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_fp
+FROM fps JOIN freq USING (winmin)
+GROUP BY 1 ORDER BY 1
+"""

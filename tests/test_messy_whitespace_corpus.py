@@ -66,7 +66,8 @@ def messy_sf_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "qname",
     ["text_quality", "text_token_count", "text_commonness",
-     "vocab_top_ngrams", "dedup_chunks", "text_lang_id"],
+     "vocab_top_ngrams", "dedup_chunks", "text_lang_id",
+     "dedup_spans", "text_winnow"],
 )
 def test_tokenizing_queries_match_oracle_on_messy_corpus(
     spark, messy_sf_dir, qname
