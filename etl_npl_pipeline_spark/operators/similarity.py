@@ -7,13 +7,13 @@
   small (it broadcasts); the corpus side streams. Cost is
   |Q| x |corpus| x dim — fine for |Q| in the thousands, and the
   yardstick ANN recall is measured against.
-- ``lsh_topk``: random-hyperplane LSH. Signatures come from
-  deterministic pseudo-hyperplanes (xxhash64-derived ±1
-  components), so no stored model is needed — any executor can
-  recompute the projection. Candidates = bucket collisions on
-  signature prefixes; top-k within candidates. At 100 TB the
-  bucket join replaces the |Q| x |corpus| product with
-  |Q| x bucket_size.
+- ``lsh_topk``: single-table random-hyperplane LSH baseline.
+  Signatures come from seed-derived hyperplanes recomputed per
+  Arrow batch (no stored model — any executor can regenerate the
+  projection). Candidates = full-signature bucket collisions;
+  top-k within candidates. At 100 TB the bucket join replaces the
+  |Q| x |corpus| product with |Q| x bucket_size. Production recall
+  needs ``lsh_topk_multi`` (L tables + multiprobe).
 """
 
 from __future__ import annotations
@@ -177,31 +177,6 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_signature(vec_col: F.Column, n_planes: int = N_PLANES) -> F.Column:
-    """Random-hyperplane signature: plane j has ±1 components derived
-    from xxhash64(j, i) — recomputable anywhere, no model state.
-    sign(dot(plane_j, v)) becomes bit j.
-    """
-    sig = F.lit(0).cast("long")
-    for j in range(n_planes):
-        dot_j = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec_col) - 1),
-                    lambda i: F.when(
-                        F.xxhash64(F.lit(j), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, p: x * p,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot_j > 0, F.lit(1 << j)).otherwise(0)
-    return sig
-
-
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -215,16 +190,20 @@ def lsh_topk(
 
     Bucket equi-join scales as sum of bucket sizes, not |Q|x|C|.
     Recall trades off with n_planes (more planes → smaller buckets).
+    Signatures use the same one-matmul-per-batch Arrow UDF as the
+    multi-table variant (n_tables=1) — Catalyst HOF folds evaluate
+    interpreted per element and are ~100x slower here.
     """
+    sig_udf = _lsh_table_signatures(n_planes, 1)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         l2_normalize(F.col(vec_col)).alias("qv"),
-        _hyperplane_signature(F.col(vec_col), n_planes).alias("sig"),
+        sig_udf(F.col(vec_col)).getItem(0).alias("sig"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         l2_normalize(F.col(vec_col)).alias("cv"),
-        _hyperplane_signature(F.col(vec_col), n_planes).alias("sig"),
+        sig_udf(F.col(vec_col)).getItem(0).alias("sig"),
     )
     cand = (
         q.join(c, "sig")
@@ -287,10 +266,11 @@ def _lsh_table_signatures(n_planes: int, n_tables: int, seed: int = 7):
     in one numpy pass: X @ R.T > 0, bits packed per table.
 
     The plane matrix R is regenerated per batch from a fixed seed —
-    stateless like _hyperplane_signature, but one BLAS matmul
-    instead of n_tables*n_planes interpreted HOF folds per row
-    (measured: Catalyst HOF lambdas evaluate interpreted per
-    element; see minhash_signatures).
+    stateless (no model to ship), and one BLAS matmul replaces
+    n_tables*n_planes interpreted HOF folds per row (measured:
+    Catalyst HOF lambdas evaluate interpreted per element; see
+    minhash_signatures). Shared by lsh_topk (n_tables=1) and
+    lsh_topk_multi.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -990,15 +990,23 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    cf = chunks.groupBy("chunk").agg(
-        F.countDistinct("doc_id").alias("nd")
+    # Single-pass frequency (see dedup_spans): per-(chunk, doc)
+    # occurrence counts + a COUNT(*) window over chunk replace the
+    # frequency self-join, so the chunking subtree executes once.
+    from pyspark.sql import Window
+
+    occ = chunks.groupBy("chunk", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
     )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
     return (
-        chunks.join(cf, "chunk")
+        occ.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup_chunks"),
+            F.sum("occ").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(0)).alias(
+                "dup_chunks"
+            ),
         )
         .withColumn(
             "dup_ratio",
