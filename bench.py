@@ -97,6 +97,7 @@ HEADLINE = [
     "text_commonness",
     "data_split",
     "data_mixture",
+    "data_cap_domains",
     "data_pack",
     "data_shuffle",
     "vocab_top_ngrams",

@@ -1348,3 +1348,66 @@ SELECT doc_id, COUNT(*) AS n_fp,
 FROM fps JOIN freq USING (winmin)
 GROUP BY 1 ORDER BY 1
 """
+
+# --- L30: per-domain document capping -----------------------------
+
+CAP_PER_SOURCE = 15
+_CAP_SHARDS = 8
+
+
+def data_cap_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source/domain at N documents — the rebalancing step
+    that stops a mega-crawl domain from dominating the training mix
+    (rate-based downsampling is data_mixture; this is the exact-count
+    variant). Selection order is md5(doc_id): deterministic across
+    runs, engines, and partitionings, uniform over the stratum.
+
+    Skew-safe two-phase top-N: a straight row_number window makes
+    the hottest domain one giant sort partition (straggler at
+    web-crawl scale). Phase 1 ranks within (source, hash-shard) and
+    keeps N per shard — map-side bounded, 8 parallel sorts per
+    domain; phase 2 re-ranks the <= 8N survivors per source. Exact
+    because each stratum's true top-N by hash order is contained in
+    the union of its per-shard top-Ns.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat_ws(":", F.lit("cap"), F.col("doc_id").cast("string")))
+    shard = F.pmod(F.col("doc_id"), F.lit(_CAP_SHARDS))
+    w1 = Window.partitionBy("source", shard.alias("shard")).orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    pre = (
+        docs.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= CAP_PER_SOURCE)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    kept = (
+        pre.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= CAP_PER_SOURCE)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("source")
+    )
+
+
+DATA_CAP_DOMAINS_SQL = f"""
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM ranked WHERE rn <= {CAP_PER_SOURCE}
+GROUP BY source ORDER BY source
+"""
