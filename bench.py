@@ -102,6 +102,7 @@ HEADLINE = [
     "data_shuffle",
     "vocab_top_ngrams",
     "corpus_curation",
+    "corpus_prune",
     "mm_decode_meta",
     "mm_decode_real",
 ]

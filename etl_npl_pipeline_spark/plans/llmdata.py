@@ -1411,3 +1411,115 @@ SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM ranked WHERE rn <= {CAP_PER_SOURCE}
 GROUP BY source ORDER BY source
 """
+
+# --- L31: global quality-percentile pruning -----------------------
+
+PRUNE_FRACTION = 0.2  # drop the bottom 20% by score
+_PRUNE_PARTS = 32
+
+
+def corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the bottom-p% of the corpus by quality score — the
+    filtering step after scoring in every corpus pipeline. The
+    score is the integer-exact commonness metric (text_commonness),
+    so both engines agree bitwise; the interesting part is finding
+    the EXACT p-th percentile threshold at scale.
+
+    A global row_number/percent_rank window is one partition — a
+    non-starter at corpus scale — and orderBy().limit(k) collects k
+    rows to the driver. Instead, classic distributed selection:
+
+    1. range-partition by (score, doc_id) and localCheckpoint the
+       P partitions (one materialization, reused by both probes);
+    2. count rows per partition (P-row collect — the same bounded
+       driver barrier connected_components uses per round);
+    3. the k-th tuple lives in one known partition at a known local
+       rank: one partition-local sort finds it;
+    4. broadcast the 1-row threshold and filter with the strict
+       lexicographic (score, doc_id) comparison.
+
+    Every sort is partition-local, every driver transfer is O(P).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"),
+    )
+    df_table = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_"))
+    scored = (
+        words.join(F.broadcast(df_table), "w")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("df_").cast("double") / F.count(F.lit(1))).alias("score")
+        )
+    )
+    scored = docs.select("doc_id", "lang", "n_chars").join(scored, "doc_id")
+
+    parts = scored.repartitionByRange(
+        _PRUNE_PARTS, F.col("score").asc(), F.col("doc_id").asc()
+    ).localCheckpoint()
+    n = parts.count()
+    k = int(PRUNE_FRACTION * n)
+    if k >= 1:
+        with_pid = parts.withColumn("pid", F.spark_partition_id())
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in with_pid.groupBy("pid").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+        cum, pstar, kprime = 0, None, None
+        for p in sorted(counts):
+            if cum + counts[p] >= k:
+                pstar, kprime = p, k - cum
+                break
+            cum += counts[p]
+        wloc = Window.partitionBy("pid").orderBy(
+            F.col("score").asc(), F.col("doc_id").asc()
+        )
+        thr = (
+            with_pid.where(F.col("pid") == pstar)
+            .withColumn("rn", F.row_number().over(wloc))
+            .where(F.col("rn") == kprime)
+            .select(F.col("score").alias("ts"), F.col("doc_id").alias("td"))
+        )
+        kept = parts.crossJoin(F.broadcast(thr)).where(
+            (F.col("score") > F.col("ts"))
+            | ((F.col("score") == F.col("ts")) & (F.col("doc_id") > F.col("td")))
+        )
+    else:
+        kept = parts
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_PRUNE_SQL = f"""
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS w
+    FROM documents
+), dfreq AS (
+    SELECT w, COUNT(*) AS df_ FROM words GROUP BY w
+), scored AS (
+    SELECT doc_id,
+           CAST(SUM(df_) AS DOUBLE) / COUNT(*) AS score
+    FROM words JOIN dfreq USING (w)
+    GROUP BY doc_id
+), ranked AS (
+    SELECT d.doc_id, d.lang, d.n_chars,
+           row_number() OVER (ORDER BY s.score, d.doc_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM documents d JOIN scored s USING (doc_id)
+)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM ranked
+WHERE rn > CAST(FLOOR({PRUNE_FRACTION} * n) AS BIGINT)
+GROUP BY lang ORDER BY lang
+"""
