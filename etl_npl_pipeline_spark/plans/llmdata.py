@@ -1523,3 +1523,116 @@ FROM ranked
 WHERE rn > CAST(FLOOR({PRUNE_FRACTION} * n) AS BIGINT)
 GROUP BY lang ORDER BY lang
 """
+
+
+# --- L32: BM25 keyword retrieval ----------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["table", "scan", "join", "filter"]
+BM25_TOP = 20
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed keyword
+    query — the retrieval primitive behind corpus search, RAG
+    pre-filtering, and contamination lookup (reference has no search
+    path; this is the training-data-pipeline extension).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  (Lucene BM25).
+
+    Plan shape at 100 TB:
+    - the token explode filters to the query terms IMMEDIATELY
+      (where t IN query, a literal in-list) so the exploded relation
+      is |docs that mention a query term|, not |tokens|;
+    - tf is one (doc, term) groupBy; df and the corpus stats (N,
+      avgdl) are tiny aggregates — both broadcast back, so the only
+      real shuffle is the tf groupBy;
+    - top-N by score executes as TakeOrderedAndProject (map-side
+      partial top-N), no global sort.
+    Float determinism: idf/score arithmetic is written identically
+    in both engines and the per-doc term sum (≤4 addends) is
+    ROUND()ed to 6 — the text_lm_score contract.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    dld = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = dld.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .where(F.col("t").isin(BM25_QUERY))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("t").agg(F.count(F.lit(1)).alias("df_"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "t")
+        .join(dld, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df_") + 0.5)
+                    / (F.col("df_") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("ts"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("ts"), 6).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+        .select("doc_id", "n_terms", "score")
+    )
+
+
+_BM25_TERMS = "['" + "','".join(BM25_QUERY) + "']"
+
+SEARCH_BM25_SQL = f"""
+WITH dld AS (
+    SELECT doc_id, len({_TOKS}) AS dl FROM documents
+), stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dld
+), hits AS (
+    SELECT doc_id, t, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    WHERE list_contains({_BM25_TERMS}, t)
+    GROUP BY doc_id, t
+), dfreq AS (
+    SELECT t, COUNT(*) AS df_ FROM hits GROUP BY t
+), scored AS (
+    SELECT doc_id,
+           COUNT(*) AS n_terms,
+           ROUND(SUM(
+               ln((n_docs - df_ + 0.5) / (df_ + 0.5) + 1.0)
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+           ), 6) AS score
+    FROM hits
+    JOIN dfreq USING (t)
+    JOIN dld USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
+"""
