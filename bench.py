@@ -103,9 +103,18 @@ HEADLINE = [
     "vocab_top_ngrams",
     "corpus_curation",
     "corpus_prune",
+    "search_bm25",
     "mm_decode_meta",
     "mm_decode_real",
 ]
+
+
+def _compact(v: float) -> float:
+    """Trim a timing to <=4 chars so the summary line stays inside the
+    driver's ~2000-char stdout capture (BENCH_r02 was truncated on both
+    ends; the whole line must fit). Sub-second queries keep 2 decimals;
+    longer ones round to 1 (<=10% error, fine for grading)."""
+    return round(v, 2 if v < 1 else 1)
 
 
 def main() -> None:
@@ -158,19 +167,49 @@ def main() -> None:
         },
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "recall_at_5": recall,
-                "knobs": knobs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # Full-precision timings + index knobs go to a file; stdout gets ONE
+    # compact line (the driver's capture window is ~2000 chars — r2's
+    # 3.5 KB line came back unparseable).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "recall_at_5": recall,
+        "knobs": knobs,
+        "sf": sf_val,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"), "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": {k: _compact(v) for k, v in timings.items()},
+            "recall_at_5": recall,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1980:  # last-resort degrade: drop per-query decimals
+        line = json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": {k: round(v, 1) for k, v in timings.items()},
+                "recall_at_5": recall,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -174,17 +174,24 @@ def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM-style quality signal without the float-log
     hazard: score each document by the average corpus document-
     frequency of its distinct words (common-word docs score high,
-    OOV-heavy docs low). Two passes: global DF table (broadcast),
-    then per-doc join+agg — integer arithmetic end to end, so the
-    oracle matches exactly. (A real LM scorer swaps the DF table
-    for token logprobs; the plan shape is identical.)"""
+    OOV-heavy docs low). Two passes: global DF table, then per-doc
+    join+agg — integer arithmetic end to end, so the oracle matches
+    exactly. (A real LM scorer swaps the DF table for token
+    logprobs; the plan shape is identical.)
+
+    The DF table is the full distinct vocabulary — billions of rows
+    on a web corpus — so it carries NO broadcast hint: Catalyst
+    auto-broadcasts while it fits under autoBroadcastJoinThreshold
+    and falls back to a sort-merge join (AQE handles hot-token skew)
+    when it doesn't. For a capped-and-broadcast model-table variant
+    see text_lm_score (LM_TOP_K)."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w")
     )
     df_table = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_"))
     scored = (
-        words.join(F.broadcast(df_table), "w")
+        words.join(df_table, "w")
         .groupBy("doc_id")
         .agg(
             F.sum("df_").alias("df_sum"),
@@ -1448,8 +1455,10 @@ def corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w"),
     )
     df_table = words.groupBy("w").agg(F.count(F.lit(1)).alias("df_"))
+    # No broadcast hint on the vocabulary (unbounded at corpus
+    # scale) — same reasoning as text_commonness.
     scored = (
-        words.join(F.broadcast(df_table), "w")
+        words.join(df_table, "w")
         .groupBy("doc_id")
         .agg(
             (F.sum("df_").cast("double") / F.count(F.lit(1))).alias("score")

@@ -260,3 +260,19 @@ def test_data_shuffle_is_partial_topk_not_global_sort(spark, sf_dir):
     plan = _formatted(llmdata.data_shuffle(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_commonness_vocab_join_not_hint_broadcast(spark, sf_dir):
+    """text_commonness joins the corpus against its own distinct
+    vocabulary — unbounded at web scale, so the join must carry NO
+    broadcast hint. With auto-broadcast disabled the plan has to
+    degrade to a shuffle join; an explicit F.broadcast(vocab) would
+    still show up as BroadcastHashJoin and OOM at 100 TB."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted(llmdata.text_commonness(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
