@@ -361,12 +361,16 @@ def lsh_topk_multi(
     )
 
 
+DEFAULT_MAX_BLOCK = 2000
+
+
 def embedding_near_dups_blocked(
     df: DataFrame,
     block_col: str,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block: int = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Vectorized twin of embedding_near_dups: one applyInPandas
     call per block computes the whole block's pairwise cosine in
@@ -381,9 +385,14 @@ def embedding_near_dups_blocked(
     fold, bit-identical to the oracle.
 
     Scale: state is an n_block x n_block similarity matrix, so block
-    size is the knob — at 200-2k vectors per block (LSH bucket,
-    label, cluster) this is small; for larger blocks chunk the rows
-    or fall back to the pair-join formulation.
+    size is the bound — O(sum over blocks of n_block^2) total work.
+    Blocks larger than ``max_block`` are quarantined (emit zero
+    pairs): one dominant block key would otherwise degenerate toward
+    all-pairs, the same failure mode (and the same cap rationale) as
+    LSH's DEFAULT_MAX_BUCKET. The check runs inside the per-block
+    function, so an oversize block costs its linear shuffle but never
+    materializes its quadratic matrix. Route hub blocks to minhash /
+    lsh_topk_multi instead of raising the cap.
     """
     fields = df.select(id_col, block_col).schema
     id_t = fields[0].dataType.simpleString()
@@ -394,7 +403,7 @@ def embedding_near_dups_blocked(
 
     def block_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        if n < 2:
+        if n < 2 or n > max_block:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "blk": [], "cos_sim": []}
             )

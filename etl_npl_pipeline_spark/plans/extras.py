@@ -197,18 +197,27 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("doc_id")
 
 
+# Spark's stub codec folds the UTF-8 OCTETS of the payload, so the
+# oracle derives every field from octet_length/encode — strlen/ascii
+# would count characters and only agree on a pure-ASCII corpus.
 MM_DECODE_META_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 100
+)
 SELECT doc_id, 'image/fake' AS kind,
-       strlen(text) AS n_bytes,
-       strlen(text) % 640 + 1 AS width,
-       strlen(text) % 480 + 1 AS height,
-       strlen(text) % 16 + 1 AS n_frames,
+       nb AS n_bytes,
+       nb % 640 + 1 AS width,
+       nb % 480 + 1 AS height,
+       nb % 16 + 1 AS n_frames,
        list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, len(text)+1),
-                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+               list_transform(range(1, nb + 1),
+                   i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
-FROM documents WHERE doc_id < 100 ORDER BY doc_id
+FROM b ORDER BY doc_id
 """
 
 
@@ -230,28 +239,37 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # checksum = left fold (acc*31 + byte) mod 1e9+7 over the content
-# bytes (full text for BMP; truncated-to-even text for WAV data)
+# bytes (full payload for BMP; truncated-to-even payload for WAV).
+# The Spark path folds UTF-8 OCTETS, so the oracle must too: fold
+# hex-digit pairs of encode(text) — ascii(substr(...)) would fold
+# code points and only agree on a pure-ASCII corpus.
 _MM_CHK = """list_reduce(
            list_prepend(CAST(0 AS BIGINT),
                list_transform(range(1, {n} + 1),
-                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                   i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007)"""
 
 MM_DECODE_REAL_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 100
+)
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + strlen(text)
-            ELSE 44 + strlen(text) - strlen(text) % 2 END AS INT) AS n_bytes,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text) % 640 + 1
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + nb
+            ELSE 44 + nb - nb % 2 END AS INT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN nb % 640 + 1
             ELSE 16000 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN strlen(text) % 480 + 1
+       CAST(CASE WHEN doc_id % 2 = 0 THEN nb % 480 + 1
             ELSE 1 END AS INT) AS height,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1
-            ELSE strlen(text) // 2 END AS INT) AS n_frames,
-       CASE WHEN doc_id % 2 = 0 THEN {_MM_CHK.format(n="strlen(text)")}
-            ELSE {_MM_CHK.format(n="strlen(text) - strlen(text) % 2")}
+            ELSE nb // 2 END AS INT) AS n_frames,
+       CASE WHEN doc_id % 2 = 0 THEN {_MM_CHK.format(n="nb")}
+            ELSE {_MM_CHK.format(n="nb - nb % 2")}
        END AS checksum
-FROM documents WHERE doc_id < 100 ORDER BY doc_id
+FROM b ORDER BY doc_id
 """
 
 
@@ -270,7 +288,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_FRAME_SAMPLE_SQL = """
 SELECT doc_id,
-       ((strlen(text) % 16 + 1) - 1) // 4 + 1 AS n_sampled
+       ((octet_length(encode(text)) % 16 + 1) - 1) // 4 + 1 AS n_sampled
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
 

@@ -257,11 +257,18 @@ def stream_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     mem = run_stream_to_memory(out, output_mode="update")
+    # Update mode emits one row per user per micro-batch; keep the
+    # LAST emitted state per user. n_events grows monotonically, so
+    # max over struct(n_events, cents) picks both fields from that
+    # same final-state row — independent max(cents) would silently
+    # return a stale intermediate if any event value were negative.
     return (
         mem.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("cents").alias("cents"),
+        .agg(F.max(F.struct("n_events", "cents")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.cents").alias("cents"),
         )
         .orderBy("user_id")
     )

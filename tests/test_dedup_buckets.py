@@ -88,3 +88,27 @@ def test_simhash_plan_evaluates_signature_once(spark, sf_dir):
     sigs = D.simhash_signatures(docs, "text", "doc_id")
     plan = D.simhash_candidates(sigs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("ArrowEvalPython") <= 1
+
+
+def test_embedding_block_cap_quarantines_hub_label(spark):
+    """One dominant block key must not go quadratic: blocks larger
+    than max_block emit zero pairs (quarantine), small blocks still
+    pair normally."""
+    from etl_npl_pipeline_spark.operators import similarity as S
+
+    # hub block: 8 identical vectors under label 0 (C(8,2)=28 pairs
+    # if uncapped); small block: one identical pair under label 1
+    rows = [(i, 0, [1.0, 0.0]) for i in range(8)]
+    rows += [(100, 1, [0.0, 1.0]), (101, 1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    capped = S.embedding_near_dups_blocked(
+        df, "label", threshold=0.9, max_block=5
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+
+    uncapped = S.embedding_near_dups_blocked(
+        df, "label", threshold=0.9, max_block=1000
+    )
+    assert uncapped.count() == 28 + 1
