@@ -31,6 +31,8 @@ components are shallow and the simpler loop wins on constants.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -139,6 +141,7 @@ def connected_components_star(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # --- large-star (operate on both orientations) ---
         und = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -173,8 +176,21 @@ def connected_components_star(
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Unlike hash-min (monotone toward correct labels), a star
+        # rewrite stopped mid-flight is NOT a valid labeling — edges
+        # may still point at non-roots. Surface it instead of handing
+        # downstream silently-wrong component ids.
+        warnings.warn(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds; returned labels come from a partially rewritten "
+            "edge set and may be wrong — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # star forest: every edge is (node, root); roots label themselves
     return (
         cur.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -17,6 +17,14 @@ import zipfile
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = (
@@ -142,24 +150,36 @@ def read_excel(
         raise ValueError(f"empty workbook: {path}")
     header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
     data = rows[1:]
+    if not data:
+        raise ValueError(
+            f"sheet {sheet_name!r} in {path} has a header but no data "
+            "rows; Spark cannot build a DataFrame from zero rows with "
+            "an inferred schema"
+        )
 
     def unify(col_vals):
         present = [v for v in col_vals if v is not None]
         if present and all(isinstance(v, bool) for v in present):
-            return lambda v: v
+            return (lambda v: v), BooleanType()
         if present and all(
             isinstance(v, int) and not isinstance(v, bool) for v in present
         ):
-            return lambda v: v
+            return (lambda v: v), LongType()
         if present and all(
             isinstance(v, (int, float)) and not isinstance(v, bool)
             for v in present
         ):
-            return lambda v: float(v) if v is not None else None
-        return lambda v: str(v) if v is not None else None
+            return (lambda v: float(v) if v is not None else None), DoubleType()
+        # all-None columns land here: explicit StringType — inference
+        # over a NoneType-only column would fail
+        return (lambda v: str(v) if v is not None else None), StringType()
 
-    casts = [unify([r[i] for r in data]) for i in range(len(header))]
+    unified = [unify([r[i] for r in data]) for i in range(len(header))]
+    casts = [c for c, _ in unified]
+    schema = StructType(
+        [StructField(h, t, True) for h, (_, t) in zip(header, unified)]
+    )
     norm = [
         tuple(casts[i](r[i]) for i in range(len(header))) for r in data
     ]
-    return spark.createDataFrame(norm, header)
+    return spark.createDataFrame(norm, schema)

@@ -52,3 +52,17 @@ def test_star_matches_hashmin_on_random_graph(spark):
     assert _labels(connected_components_star(edges, "src", "dst")) == _labels(
         connected_components(edges, "src", "dst")
     )
+
+
+def test_star_warns_when_max_iter_hit_without_fixpoint(spark):
+    """A star rewrite stopped mid-flight is not a valid labeling —
+    the loop must warn instead of silently returning."""
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components_star(edges, "src", "dst", max_iter=1).collect()
+    assert any("no fixpoint" in str(x.message) for x in w)

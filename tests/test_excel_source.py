@@ -95,3 +95,55 @@ def test_read_excel_dataframe(xlsx_path, spark):
 def test_read_excel_by_sheet_name(xlsx_path, spark):
     df = read_excel(spark, xlsx_path, sheet_name="macro")
     assert df.count() == 2
+
+_SHEET_HEADER_ONLY = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1">
+<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+</row>
+</sheetData>
+</worksheet>"""
+
+# note column: every data row leaves C blank -> all-None column
+_SHEET_ALL_NONE_COL = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1">
+<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c>
+</row>
+<row r="2">
+<c r="A2" t="inlineStr"><is><t>1Q2024</t></is></c><c r="B2"><v>1</v></c>
+</row>
+<row r="3">
+<c r="A3" t="inlineStr"><is><t>2Q2024</t></is></c><c r="B3"><v>2</v></c>
+</row>
+</sheetData>
+</worksheet>"""
+
+
+def _write_xlsx(tmp_path, sheet_xml, name):
+    p = tmp_path / name
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", _CT)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/sharedStrings.xml", _SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return str(p)
+
+
+def test_read_excel_header_only_raises_clear_error(tmp_path, spark):
+    p = _write_xlsx(tmp_path, _SHEET_HEADER_ONLY, "hdr.xlsx")
+    with pytest.raises(ValueError, match="no data"):
+        read_excel(spark, p)
+
+
+def test_read_excel_all_none_column_is_string(tmp_path, spark):
+    p = _write_xlsx(tmp_path, _SHEET_ALL_NONE_COL, "none.xlsx")
+    df = read_excel(spark, p)
+    assert dict(df.dtypes) == {
+        "quarter": "string", "gdp": "bigint", "note": "string"
+    }
+    assert [r.note for r in df.collect()] == [None, None]
