@@ -3,12 +3,15 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 Two decode paths:
 
-- REAL stdlib codecs for BMP and WAV: genuine container formats
-  encoded and parsed byte-for-byte (``encode_bmp``/``_decode_bmp``,
-  ``encode_wav``/``_decode_wav``) — no library needed, dispatched on
-  magic bytes by ``sniff_and_decode``.
+- REAL stdlib codecs for BMP, WAV, and PNG: genuine container
+  formats encoded and parsed byte-for-byte (``encode_bmp``/
+  ``_decode_bmp``, ``encode_wav``/``_decode_wav``, ``encode_png``/
+  ``_decode_png``) — no library needed, dispatched on magic bytes
+  by ``sniff_and_decode``. PNG is a full compressed round trip:
+  zlib-inflated IDAT, all five scanline filters unapplied, CRCs
+  checked.
 - A clearly marked STUB (`_decode_stub`) for formats whose decoders
-  need a codec library absent from this container (JPEG/PNG/MP4):
+  need a codec library absent from this container (JPEG/MP4):
   deterministic fake features derived from payload bytes. Swap it
   for a PIL/ffmpeg call in a codec-equipped image and nothing else
   changes.
@@ -20,6 +23,7 @@ prune so a metadata-only query never deserializes payload bytes.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -145,15 +149,154 @@ def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int]:
     return ("audio/wav", rate, channels, n_samples, data_chk)
 
 
-def sniff_and_decode(payload: bytes) -> tuple[str, int, int, int, int]:
-    """Dispatch on magic bytes: BMP and WAV decode for real
-    (stdlib); anything else falls back to the stub."""
+# --- real stdlib codec: PNG (zlib IDAT + scanline filters) ---------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _filter_scanline(ftype: int, row: bytes, prior: bytes) -> bytes:
+    """Apply a PNG filter (encode direction), bpp=1 grayscale."""
+    if ftype == 0:
+        return row
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        a = row[i - 1] if i > 0 else 0          # left
+        b = prior[i] if prior else 0            # up
+        c = prior[i - 1] if prior and i > 0 else 0  # up-left
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # 4: Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (x - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(pixels: bytes, width: int, filter_type: int = 0) -> bytes:
+    """Minimal 8-bit grayscale PNG around raw pixel bytes: IHDR +
+    one zlib IDAT + IEND, real CRCs. The last row is zero-padded to
+    ``width``; ``filter_type`` picks the per-scanline filter (0-4),
+    exercising every unfilter path in the decoder."""
+    height = (len(pixels) + width - 1) // width if pixels else 0
+    padded = pixels + bytes(width * height - len(pixels))
+    raw = bytearray()
+    prior = b""
+    for r in range(height):
+        row = padded[r * width : (r + 1) * width]
+        raw += bytes([filter_type]) + _filter_scanline(filter_type, row, prior)
+        prior = row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # depth 8, grayscale, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    """Full PNG decode (8-bit grayscale, non-interlaced): walk
+    chunks with CRC verification, inflate the concatenated IDAT
+    stream, unapply all five scanline filters. Returns (kind,
+    n_bytes, width, height, 1, checksum) where n_bytes is the
+    DECODED pixel-buffer size (width*height — the content measure;
+    container size varies with compression) and checksum folds the
+    reconstructed pixels, so a decode bug cannot reproduce it."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        crc = int.from_bytes(payload[pos + 8 + clen : pos + 12 + clen], "big")
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            if body[8] != 8 or body[9] != 0 or body[12] != 0:
+                raise ValueError("only 8-bit grayscale non-interlaced PNG")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    raw = zlib.decompress(bytes(idat))
+    recon = bytearray()
+    stride = width
+    for r in range(height):
+        line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        ftype, row = line[0], bytearray(line[1:])
+        if ftype == 0:  # fast path: no per-byte loop needed
+            recon += row
+            continue
+        for i in range(stride):
+            a = row[i - 1] if i > 0 else 0  # left, already reconstructed
+            b = recon[(r - 1) * stride + i] if r > 0 else 0
+            c = recon[(r - 1) * stride + i - 1] if r > 0 and i > 0 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter {ftype}")
+            row[i] = (row[i] + pred) & 0xFF
+        recon += row
+    return (
+        "image/png",
+        width * height,
+        width,
+        height,
+        1,
+        _rolling_checksum(bytes(recon)),
+    )
+
+
+def sniff_and_decode(payload: bytes) -> tuple[str, int | None, int, int, int, int]:
+    """Dispatch on magic bytes: BMP, WAV, and PNG decode for real
+    (stdlib); anything else falls back to the stub. Returns (kind,
+    n_bytes | None, width, height, n_frames, checksum) — n_bytes is
+    None when the container size from the metadata is the right
+    measure (BMP/WAV/stub); PNG reports its decoded size."""
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        k, w, h, f, chk = _decode_bmp(payload)
+        return (k, None, w, h, f, chk)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
+        k, w, h, f, chk = _decode_wav(payload)
+        return (k, None, w, h, f, chk)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     w, h, f, chk = _decode_stub(payload)
-    return ("unknown/stub", w, h, f, chk)
+    return ("unknown/stub", None, w, h, f, chk)
 
 
 def decode_media(
@@ -165,11 +308,13 @@ def decode_media(
     Python call (not per-row). ``codec``:
 
     - ``"stub"`` (default): deterministic fake features — stands in
-      for formats whose decoders need a library (JPEG/PNG/MP4).
-    - ``"sniff"``: REAL header decode for BMP and WAV payloads
-      (stdlib parsers, see _decode_bmp/_decode_wav), stub fallback
-      for unrecognized magic; the emitted ``kind`` is the detected
-      one.
+      for formats whose decoders need a library (JPEG/MP4).
+    - ``"sniff"``: REAL decode for BMP, WAV, and PNG payloads
+      (stdlib parsers, see _decode_bmp/_decode_wav/_decode_png),
+      stub fallback for unrecognized magic; the emitted ``kind`` is
+      the detected one. PNG rows report n_bytes as the DECODED
+      pixel-buffer size (container size varies with compression);
+      other kinds keep the metadata's container size.
 
     ``use_real_codec=True`` additionally demands a library-backed
     decoder (PIL) for the non-BMP/WAV formats and raises when the
@@ -178,8 +323,8 @@ def decode_media(
     if use_real_codec and not _HAS_PIL:
         raise NotImplementedError(
             "library-backed media decode needs PIL/ffmpeg, not present "
-            "in this container — BMP/WAV decode for real via "
-            "codec='sniff'; other formats use the deterministic stub"
+            "in this container — BMP/WAV/PNG decode for real via "
+            "codec='sniff'; JPEG/MP4 use the deterministic stub"
         )
     sniff = codec == "sniff"
 
@@ -188,15 +333,20 @@ def decode_media(
             if sniff:
                 decoded = [sniff_and_decode(p) for p in pdf["payload"]]
                 kinds = [d[0] for d in decoded]
-                feats = [d[1:] for d in decoded]
+                n_bytes = [
+                    d[1] if d[1] is not None else m
+                    for d, m in zip(decoded, pdf["n_bytes"])
+                ]
+                feats = [d[2:] for d in decoded]
             else:
                 kinds = list(pdf["kind"])
+                n_bytes = list(pdf["n_bytes"])
                 feats = [_decode_stub(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "kind": kinds,
-                    "n_bytes": pdf["n_bytes"].values,
+                    "n_bytes": n_bytes,
                     "width": [d[0] for d in feats],
                     "height": [d[1] for d in feats],
                     "n_frames": [d[2] for d in feats],
@@ -213,10 +363,12 @@ def decode_media(
 
 def build_real_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Encode each doc's text bytes into a REAL media container —
-    BMP for even ids, WAV for odd ids — via mapInPandas. Width/
-    height (BMP) and sample count (WAV) derive deterministically
-    from the byte length, so a SQL oracle can verify the decoded
-    output without seeing the bytes."""
+    BMP for ids ≡0, WAV for ids ≡1, PNG for ids ≡2 (mod 3) — via
+    mapInPandas. Width/height (BMP/PNG) and sample count (WAV)
+    derive deterministically from the byte length, so a SQL oracle
+    can verify the decoded output without seeing the bytes. The PNG
+    filter type cycles with the id (0/1/2/4), so the decoder's
+    unfilter paths all run on real data."""
     flat = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -224,12 +376,16 @@ def build_real_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFra
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 data = text.encode("utf-8")
-                if doc_id % 2 == 0:
+                if doc_id % 3 == 0:
                     w, h = len(data) % 640 + 1, len(data) % 480 + 1
                     payloads.append(encode_bmp(data, w, h))
-                else:
+                elif doc_id % 3 == 1:
                     even = data[: len(data) - (len(data) % 2)]
                     payloads.append(encode_wav(even, 16_000, 1))
+                else:
+                    w = len(data) % 640 + 1
+                    ftype = (0, 1, 2, 4)[(doc_id // 3) % 4]
+                    payloads.append(encode_png(data, w, filter_type=ftype))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )

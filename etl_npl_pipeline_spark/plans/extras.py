@@ -223,11 +223,13 @@ FROM b ORDER BY doc_id
 
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round trip: wrap each doc's bytes in a genuine BMP
-    (even ids) or PCM WAV (odd ids) container, then parse the
-    binary headers back with the stdlib decoders — encode and
-    decode both run as Arrow-batched mapInPandas. The oracle
-    recomputes every decoded field from strlen(text) alone, so a
-    header-parse bug cannot hash-match."""
+    (ids ≡0 mod 3), PCM WAV (≡1), or zlib-compressed PNG (≡2)
+    container, then decode them back with the stdlib parsers —
+    encode and decode both run as Arrow-batched mapInPandas. PNG is
+    a full compressed path: deflate IDAT, CRC checks, all five
+    scanline unfilters. The oracle recomputes every decoded field
+    from the text's octet length alone, so a parse/inflate/unfilter
+    bug cannot hash-match."""
     from etl_npl_pipeline_spark.operators.multimodal import (
         build_real_media_frame,
         decode_media,
@@ -249,27 +251,45 @@ _MM_CHK = """list_reduce(
                    i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT))),
            (acc, x) -> (acc * 31 + x) % 1000000007)"""
 
+# PNG rows: the decoder reports the DECODED pixel-buffer size
+# (pw*ph — container size varies with compression) and checksums the
+# reconstructed pixels, i.e. the original octets plus the zero pad of
+# the final row: fold the octets, then keep multiplying by 31 for
+# each pad byte.
+_MM_PAD_CHK = f"""list_reduce(
+           list_prepend({_MM_CHK.format(n="nb")},
+               list_transform(range(1, pw * ph - nb + 1),
+                   i -> CAST(0 AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 1000000007)"""
+
 MM_DECODE_REAL_SQL = f"""
 WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
     FROM documents WHERE doc_id < 100
+), d AS (
+    SELECT *, nb % 640 + 1 AS pw,
+           (nb + nb % 640) // (nb % 640 + 1) AS ph
+    FROM b
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS kind,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + nb
-            ELSE 44 + nb - nb % 2 END AS INT) AS n_bytes,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN nb % 640 + 1
-            ELSE 16000 END AS INT) AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN nb % 480 + 1
-            ELSE 1 END AS INT) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
-            ELSE nb // 2 END AS INT) AS n_frames,
-       CASE WHEN doc_id % 2 = 0 THEN {_MM_CHK.format(n="nb")}
-            ELSE {_MM_CHK.format(n="nb - nb % 2")}
+       CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+            WHEN 1 THEN 'audio/wav' ELSE 'image/png' END AS kind,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 54 + nb
+            WHEN 1 THEN 44 + nb - nb % 2
+            ELSE pw * ph END AS INT) AS n_bytes,
+       CAST(CASE doc_id % 3 WHEN 0 THEN nb % 640 + 1
+            WHEN 1 THEN 16000 ELSE pw END AS INT) AS width,
+       CAST(CASE doc_id % 3 WHEN 0 THEN nb % 480 + 1
+            WHEN 1 THEN 1 ELSE ph END AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1
+            WHEN 1 THEN nb // 2 ELSE 1 END AS INT) AS n_frames,
+       CASE doc_id % 3 WHEN 0 THEN {_MM_CHK.format(n="nb")}
+            WHEN 1 THEN {_MM_CHK.format(n="nb - nb % 2")}
+            ELSE {_MM_PAD_CHK}
        END AS checksum
-FROM b ORDER BY doc_id
+FROM d ORDER BY doc_id
 """
 
 

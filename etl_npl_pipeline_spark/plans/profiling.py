@@ -48,31 +48,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 # --- A16: column profiling ----------------------------------------
 
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass profile of the orders table: one row per profiled
-    column with count/nulls/distinct/min/max (stringified so the
-    frame is uniform)."""
+    """Profile of the orders table: one row per profiled column with
+    count/nulls/distinct/min/max (stringified so the frame is
+    uniform).
+
+    Shape: one pruned scan per column, each a
+    ``groupBy(col).count()`` partial-agg followed by a tiny final
+    agg over the distinct values, unioned. The tempting "one pass,
+    N count_distincts" formulation compiles to an Expand that
+    multiplies every input row x(N+1) before aggregating — measured
+    30x slower at sf0.1 and strictly worse at scale (the expand
+    shuffles N+1 copies of the table; this shape shuffles only each
+    column's distinct values, and parquet pruning means total bytes
+    read are identical)."""
     orders = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
-        for c in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stacked}) as "
-            "(col_name, n, nulls, n_distinct, min_val, max_val)"
+
+    def prof(c: str) -> DataFrame:
+        by_val = orders.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        return by_val.agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.when(F.col(c).isNull(), F.col("cnt")).otherwise(0)
+            ).alias("nulls"),
+            F.count(F.when(F.col(c).isNotNull(), 1)).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        ).select(
+            F.lit(c).alias("col_name"),
+            "n", "nulls", "n_distinct", "min_val", "max_val",
         )
-    ).orderBy("col_name")
+
+    out = prof(cols[0])
+    for c in cols[1:]:
+        out = out.unionAll(prof(c))
+    return out.orderBy("col_name")
 
 
 PROFILE_ORDERS_SQL = """
