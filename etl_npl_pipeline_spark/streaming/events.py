@@ -141,7 +141,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream_to_memory(sessions, output_mode="update")
+    # 8 state partitions (not the drain default 4): each partition is
+    # a parallel applyInPandasWithState Python worker, and the extra
+    # parallelism outweighs the per-partition state-commit cost here
+    # (measured: 1.5 s at 8 vs 2.2 s at 4, sf0.1).
+    return run_stream_to_memory(
+        sessions, output_mode="update", state_partitions=8
+    )
 
 
 _TWS_OUT = StructType(
@@ -277,7 +283,7 @@ def stream_user_totals(
 def run_stream_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drain a streaming frame with availableNow into a memory sink
     and return the materialized result as a batch DataFrame.
