@@ -33,17 +33,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Self-sufficient under ANY SparkSession (not just session.get_spark()):
-    # events.parquet stores TIMESTAMP(NANOS), which Spark only reads with
-    # nanosAsLong; timestamp literals in downstream plans assume UTC. Both
-    # confs are runtime-settable, so pin them here at read time.
+    # some generations of events.parquet store TIMESTAMP(NANOS), which Spark
+    # only reads with nanosAsLong; timestamp literals in downstream plans
+    # assume UTC. Both confs are runtime-settable, so pin them at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is TIMESTAMP(NANOS) on disk, read as a nanos long via
         # spark.sql.legacy.parquet.nanosAsLong; truncate to micros
         # (same as DuckDB's ns→us handling) and restore the type.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ; the
+    # session tz is pinned UTC, so casting to TIMESTAMP is value-identical
+    # and keeps every downstream plan (and the driver's schema compare) on
+    # the single timestamp type this engine has always produced.
+    for col_name, col_type in df.dtypes:
+        if col_type == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

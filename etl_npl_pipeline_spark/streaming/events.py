@@ -39,28 +39,36 @@ from pyspark.sql.types import (
 
 from etl_npl_pipeline_spark.functions.exact import MONEY
 
-_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+_RAW_SCHEMA_TMPL = (
+    "event_id BIGINT, ts {ts_type}, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet with the nanos→micros ts fix
+    """readStream over events.parquet normalized to micros TIMESTAMP
     (same normalization as sources.tables.load_table)."""
     # Self-sufficient under ANY SparkSession (see sources.tables.load_table):
-    # the nanos physical type needs nanosAsLong even with an explicit
+    # a nanos physical type needs nanosAsLong even with an explicit
     # BIGINT schema, and window boundaries assume a UTC session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The events ts physical type differs across testdata generations
+    # (TIMESTAMP(NANOS) → bigint under nanosAsLong vs timestamp[us] →
+    # TIMESTAMP_NTZ); probe it with a metadata-only batch read so the
+    # explicit stream schema matches the files.
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(probe.dtypes)["ts"]
     # the streaming file source wants a directory; select just the
     # events file out of the shared sf_dir with a glob filter
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_RAW_SCHEMA_TMPL.format(ts_type=ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
