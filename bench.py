@@ -104,6 +104,10 @@ HEADLINE = [
     "corpus_curation",
     "corpus_prune",
     "search_bm25",
+    "text_tfidf",
+    "doc_chunks",
+    "vocab_coverage",
+    "dedup_semantic",
     "mm_decode_meta",
     "mm_decode_real",
 ]

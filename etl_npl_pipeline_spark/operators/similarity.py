@@ -441,3 +441,58 @@ def embedding_near_dups_blocked(
         .applyInPandas(block_fn, out_schema)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_near_dups(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster assignment is the blocking
+    key, then exact pairwise cosine *within* each cluster. Near-dup
+    semantics without any all-pairs product: total work is
+    O(sum over cells of n_cell^2), and a near-identical pair lands in
+    the same cell with overwhelming probability (identical vectors
+    always do), so cross-cluster misses are the documented
+    approximation — the same trade the paper makes.
+
+    Scale: the quantizer trains on a bounded driver sample
+    (ivf._centroids, <=100k rows); cell assignment is one Arrow
+    batch matmul per partition (map-only, no shuffle); the pairwise
+    stage shuffles ids+vectors once on the cell key and inherits
+    embedding_near_dups_blocked's max_block quarantine, so a
+    degenerate quantizer (every vector in one cell) degrades to zero
+    emitted pairs, never to an O(n^2) matrix. Raise n_clusters so
+    expected cell size stays under max_block: n_clusters ~
+    corpus/1000 at 100 TB scale.
+    """
+    # Deferred import: ivf imports nothing from this module, but keep
+    # the dependency one-directional at import time anyway.
+    from etl_npl_pipeline_spark.operators.ivf import _centroids, _sq_dists
+
+    cents = _centroids(df, vec_col, n_clusters, seed)
+
+    @F.pandas_udf("long")
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        m = (
+            np.concatenate(vs.to_numpy())
+            .astype(np.float64)
+            .reshape(len(vs), -1)
+        )
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(_sq_dists(m, cents).argmin(axis=1).astype(np.int64))
+
+    blocked = df.withColumn("__cell", assign_cell(F.col(vec_col)))
+    return embedding_near_dups_blocked(
+        blocked,
+        block_col="__cell",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block=max_block,
+    )

@@ -681,11 +681,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
-    # n_probe=6 of 8 cells: bench-measured recall@5 0.73 -> 0.88 vs
-    # n_probe=4 at identical wall-clock — on these wide-angle
-    # synthetic embeddings the probe join is NOT the cost driver
-    # (quantizer training + fixed overhead is), so buy recall with
-    # the probe knob until the candidate join shows up in the time.
+    # n_probe=8 of 12 cells: sf0.1 sweep (r3) measured recall@5 0.92
+    # at ~2.7 s — the lowest probed fraction (0.67) that clears the
+    # 0.9 recall bar on these near-uniform synthetic embeddings
+    # (recall tracks probed fraction when vectors have no cluster
+    # structure; real embedding corpora cluster, so the same knob is
+    # conservative there). Wall-clock is fixed-cost dominated
+    # (quantizer training + two Arrow passes), not candidate volume.
     return ivf_topk(queries, emb, k=ANN_K, **IVF_KNOBS).orderBy(
         "query_id", "rank"
     )
@@ -857,7 +859,7 @@ LSH_KNOBS = {"n_planes": 5, "n_tables": 10, "probe_bits": 1}
 # structure), so IVF recall tracks the probed fraction; 9/12 cells
 # measured recall@5 = 0.95 at sf0.1. On real clustered corpora the
 # same knobs probe a far smaller fraction for the same recall.
-IVF_KNOBS = {"n_clusters": 12, "n_probe": 9}
+IVF_KNOBS = {"n_clusters": 12, "n_probe": 8}
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,3 +1655,247 @@ WITH dld AS (
 SELECT doc_id, n_terms, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOP}
 """
+
+
+# --- L33: TF-IDF keyword extraction -------------------------------
+
+TFIDF_TOP = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` TF-IDF terms per document — the classic
+    keyword-extraction / sparse-retrieval featurizer (smoothed idf:
+    ln((N+1)/(df+1)) + 1, sklearn's ``smooth_idf`` form).
+
+    Shape: explode -> one shuffle for per-(doc, term) tf; document
+    frequency comes from a count-over-window on the SAME term
+    partitioning (no separate vocab aggregate + join, and — the L15
+    lesson — no broadcast of an unbounded vocabulary); corpus size N
+    is a 1-row broadcast crossJoin; top-k per doc is a row_number
+    window partitioned by doc_id, never a global sort. Ranking
+    compares the 6-dp ROUNDED score (identical arithmetic in both
+    engines) with the term string as total-order tie-break, so the
+    top-k cut is engine-stable even when two terms tie.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn(
+            "df_", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df_") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_doc))
+        .where(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT doc_id, term,
+           ROUND(tf * (LN((n_docs + 1.0) / (df_ + 1.0)) + 1.0), 6) AS tfidf
+    FROM (SELECT doc_id, term, tf,
+                 COUNT(*) OVER (PARTITION BY term) AS df_ FROM tf)
+    CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+) <= {TFIDF_TOP}
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+# --- L34: RAG / training chunking with overlap --------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (size 32,
+    stride 24 -> 8-token overlap): the standard RAG / context-window
+    packing pre-step. Emits (doc_id, chunk_idx, start_tok, n_tok,
+    chunk_hash) — the hash stands in for chunk text so the row stays
+    narrow and downstream chunk-level dedup (dedup_chunks) can join
+    on it directly.
+
+    Shape: map-only — split, one explode over the stride lattice
+    (F.sequence, ~n/stride rows per doc), array slice + md5, all
+    codegen JVM expressions; no shuffle anywhere, so it pipelines
+    into whatever consumes the chunks. The trailing chunk is the
+    natural short remainder (slice clamps at the array end),
+    matching the oracle's list_slice semantics exactly.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).withColumn(
+        "start_tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("t") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ),
+    )
+    chunk = F.slice(F.col("t"), F.col("start_tok") + 1, CHUNK_SIZE)
+    # No orderBy: the plan stays a single map-only stage (zero
+    # exchanges); row order is not part of the contract (driver and
+    # tests compare order-insensitively).
+    return d.select(
+        "doc_id",
+        F.expr(f"start_tok DIV {CHUNK_STRIDE}").alias("chunk_idx"),
+        "start_tok",
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), starts AS (
+    SELECT doc_id, t,
+           unnest(range(0, greatest(len(t), 1), {CHUNK_STRIDE})) AS start_tok
+    FROM toks
+)
+SELECT doc_id,
+       start_tok // {CHUNK_STRIDE} AS chunk_idx,
+       start_tok,
+       len(t[start_tok + 1 : start_tok + {CHUNK_SIZE}]) AS n_tok,
+       md5(array_to_string(t[start_tok + 1 : start_tok + {CHUNK_SIZE}], ' '))
+           AS chunk_hash
+FROM starts
+"""
+
+
+# --- L35: vocabulary coverage curve -------------------------------
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of all token occurrences the top-K vocabulary
+    covers, for K in {10, 100, 1000} — the tokenizer-sizing /
+    OOV-rate curve (vocab builders read this before picking a vocab
+    size; Zipf corpora saturate fast).
+
+    Shape: one shuffle for term counts, then the top-max(K) slice via
+    orderBy+limit — Spark executes that as TakeOrderedAndProject
+    (map-side partial top-K, no global sort). The row_number window
+    that follows is partition-less but runs over at most max(K)=1000
+    rows post-limit, which is the bounded-by-construction case where
+    a single-partition window is correct at any corpus scale. Corpus
+    token total joins in as a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), "term").limit(max(VOCAB_COVERAGE_KS))
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), "term"))
+    )
+    total = terms.agg(F.count(F.lit(1)).alias("total_tokens"))
+    covered = ranked.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= k, F.col("n"))), F.lit(0)
+            ).alias(f"cov_{k}")
+            for k in VOCAB_COVERAGE_KS
+        ]
+    )
+    return covered.crossJoin(F.broadcast(total)).select(
+        *[
+            F.round(F.col(f"cov_{k}") / F.col("total_tokens"), 6).alias(
+                f"coverage_{k}"
+            )
+            for k in VOCAB_COVERAGE_KS
+        ],
+        "total_tokens",
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+    SELECT unnest({_TOKS}) AS term FROM documents
+), counts AS (
+    SELECT term, COUNT(*) AS n FROM toks GROUP BY 1
+), ranked AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM counts
+), total AS (
+    SELECT COUNT(*) AS total_tokens FROM toks
+)
+SELECT
+    ROUND(COALESCE(SUM(CASE WHEN rk <= 10 THEN n END), 0)
+          / total_tokens, 6) AS coverage_10,
+    ROUND(COALESCE(SUM(CASE WHEN rk <= 100 THEN n END), 0)
+          / total_tokens, 6) AS coverage_100,
+    ROUND(COALESCE(SUM(CASE WHEN rk <= 1000 THEN n END), 0)
+          / total_tokens, 6) AS coverage_1000,
+    total_tokens
+FROM ranked CROSS JOIN total
+GROUP BY total_tokens
+"""
+
+
+# --- L36: SemDeDup semantic dedup (rows-only) ---------------------
+
+SEMDEDUP_CLUSTERS = 8
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cells as the blocking
+    key, exact pairwise cosine within each cell (see
+    operators.similarity.semantic_near_dups for the scale doctrine).
+    Rows-only driver check — the k-means quantizer is not
+    SQL-expressible; quality is pinned by
+    tests/test_semantic_dedup.py's recall-vs-exact-all-pairs bound.
+    """
+    emb = _emb(spark, sf_dir)
+    return (
+        S.semantic_near_dups(
+            emb,
+            n_clusters=SEMDEDUP_CLUSTERS,
+            threshold=EMB_THRESHOLD,
+        )
+        .select(
+            "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+        )
+        .orderBy("id_a", "id_b")
+    )

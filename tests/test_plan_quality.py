@@ -276,3 +276,36 @@ def test_commonness_vocab_join_not_hint_broadcast(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_doc_chunks_map_only_no_exchange(spark, sf_dir):
+    """Chunking is a pure map op: split/explode/slice/md5 all stay in
+    one codegen stage — any Exchange means a needless shuffle got
+    into the pipeline's cheapest, widest-applied step."""
+    plan = _formatted(llmdata.doc_chunks(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_tfidf_no_vocab_broadcast(spark, sf_dir):
+    """TF-IDF's document-frequency side is the unbounded vocabulary —
+    same rule as text_commonness: it must never carry a broadcast
+    hint. df comes from a count-over-window on the term partitioning,
+    so the only BroadcastExchange in the plan is the 1-row corpus
+    size (IdentityBroadcastMode / single-row nested loop), never a
+    HashedRelation over terms."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted(llmdata.text_tfidf(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_vocab_coverage_partial_topk(spark, sf_dir):
+    """The top-1000 vocabulary slice must run as
+    TakeOrderedAndProject (map-side partial top-K) — a global sort of
+    the whole vocabulary to read 1000 rows is the anti-pattern."""
+    plan = _formatted(llmdata.vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
