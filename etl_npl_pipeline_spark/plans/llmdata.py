@@ -854,7 +854,12 @@ ANN_N_QUERIES = 20
 # measured recall@5 = 0.97 at ~1.7 s — same recall as the round-2
 # 6x12 config at ~60% of its cost (fewer, fatter buckets beat more
 # tables on a uniform-sphere corpus).
-LSH_KNOBS = {"n_planes": 5, "n_tables": 10, "probe_bits": 1}
+# r3 sweep at sf0.1: (planes, tables, probe) = (6, 12, 1) holds
+# recall@5 0.97 at ~1.6 s warm — faster than the r2 (5, 10, 1) point
+# (~2.2 s) because 64-bucket tables shrink candidate lists more than
+# the two extra tables add, which is also the direction that scales:
+# bucket size ~ corpus/2^planes drives the candidate-join cost.
+LSH_KNOBS = {"n_planes": 6, "n_tables": 12, "probe_bits": 1}
 # The synthetic embeddings are uniform on the sphere (no cluster
 # structure), so IVF recall tracks the probed fraction; 9/12 cells
 # measured recall@5 = 0.95 at sf0.1. On real clustered corpora the

@@ -321,3 +321,55 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_upsert_mor(
+    sdf: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    state_partitions: int = 4,
+) -> None:
+    """ST7: continuous upsert sink — drain a stream into a
+    merge-on-read table via ``foreachBatch`` (the CDC-ingest /
+    streaming-MERGE pattern; reference's append-only CSV loads have
+    no counterpart, this is the streaming twin of sinks.mor_upsert).
+
+    Each micro-batch lands as one delta version under
+    ``{path}/_deltas/v=N`` — an O(batch) append that never reads or
+    rewrites the base; ``sinks.mor_read`` reconciles (latest version
+    per key wins, tombstones honored) and ``sinks.mor_compact``
+    amortizes read cost, both unchanged from the batch path.
+
+    Exactly-once effect: Structured Streaming's foreachBatch is
+    at-least-once — a failed-then-replayed batch runs the sink twice.
+    The delta version is derived from ``batch_id`` and written with
+    mode("overwrite"), so a replay overwrites its OWN delta directory
+    instead of appending a duplicate: idempotent without any
+    coordination. (``batch_id + 1`` keeps v=0 reserved for the base
+    snapshot, matching mor_read's version ordering.)
+
+    Scale: each batch write distributes across executors like any
+    parquet write; the state-partition pin only matters when the
+    upstream has stateful ops (same rationale as
+    run_stream_to_memory).
+    """
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    root = path.rstrip("/")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").format(fmt).save(
+            f"{root}/_deltas/v={batch_id + 1}"
+        )
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            sdf.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", f"{root}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
