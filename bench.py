@@ -108,6 +108,9 @@ HEADLINE = [
     "doc_chunks",
     "vocab_coverage",
     "dedup_semantic",
+    "emb_centroids",
+    "doc_length_hist",
+    "rag_retrieve",
     "mm_decode_meta",
     "mm_decode_real",
 ]

@@ -1904,3 +1904,141 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- L37: per-group embedding centroids ---------------------------
+
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean pooling) — the vector
+    aggregation primitive behind semantic clustering, class
+    prototypes, and IVF-style coarse quantizer bootstraps, computed
+    fully distributed (contrast operators.ivf._centroids, which
+    trains on a bounded driver sample: THIS is what you run when the
+    grouping key is a real column and every vector must count).
+
+    Emitted in long form (label, dim, mean_v) rather than packed
+    arrays: scalar floats compare exactly under the driver's
+    normalization, and downstream re-packing is a cheap
+    collect_list per label when needed.
+
+    Shape: one posexplode (64 rows per vector, map-side) and ONE
+    shuffle on (label, dim) with partial aggregation — sums combine
+    map-side, so the exchange carries one partial row per (label,
+    dim, input partition), never the vectors. 6-dp round hides the
+    sum-order last-bit drift (the repo-wide float-agg contract).
+    """
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+        .orderBy("label", "dim")
+    )
+
+
+EMB_CENTROIDS_SQL = """
+SELECT label, i - 1 AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+GROUP BY label, i ORDER BY label, dim
+"""
+
+
+# --- A45: corpus length histogram ---------------------------------
+
+def doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram of the corpus — the
+    first profiling pass of any ingest (truncation/padding budgets,
+    length-filter thresholds, packing efficiency all read off it).
+
+    Map-only expression work then one tiny shuffle on the bucket id
+    (at most ~40 distinct buckets regardless of corpus size — the
+    aggregate output is bounded by construction). floor(log2(n)) is
+    engine-stable: log2 is exact on powers of two and no other
+    integer input lands within an ulp of an integer result.
+    """
+    docs = _docs(spark, sf_dir)
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(
+            F.floor(F.log2(n)).alias("log2_tokens"), n.alias("n_tokens")
+        )
+        .groupBy("log2_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("log2_tokens")
+    )
+
+
+DOC_LENGTH_HIST_SQL = f"""
+WITH lens AS (
+    SELECT len({_TOKS}) AS n_tokens FROM documents
+)
+SELECT CAST(FLOOR(LOG2(n_tokens)) AS BIGINT) AS log2_tokens,
+       COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM lens GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- L38: two-stage RAG retrieval (BM25 -> cosine rerank) ---------
+
+RAG_QUERY_VEC = 0
+RAG_TOP = 10
+
+
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the RAG serving pattern end-to-end:
+    BM25 keyword candidates (search_bm25's plan, unchanged) inner-
+    joined to the embedding table, then reranked by exact cosine
+    against a query vector. Composes L32 + the L6 cosine machinery —
+    the candidate set is the scale trick: the quadratic rerank only
+    ever sees BM25_TOP rows, so the expensive exact similarity is
+    O(candidates), never O(corpus).
+
+    The query vector (vec_id = RAG_QUERY_VEC) and the candidate list
+    are both tiny -> broadcast; the only non-trivial work is BM25's
+    single tf shuffle. Rerank cut ranks the 6-dp ROUNDED cosine with
+    doc_id tie-break (the engine-stable top-k contract shared with
+    text_tfidf).
+    """
+    cands = search_bm25(spark, sf_dir).select("doc_id", "score")
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == RAG_QUERY_VEC).select(
+        S.l2_normalize(F.col("embedding")).alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        S.l2_normalize(F.col("embedding")).alias("cv"),
+    )
+    return (
+        cands.join(cv, "doc_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "score",
+            F.round(S.pair_dot(F.col("cv"), F.col("qv")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(RAG_TOP)
+    )
+
+
+RAG_RETRIEVE_SQL = f"""
+WITH cand AS ({SEARCH_BM25_SQL}),
+nrm AS ({_SQL_NORMED}),
+qv AS (SELECT nv FROM nrm WHERE vec_id = {RAG_QUERY_VEC}),
+scored AS (
+    SELECT cand.doc_id, cand.score,
+           ROUND({_SQL_NDOT.format(a="c.nv", b="qv.nv")}, 6) AS cos_sim
+    FROM cand JOIN nrm c ON c.vec_id = cand.doc_id CROSS JOIN qv
+)
+SELECT doc_id, score, cos_sim FROM scored
+ORDER BY cos_sim DESC, doc_id LIMIT {RAG_TOP}
+"""
