@@ -193,29 +193,37 @@ def main() -> None:
     ) as fh:
         json.dump(detail, fh, indent=1)
 
-    line = json.dumps(
-        {
+    # The driver's stdout capture is ~2000 chars and truncation makes
+    # the whole line unparseable (BENCH_r02). Emit the richest form
+    # that FITS: full 2-dp queries -> 1-dp queries -> slowest-first
+    # truncated queries with an explicit omission count. value /
+    # recall_at_5 / sf always survive; full precision is in
+    # bench_detail.json either way.
+    def _line(qmap: dict, omitted: int) -> str:
+        body = {
             "metric": "headline_total",
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
-            "queries": {k: _compact(v) for k, v in timings.items()},
+            "queries": qmap,
             "recall_at_5": recall,
             "sf": sf_val,
-        },
-        separators=(",", ":"),
-    )
-    if len(line) > 1980:  # last-resort degrade: drop per-query decimals
-        line = json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 2),
-                "unit": "sec",
-                "queries": {k: round(v, 1) for k, v in timings.items()},
-                "recall_at_5": recall,
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+        }
+        if omitted:
+            body["q_omitted"] = omitted
+        return json.dumps(body, separators=(",", ":"))
+
+    line = _line({k: _compact(v) for k, v in timings.items()}, 0)
+    if len(line) > 1980:
+        line = _line({k: round(v, 1) for k, v in timings.items()}, 0)
+    if len(line) > 1980:
+        slowest = sorted(timings, key=timings.get, reverse=True)
+        keep = dict()
+        for name in slowest:
+            trial = dict(keep, **{name: round(timings[name], 1)})
+            if len(_line(trial, len(timings) - len(trial))) > 1980:
+                break
+            keep = trial
+        line = _line(keep, len(timings) - len(keep))
     print(line)
 
 
