@@ -111,6 +111,7 @@ HEADLINE = [
     "emb_centroids",
     "doc_length_hist",
     "rag_retrieve",
+    "corpus_filter_funnel",
     "mm_decode_meta",
     "mm_decode_real",
 ]

@@ -2042,3 +2042,108 @@ scored AS (
 SELECT doc_id, score, cos_sim FROM scored
 ORDER BY cos_sim DESC, doc_id LIMIT {RAG_TOP}
 """
+
+
+# --- L39: corpus filter funnel ------------------------------------
+
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_STOP_RATIO = 0.03
+FUNNEL_MAX_REP = 0.05
+
+
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage filter funnel (FineWeb/Dolma-style quality
+    report): how many documents survive each cumulative gate —
+    min length -> predicted-language -> stopword-quality -> low
+    repetition. The per-stage attrition is THE number a pipeline
+    operator reads before/after changing any filter threshold.
+
+    All four signals reuse the production expressions (token count,
+    lang_id, quality_features stop ratio, duplicate-trigram ratio),
+    evaluated in ONE map-only pass over one scan; the cumulative
+    counts come from a single aggregate (conditional sums — 5 output
+    numbers), then unpivot via stack(). No shuffle carries any row
+    data: the only exchange moves partial count tuples.
+    """
+    from etl_npl_pipeline_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    feats = T.quality_features("text")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    nd = F.size(word_shingles("text", 3))
+    rep = F.when(n3 > 0, 1.0 - nd.cast("double") / n3).otherwise(F.lit(0.0))
+    flags = docs.select(
+        (n_tok >= FUNNEL_MIN_TOKENS).alias("len_ok"),
+        (T.lang_id("text") == "en").alias("lang_ok"),
+        (
+            (feats["stop_hits"].cast("double") / feats["n_words"])
+            >= FUNNEL_STOP_RATIO
+        ).alias("q_ok"),
+        (rep <= FUNNEL_MAX_REP).alias("rep_ok"),
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("len_ok").cast("long")).alias("s1"),
+        F.sum((F.col("len_ok") & F.col("lang_ok")).cast("long")).alias("s2"),
+        F.sum(
+            (F.col("len_ok") & F.col("lang_ok") & F.col("q_ok")).cast("long")
+        ).alias("s3"),
+        F.sum(
+            (
+                F.col("len_ok")
+                & F.col("lang_ok")
+                & F.col("q_ok")
+                & F.col("rep_ok")
+            ).cast("long")
+        ).alias("s4"),
+    )
+    return one.selectExpr(
+        "stack(5, '0_raw', raw, '1_min_length', s1, '2_lang_en', s2, "
+        "'3_stopword_quality', s3, '4_low_repetition', s4) AS (stage, n_docs)"
+    )
+
+
+CORPUS_FILTER_FUNNEL_SQL = f"""
+WITH sig AS (
+    SELECT len({_TOKS}) AS n_tok,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr,
+           greatest(len({_TOKS}) - 2, 0) AS n_trigrams,
+           len(list_distinct(list_transform(
+               range(1, len({_TOKS}) - 1),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+           ))) AS n_distinct
+    FROM documents
+), flags AS (
+    SELECT n_tok >= {FUNNEL_MIN_TOKENS} AS len_ok,
+           (CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0) THEN 'fr'
+                 WHEN s_de > greatest(s_en, s_es, 0) THEN 'de'
+                 WHEN s_es > greatest(s_en, 0) THEN 'es'
+                 WHEN s_en > 0 THEN 'en'
+                 ELSE 'und' END) = 'en' AS lang_ok,
+           (CAST(s_en AS DOUBLE) / n_tok) >= {FUNNEL_STOP_RATIO} AS q_ok,
+           (CASE WHEN n_trigrams > 0
+                 THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams
+                 ELSE 0.0 END) <= {FUNNEL_MAX_REP} AS rep_ok
+    FROM sig
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS raw,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN len_ok AND lang_ok AND q_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS s3,
+           CAST(SUM(CASE WHEN len_ok AND lang_ok AND q_ok AND rep_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s4
+    FROM flags
+)
+SELECT '0_raw' AS stage, raw AS n_docs FROM agg
+UNION ALL SELECT '1_min_length', s1 FROM agg
+UNION ALL SELECT '2_lang_en', s2 FROM agg
+UNION ALL SELECT '3_stopword_quality', s3 FROM agg
+UNION ALL SELECT '4_low_repetition', s4 FROM agg
+"""
