@@ -100,10 +100,17 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
 
 def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, int]:
     """Parse a BMP header: (kind, width, height, 1 frame, checksum
-    of the pixel section)."""
+    of the pixel section). Validates explicitly — python slicing is
+    tolerant (a short buffer yields empty slices, not errors), so a
+    truncated header would otherwise "decode" to zeros instead of
+    routing to the corrupt quarantine."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
     width = int.from_bytes(payload[18:22], "little", signed=True)
     height = abs(int.from_bytes(payload[22:26], "little", signed=True))
     data_off = int.from_bytes(payload[10:14], "little")
+    if data_off < 54 or data_off > len(payload):
+        raise ValueError("BMP pixel offset outside payload")
     return ("image/bmp", width, height, 1, _rolling_checksum(payload[data_off:]))
 
 
@@ -146,6 +153,8 @@ def _decode_wav(payload: bytes) -> tuple[str, int, int, int, int]:
             n_samples = csize // (channels * 2)
             data_chk = _rolling_checksum(body)
         pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if rate == 0:
+        raise ValueError("WAV without a fmt chunk")
     return ("audio/wav", rate, channels, n_samples, data_chk)
 
 
@@ -220,6 +229,21 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, int]:
     DECODED pixel-buffer size (width*height — the content measure;
     container size varies with compression) and checksum folds the
     reconstructed pixels, so a decode bug cannot reproduce it."""
+    width, height, recon = _png_pixels(payload)
+    return (
+        "image/png",
+        width * height,
+        width,
+        height,
+        1,
+        _rolling_checksum(bytes(recon)),
+    )
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """The reconstruction core of _decode_png: returns (width,
+    height, pixel buffer) so pixel-level ops (resize) can reuse the
+    real decode path."""
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = len(_PNG_SIG)
@@ -271,14 +295,7 @@ def _decode_png(payload: bytes) -> tuple[str, int, int, int, int, int]:
                 raise ValueError(f"bad PNG filter {ftype}")
             row[i] = (row[i] + pred) & 0xFF
         recon += row
-    return (
-        "image/png",
-        width * height,
-        width,
-        height,
-        1,
-        _rolling_checksum(bytes(recon)),
-    )
+    return (width, height, bytes(recon))
 
 
 def sniff_and_decode(payload: bytes) -> tuple[str, int | None, int, int, int, int]:
@@ -286,15 +303,25 @@ def sniff_and_decode(payload: bytes) -> tuple[str, int | None, int, int, int, in
     (stdlib); anything else falls back to the stub. Returns (kind,
     n_bytes | None, width, height, n_frames, checksum) — n_bytes is
     None when the container size from the metadata is the right
-    measure (BMP/WAV/stub); PNG reports its decoded size."""
-    if payload[:2] == b"BM":
-        k, w, h, f, chk = _decode_bmp(payload)
-        return (k, None, w, h, f, chk)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        k, w, h, f, chk = _decode_wav(payload)
-        return (k, None, w, h, f, chk)
-    if payload[: len(_PNG_SIG)] == _PNG_SIG:
-        return _decode_png(payload)
+    measure (BMP/WAV/stub); PNG reports its decoded size.
+
+    A payload whose magic matches but whose body doesn't parse
+    (truncated header, CRC mismatch, bad inflate) QUARANTINES as
+    ``corrupt/unreadable`` instead of raising: at corpus scale one
+    bad file must never kill a million-row decode stage — the kind
+    column is the dead-letter routing key, and the checksum (over
+    the raw payload) still identifies the offender."""
+    try:
+        if payload[:2] == b"BM":
+            k, w, h, f, chk = _decode_bmp(payload)
+            return (k, None, w, h, f, chk)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            k, w, h, f, chk = _decode_wav(payload)
+            return (k, None, w, h, f, chk)
+        if payload[: len(_PNG_SIG)] == _PNG_SIG:
+            return _decode_png(payload)
+    except Exception:
+        return ("corrupt/unreadable", None, 0, 0, 0, _rolling_checksum(payload))
     w, h, f, chk = _decode_stub(payload)
     return ("unknown/stub", None, w, h, f, chk)
 
@@ -413,4 +440,80 @@ def frame_sample(media: DataFrame, every_nth: int = 4) -> DataFrame:
         ).alias("frame_idx"),
         "width",
         "height",
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id BIGINT, kind STRING, width INT, height INT, "
+    "resized BOOLEAN, checksum BIGINT"
+)
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Image resize (nearest-neighbor downsample by an integer
+    factor) over binary payloads via mapInPandas — the third leg of
+    the decode / feature-extract / resize / frame-sample quartet.
+
+    PNG payloads resize for REAL: decode through the stdlib path
+    (_png_pixels — zlib IDAT, CRCs, unfilters), stride-``factor``
+    sample the pixel grid (out dims = ceil(in/factor)), checksum the
+    resampled buffer. BMP payloads in this corpus carry a pixel
+    section that is raw text bytes, NOT width*height*3 — their
+    declared geometry doesn't describe the buffer, so resampling
+    them would be arithmetic on a lie; they pass through unchanged
+    with ``resized = false`` (as do WAV/unknown payloads — resize is
+    an image op).
+
+    Scale shape: map-only (one Arrow batch per call, no shuffle);
+    the pixel work is O(pixels) per payload and embarrassingly
+    parallel across partitions — the same plumbing a
+    library-backed decoder (PIL/ffmpeg) would ride.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            kinds, widths, heights, resized, checksums = [], [], [], [], []
+            for p in pdf["payload"]:
+                if p[: len(_PNG_SIG)] == _PNG_SIG:
+                    try:
+                        w, h, pix = _png_pixels(p)
+                    except Exception:
+                        # same quarantine contract as sniff_and_decode:
+                        # a corrupt file routes, never kills the stage
+                        kinds.append("corrupt/unreadable")
+                        widths.append(0)
+                        heights.append(0)
+                        resized.append(False)
+                        checksums.append(_rolling_checksum(p))
+                        continue
+                    nw, nh = (w + factor - 1) // factor, (h + factor - 1) // factor
+                    small = b"".join(
+                        pix[r * w : r * w + w : factor]
+                        for r in range(0, h, factor)
+                    )
+                    kinds.append("image/png")
+                    widths.append(nw)
+                    heights.append(nh)
+                    resized.append(True)
+                    checksums.append(_rolling_checksum(small))
+                else:
+                    kind, _, w, h, _, chk = sniff_and_decode(p)
+                    kinds.append(kind)
+                    widths.append(w)
+                    heights.append(h)
+                    resized.append(False)
+                    checksums.append(chk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "kind": kinds,
+                    "width": widths,
+                    "height": heights,
+                    "resized": resized,
+                    "checksum": checksums,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
     )

@@ -313,6 +313,59 @@ FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize round trip: encode each PNG doc's bytes
+    into a genuine compressed container, decode through the stdlib
+    path, nearest-neighbor downsample by 2, checksum the resampled
+    pixels. The oracle recomputes the stride-2 sample (including the
+    zero pad of the final row) from the text's octets alone, so a
+    decode-or-resample bug cannot hash-match."""
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        build_real_media_frame,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 2)
+    )
+    media = build_real_media_frame(docs, "text", "doc_id")
+    return resize_media(media, factor=2).orderBy("doc_id")
+
+
+# Resampled pixel (y, x) reads input index 2*y*pw + 2*x of the
+# padded buffer: the original octet when the index is < nb, else the
+# zero pad of the final row. Fold in row-major output order.
+MM_RESIZE_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
+), d AS (
+    SELECT *, nb % 640 + 1 AS pw,
+           (nb + nb % 640) // (nb % 640 + 1) AS ph
+    FROM b
+), dims AS (
+    SELECT *, (pw + 1) // 2 AS nw, (ph + 1) // 2 AS nh FROM d
+)
+SELECT doc_id, 'image/png' AS kind,
+       CAST(nw AS INT) AS width,
+       CAST(nh AS INT) AS height,
+       TRUE AS resized,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, nh * nw + 1),
+                   i -> CASE
+                        WHEN 2 * ((i - 1) // nw) * pw + 2 * ((i - 1) % nw) < nb
+                        THEN CAST(('0x' || substr(hx,
+                             2 * (2 * ((i - 1) // nw) * pw
+                                  + 2 * ((i - 1) % nw)) + 1, 2)) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+FROM dims ORDER BY doc_id
+"""
+
+
 # --- S1: CSV source round-trip ------------------------------------
 
 _CSV_TMP = "/root/repo/.tmp/csv_roundtrip"
