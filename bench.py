@@ -112,6 +112,7 @@ HEADLINE = [
     "doc_length_hist",
     "rag_retrieve",
     "corpus_filter_funnel",
+    "data_interleave",
     "mm_decode_meta",
     "mm_decode_real",
     "mm_resize",

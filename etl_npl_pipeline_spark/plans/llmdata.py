@@ -2147,3 +2147,50 @@ UNION ALL SELECT '2_lang_en', s2 FROM agg
 UNION ALL SELECT '3_stopword_quality', s3 FROM agg
 UNION ALL SELECT '4_low_repetition', s4 FROM agg
 """
+
+
+# --- L40: round-robin source interleave ---------------------------
+
+INTERLEAVE_PREVIEW = 100
+
+
+def data_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave of per-source document
+    streams — the curriculum-scheduling complement to data_mixture
+    (rate-based) and data_shuffle (global order): round r emits one
+    document from EVERY source before any source sends its (r+1)-th,
+    so a batch window at any offset sees near-equal source
+    representation. Within a source the order is md5(seed‖doc_id) —
+    the repo-wide never-rand() doctrine, reproducible across
+    engines, retries, and partitionings.
+
+    Shape: one row_number window partitioned by source (rank within
+    source), then the preview of the first rounds via
+    orderBy(round, source) + limit = TakeOrderedAndProject (map-side
+    partial top-K, no global sort). At scale the per-source window
+    is the only shuffle; a mega-source makes that window's sort its
+    partition's cost — if one source dominates, pre-bucket it the
+    way data_cap_domains two-phases its top-N.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat(F.lit("ilv0-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("round", F.row_number().over(w))
+        .orderBy("round", "source", "doc_id")
+        .limit(INTERLEAVE_PREVIEW)
+    )
+
+
+DATA_INTERLEAVE_SQL = f"""
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('ilv0-' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS round
+FROM documents
+ORDER BY round, source, doc_id LIMIT {INTERLEAVE_PREVIEW}
+"""
