@@ -113,6 +113,7 @@ HEADLINE = [
     "rag_retrieve",
     "corpus_filter_funnel",
     "data_interleave",
+    "data_zorder",
     "mm_decode_meta",
     "mm_decode_real",
     "mm_resize",

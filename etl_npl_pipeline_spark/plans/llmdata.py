@@ -2194,3 +2194,51 @@ SELECT doc_id, source,
 FROM documents
 ORDER BY round, source, doc_id LIMIT {INTERLEAVE_PREVIEW}
 """
+
+
+# --- X4: z-order locality sort ------------------------------------
+
+ZORDER_PREVIEW = 50
+
+
+def data_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (lang, source): writing the corpus
+    sorted by the Morton interleave of the two dimension hashes
+    clusters rows so parquet min/max stats prune scans filtered on
+    EITHER column — a lexicographic sort only skips on the leading
+    one (operators.zorder for the doctrine; Delta's OPTIMIZE ZORDER
+    is the same trick). Pure codegen bit arithmetic, engine-stable
+    md5-prefix hashes; this preview emits the first slots of the
+    layout order via TakeOrderedAndProject — the production write is
+    ``df.orderBy(zkey).write`` (range exchange, distributed).
+    """
+    from etl_npl_pipeline_spark.operators.zorder import hash16, morton_key
+
+    docs = _docs(spark, sf_dir)
+    zkey = morton_key(hash16("lang"), hash16("source"))
+    return (
+        docs.select("doc_id", "lang", "source", zkey.alias("zkey"))
+        .orderBy("zkey", "doc_id")
+        .limit(ZORDER_PREVIEW)
+    )
+
+
+_Z16 = """CAST(('0x' || substr(md5({c}), 1, 4)) AS BIGINT)"""
+
+DATA_ZORDER_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           {_Z16.format(c="lang")} AS ha,
+           {_Z16.format(c="source")} AS hb
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 16),
+                   i -> (((ha >> i) & 1) << (2 * i))
+                        | (((hb >> i) & 1) << (2 * i + 1)))),
+           (acc, x) -> acc | x) AS zkey
+FROM h
+ORDER BY zkey, doc_id LIMIT {ZORDER_PREVIEW}
+"""

@@ -125,10 +125,23 @@ def mor_upsert(
 
 
 def mor_read(
-    spark, path: str, key_cols: list[str], fmt: str = "parquet"
+    spark,
+    path: str,
+    key_cols: list[str],
+    fmt: str = "parquet",
+    as_of_version: int | None = None,
 ) -> DataFrame:
     """Reconciled view of a merge-on-read table: base ∪ deltas,
     latest version per key wins, tombstones dropped.
+
+    ``as_of_version`` is TIME TRAVEL: reconcile only deltas with
+    version <= N, reproducing the table exactly as it stood after
+    delta N landed (0 = base snapshot alone). Because deltas are
+    immutable appends, any historical view — "the corpus the
+    2024-03 training run actually read" — stays reconstructible
+    until a compaction folds the history; reproducibility is the
+    whole reason a training pipeline wants MOR over
+    rewrite-in-place.
 
     One window shuffle on the key over base+deltas — the read
     amplification merge-on-read trades for its O(batch) writes. At
@@ -143,6 +156,8 @@ def mor_read(
         base = base.withColumn("_deleted", F.lit(False))
     frames = [base.withColumn("_v", F.lit(0))]
     for v in _mor_versions(path):
+        if as_of_version is not None and v > as_of_version:
+            continue
         d = spark.read.format(fmt).load(f"{path.rstrip('/')}/_deltas/v={v}")
         if "_deleted" not in d.columns:
             d = d.withColumn("_deleted", F.lit(False))

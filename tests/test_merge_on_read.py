@@ -77,3 +77,41 @@ def test_mor_read_is_a_plan_not_a_collect(spark, tmp_path):
     # composable: further transformations plan lazily on top
     out = df.where(F.col("k") == 1).select("val")
     assert [r.val for r in out.collect()] == ["A"]
+
+
+def test_mor_time_travel(spark, tmp_path):
+    """as_of_version reproduces each historical state exactly: the
+    snapshot a past training run read stays reconstructible until
+    compaction folds the history."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark import sinks
+
+    tbl = str(tmp_path / "tt")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    sinks.mor_init(base, tbl)
+    sinks.mor_upsert(
+        spark.createDataFrame([(2, "b2")], "k long, v string"), tbl
+    )  # v=1
+    sinks.mor_upsert(
+        spark.createDataFrame(
+            [(3, None, True), (4, "d", False)],
+            "k long, v string, _deleted boolean",
+        ),
+        tbl,
+    )  # v=2: delete k=3, insert k=4
+
+    def snap(as_of=None):
+        return {
+            (r["k"], r["v"])
+            for r in sinks.mor_read(
+                spark, tbl, key_cols=["k"], as_of_version=as_of
+            ).collect()
+        }
+
+    assert snap(0) == {(1, "a"), (2, "b"), (3, "c")}
+    assert snap(1) == {(1, "a"), (2, "b2"), (3, "c")}
+    assert snap(2) == {(1, "a"), (2, "b2"), (4, "d")}
+    assert snap() == snap(2)  # default = latest
