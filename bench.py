@@ -114,6 +114,7 @@ HEADLINE = [
     "corpus_filter_funnel",
     "data_interleave",
     "data_zorder",
+    "text_normalize",
     "mm_decode_meta",
     "mm_decode_real",
     "mm_resize",

@@ -9,6 +9,7 @@ corpus these are map-only: no shuffle until the caller aggregates.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -120,3 +121,32 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(FP_BASE) + F.ascii(ch)) % F.lit(FP_MOD),
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization: NFC unicode composition →
+    lowercase → whitespace collapse → edge trim. THE first transform
+    of every dedup/tokenize stage — exact dedup on un-normalized
+    text silently misses e´ vs é (composed vs decomposed) and
+    whitespace-variant duplicates.
+
+    NFC needs the unicode character database, which no Catalyst
+    builtin exposes — this is one of the few deliberate Python
+    paths in the repo: an Arrow-batched pandas_udf over stdlib
+    ``unicodedata`` (map-only, no shuffle; one batch per call, not
+    per row). Everything downstream of it stays codegen.
+    """
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        def one(x: str | None) -> str | None:
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x).lower()
+            return re.sub(r"\s+", " ", x).strip()
+
+        return s.map(one)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)

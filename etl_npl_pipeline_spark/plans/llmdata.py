@@ -2242,3 +2242,33 @@ SELECT doc_id, lang, source,
 FROM h
 ORDER BY zkey, doc_id LIMIT {ZORDER_PREVIEW}
 """
+
+
+# --- L41: canonical text normalization ----------------------------
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprints (operators.text.normalize_text:
+    NFC → lower → whitespace collapse → trim): the canonicalization
+    every exact-dedup and tokenizer stage runs first. Emitting the
+    md5 of the normalized text keeps the row narrow AND is exactly
+    the join key normalized exact-dedup uses. The oracle replays the
+    same chain with DuckDB's nfc_normalize — both engines consume
+    identical UTF-8, so the hashes must agree byte-for-byte.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    norm = T.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                               '\\s+', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                  '\\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""

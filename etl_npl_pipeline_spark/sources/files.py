@@ -16,6 +16,7 @@ import re
 import zipfile
 import xml.etree.ElementTree as ET
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BooleanType,
@@ -49,6 +50,49 @@ def read_csv(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.csv(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines ingest that QUARANTINES malformed lines instead of
+    dropping (DROPMALFORMED) or aborting (FAILFAST): Spark's
+    PERMISSIVE mode routes any unparseable line's raw text into
+    ``corrupt_col`` and nulls the data columns — the same
+    dead-letter contract as the media decoder's corrupt/unreadable
+    kind. At web-corpus scale some fraction of every crawl is
+    malformed; the pipeline must count and route it, never die on
+    it or silently shrink.
+
+    Filter ``corrupt_col IS NULL`` for the clean side and
+    ``IS NOT NULL`` for the dead-letter side; both come from the
+    ONE scan.
+
+    Implementation: text scan + ``from_json`` expression rather than
+    the JSON file source — Spark disallows queries that reference
+    only the file source's internal corrupt column (the common
+    ``filter(corrupt.isNotNull()).count()`` dead-letter audit would
+    throw AnalysisException), while the expression form has no such
+    restriction and the text scan is the same single pass.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.text(path)
+        .select(
+            F.from_json(
+                "value",
+                full_schema,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": corrupt_col,
+                },
+            ).alias("_d")
+        )
+        .select("_d.*")
+    )
 
 
 def _col_index(cell_ref: str) -> int:
