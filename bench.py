@@ -115,6 +115,7 @@ HEADLINE = [
     "data_interleave",
     "data_zorder",
     "text_normalize",
+    "data_contrastive_pairs",
     "mm_decode_meta",
     "mm_decode_real",
     "mm_resize",

@@ -2272,3 +2272,112 @@ SELECT doc_id,
                                   '\\s+', ' ', 'g'))) AS n_chars_norm
 FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
+
+
+# --- L42: contrastive training-pair generation --------------------
+
+def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair generation for embedding / reranker training:
+    positives are the near-dup candidate pairs (3-gram jaccard over
+    the capped inverted index — the L4 generator, unchanged);
+    negatives are a deterministic md5-ring pairing (each doc with
+    its successor in md5 order WITHIN a hash bucket), anti-joined
+    against the positives so no pair carries both labels.
+
+    The negative sampler is the scale point: random sampling needs
+    rand() (non-reproducible) or a cartesian (absurd); the bucketed
+    ring is one partitioned window — no global sort, no rand(),
+    same pairs on every engine/retry — and md5 adjacency is
+    content-independent, exactly what a random negative should be.
+    The positive-pair anti-join broadcasts (near-dup pairs are a
+    vanishing fraction of the corpus by construction).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pos_raw = D.jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    )
+    pos = pos_raw.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("other_id"),
+        F.lit(1).alias("label"),
+    )
+    key = F.md5(F.concat(F.lit("pair0-"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id", key.alias("k"), F.substring(key, 1, 1).alias("bkt")
+    )
+    w = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    neg = (
+        d.withColumn("other_id", F.lead("doc_id").over(w))
+        .where(F.col("other_id").isNotNull())
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "other_id",
+            F.lit(0).alias("label"),
+        )
+    )
+    pos_keys = pos_raw.select(
+        F.col("doc_a").alias("ka"), F.col("doc_b").alias("kb")
+    )
+    neg = neg.join(
+        F.broadcast(pos_keys),
+        (F.least("anchor_id", "other_id") == F.col("ka"))
+        & (F.greatest("anchor_id", "other_id") == F.col("kb")),
+        "left_anti",
+    )
+    return pos.unionByName(neg).orderBy("label", "anchor_id", "other_id")
+
+
+_NEG_KEY = "md5('pair0-' || CAST(doc_id AS VARCHAR))"
+
+DATA_CONTRASTIVE_SQL = f"""
+WITH sh_all AS ({_SQL_SHINGLES}),
+freq AS (
+    SELECT shingle, COUNT(*) AS df_ FROM sh_all GROUP BY shingle
+),
+sh AS (
+    SELECT doc, sh_all.shingle FROM sh_all
+    JOIN freq ON sh_all.shingle = freq.shingle
+    WHERE df_ <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+pos AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON doc_a = sa.doc
+    JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+),
+neg0 AS (
+    SELECT doc_id AS anchor_id,
+           LEAD(doc_id) OVER (
+               PARTITION BY substr({_NEG_KEY}, 1, 1)
+               ORDER BY {_NEG_KEY}, doc_id
+           ) AS other_id
+    FROM documents
+),
+neg AS (
+    SELECT anchor_id, other_id, 0 AS label FROM neg0
+    WHERE other_id IS NOT NULL
+      AND NOT EXISTS (
+          SELECT 1 FROM pos p
+          WHERE p.doc_a = least(anchor_id, other_id)
+            AND p.doc_b = greatest(anchor_id, other_id)
+      )
+)
+SELECT doc_a AS anchor_id, doc_b AS other_id, 1 AS label FROM pos
+UNION ALL
+SELECT anchor_id, other_id, label FROM neg
+ORDER BY label, anchor_id, other_id
+"""
