@@ -135,17 +135,30 @@ def normalize_text(col: Column | str) -> Column:
     paths in the repo: an Arrow-batched pandas_udf over stdlib
     ``unicodedata`` (map-only, no shuffle; one batch per call, not
     per row). Everything downstream of it stays codegen.
+
+    The contract is pinned to the oracle's (utf8proc / RE2)
+    semantics so norm-hashes agree on ANY input, not just the
+    current corpus: whitespace collapse is ASCII-only (RE2 ``\\s``
+    never matches NBSP / U+2028), and lowering is the SIMPLE 1:1
+    mapping — the only unconditional divergences from Python's full
+    ``str.lower`` are U+0130 (İ → 'i', not 'i'+combining-dot) and
+    the Final_Sigma context rule for U+03A3 (always 'σ', never
+    'ς'), handled by a pre-translate so the bulk lowering stays a
+    C-level call.
     """
     @F.pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
         import re
         import unicodedata
 
+        simple = str.maketrans({"İ": "i", "Σ": "σ"})
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+
         def one(x: str | None) -> str | None:
             if x is None:
                 return None
-            x = unicodedata.normalize("NFC", x).lower()
-            return re.sub(r"\s+", " ", x).strip()
+            x = unicodedata.normalize("NFC", x).translate(simple).lower()
+            return ws.sub(" ", x).strip()
 
         return s.map(one)
 

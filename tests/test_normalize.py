@@ -28,3 +28,31 @@ def test_case_and_whitespace_canonicalize(spark):
 def test_null_passthrough_and_empty(spark):
     out = _norms(spark, [None, "   ", "x"])
     assert out == [None, "", "x"]
+
+
+def test_oracle_parity_on_divergent_codepoints(spark):
+    """The contract is utf8proc/RE2 semantics (the DuckDB oracle):
+    ASCII-only whitespace collapse (NBSP / U+2028 preserved), simple
+    1:1 lowering (İ → 'i', Σ → 'σ' with no Final_Sigma rule). Run
+    the exact oracle expression in DuckDB on the adversarial inputs
+    and require byte equality — this is the parity proof ADVICE
+    asked for, on rows the corpus never exercises."""
+    import duckdb
+
+    texts = [
+        "a\u00a0b",     # NBSP — not whitespace under RE2 \\s
+        "x\u2028y",     # LINE SEPARATOR — ditto
+        "\u0130STANBUL",  # İ: full lower adds a combining dot
+        "\u039b\u039f\u0393\u039f\u03a3",  # final sigma: full lower emits U+03C2
+        "Stra\u1e9ee",  # capital sharp S → ß (both engines agree)
+        "  mixed   WS\t",
+    ]
+    got = _norms(spark, texts)
+    con = duckdb.connect()
+    for t, g in zip(texts, got):
+        want = con.execute(
+            "SELECT trim(regexp_replace(lower(nfc_normalize(?)),"
+            " '\\s+', ' ', 'g'))",
+            [t],
+        ).fetchone()[0]
+        assert g == want, f"{t!r}: spark={g!r} duckdb={want!r}"
