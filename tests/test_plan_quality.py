@@ -309,3 +309,35 @@ def test_vocab_coverage_partial_topk(spark, sf_dir):
     the whole vocabulary to read 1000 rows is the anti-pattern."""
     plan = _formatted(llmdata.vocab_coverage(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contrastive_negative_window_bucket_fanout(spark, sf_dir):
+    """The negative-sampler window partitions on a md5 prefix whose
+    width IS the shuffle-parallelism ceiling: 1 hex char = 16 buckets
+    would cap a 1000-executor cluster at 16 tasks forever (the r3
+    scale-killer). Pin the knob >= 3 chars (4096 buckets) and prove
+    the fan-out is real on data: distinct bucket values must exceed
+    256 even on a small corpus."""
+    from pyspark.sql import functions as F
+
+    assert llmdata.NEG_BUCKET_CHARS >= 3
+    n = 10_000
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    key = F.md5(F.concat(F.lit("pair0-"), F.col("doc_id").cast("string")))
+    got = ids.select(
+        F.substring(key, 1, llmdata.NEG_BUCKET_CHARS).alias("bkt")
+    ).distinct().count()
+    assert got > 256, f"only {got} negative-sampler buckets"
+
+
+def test_contrastive_production_path_no_global_sort(spark, sf_dir):
+    """contrastive_pairs_plan is the production pair writer: it must
+    not end in a global Sort (presentation ordering belongs to the
+    contract query only), and its only windows partition by bucket —
+    never a single-partition window."""
+    from etl_npl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted(llmdata.contrastive_pairs_plan(docs))
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
