@@ -323,6 +323,14 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+# Version stride reserved per stream epoch: every (re)started stream
+# checkpoint claims a fresh block of EPOCH_STRIDE delta versions above
+# everything already in the table, so stream deltas can never land on
+# (or under) versions written by batch mor_upsert or by an earlier
+# stream run.
+EPOCH_STRIDE = 1_000_000
+
+
 def stream_upsert_mor(
     sdf: DataFrame,
     path: str,
@@ -340,33 +348,85 @@ def stream_upsert_mor(
     per key wins, tombstones honored) and ``sinks.mor_compact``
     amortizes read cost, both unchanged from the batch path.
 
-    Exactly-once effect: Structured Streaming's foreachBatch is
-    at-least-once — a failed-then-replayed batch runs the sink twice.
-    The delta version is derived from ``batch_id`` and written with
-    mode("overwrite"), so a replay overwrites its OWN delta directory
-    instead of appending a duplicate: idempotent without any
-    coordination. (``batch_id + 1`` keeps v=0 reserved for the base
-    snapshot, matching mor_read's version ordering.)
+    Versioning — three interleaving hazards, each handled:
+
+    * **Batch/stream collision**: versions are namespaced by a stream
+      EPOCH. On first start, the checkpoint allocates
+      ``epoch = (max existing version // EPOCH_STRIDE + 1) * stride``
+      and persists it in ``_mor_epoch.json`` INSIDE the checkpoint
+      directory, so the manifest shares the checkpoint's lifetime —
+      stream batch N lands at ``epoch + N + 1``, strictly above every
+      batch-written or prior-stream delta, never overwriting history.
+      Batch ``mor_upsert`` keeps allocating ``max+1`` and therefore
+      also stays clear of the epoch in use.
+    * **Same-checkpoint replay** (foreachBatch is at-least-once): a
+      replayed batch_id maps to the same version; the epoch manifest
+      records which batch_ids this checkpoint wrote, so the replay is
+      recognized as OURS and overwritten idempotently. A version
+      directory that exists but is NOT in the manifest means a
+      foreign writer raced the stream — the sink raises instead of
+      destroying someone else's delta.
+    * **Fresh-checkpoint re-run** (repack into different batches): a
+      new checkpoint = a new, higher epoch. Old-epoch deltas stay
+      live but every key they carry is re-upserted at strictly higher
+      versions, so reconciliation shadows them completely — no stale
+      higher-version delta can win, whatever the new batch packing.
+
+    Concurrent writers (a live stream plus simultaneous batch
+    upserts) still need external coordination, as on any
+    single-writer table format without a transaction log.
 
     Scale: each batch write distributes across executors like any
     parquet write; the state-partition pin only matters when the
     upstream has stateful ops (same rationale as
-    run_stream_to_memory).
+    run_stream_to_memory). The epoch manifest is one tiny
+    driver-side JSON per checkpoint, touched once per micro-batch.
     """
+    import json
+    import os
+
+    from etl_npl_pipeline_spark.sinks import _mor_versions
+
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     root = path.rstrip("/")
+    checkpoint = f"{root}/_checkpoint"
+
+    ddir = f"{root}/_deltas"
+    os.makedirs(ddir, exist_ok=True)
+    os.makedirs(checkpoint, exist_ok=True)
+    manifest_path = f"{checkpoint}/_mor_epoch.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+    else:
+        existing = _mor_versions(path)
+        top = existing[-1] if existing else 0
+        epoch = (top // EPOCH_STRIDE + 1) * EPOCH_STRIDE
+        manifest = {"epoch": epoch, "written": []}
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
+    epoch = manifest["epoch"]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").format(fmt).save(
-            f"{root}/_deltas/v={batch_id + 1}"
-        )
+        v = epoch + batch_id + 1
+        target = f"{ddir}/v={v}"
+        if os.path.exists(target) and batch_id not in manifest["written"]:
+            raise RuntimeError(
+                f"mor delta v={v} exists but was not written by this "
+                f"stream checkpoint — concurrent writer on {root}"
+            )
+        batch_df.write.mode("overwrite").format(fmt).save(target)
+        if batch_id not in manifest["written"]:
+            manifest["written"].append(batch_id)
+            with open(manifest_path, "w") as fh:
+                json.dump(manifest, fh)
 
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         q = (
             sdf.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", f"{root}/_checkpoint")
+            .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
         )
