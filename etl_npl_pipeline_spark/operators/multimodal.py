@@ -3,18 +3,19 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 Two decode paths:
 
-- REAL stdlib codecs for BMP, WAV, and PNG: genuine container
-  formats encoded and parsed byte-for-byte (``encode_bmp``/
+- REAL stdlib codecs for BMP, WAV, PNG, and baseline JPEG: genuine
+  container formats encoded and parsed byte-for-byte (``encode_bmp``/
   ``_decode_bmp``, ``encode_wav``/``_decode_wav``, ``encode_png``/
-  ``_decode_png``) — no library needed, dispatched on magic bytes
-  by ``sniff_and_decode``. PNG is a full compressed round trip:
-  zlib-inflated IDAT, all five scanline filters unapplied, CRCs
-  checked.
+  ``_decode_png``, ``encode_jpeg``/``_decode_jpeg``) — no library
+  needed, dispatched on magic bytes by ``sniff_and_decode``. PNG is
+  a full compressed round trip (zlib IDAT, five unfilters, CRCs);
+  JPEG is a full entropy-coded round trip (canonical Huffman,
+  dequantize, de-zigzag, IDCT).
 - A clearly marked STUB (`_decode_stub`) for formats whose decoders
-  need a codec library absent from this container (JPEG/MP4):
-  deterministic fake features derived from payload bytes. Swap it
-  for a PIL/ffmpeg call in a codec-equipped image and nothing else
-  changes.
+  need a codec library absent from this container (now only video —
+  MP4): deterministic fake features derived from payload bytes.
+  Swap it for an ffmpeg call in a codec-equipped image and nothing
+  else changes.
 
 Scale notes: media payloads ride as parquet binary; decode is
 map-only (no shuffle), Arrow moves each batch once, and columns
@@ -69,7 +70,7 @@ def _rolling_checksum(data: bytes) -> int:
 def _decode_stub(payload: bytes) -> tuple[int, int, int, int]:
     """STUB decoder: deterministic fake (width, height, n_frames,
     checksum) from the payload bytes. Used for formats that need a
-    codec library (JPEG/PNG/MP4...) — see decode_media."""
+    codec library (now only MP4/video) — see decode_media."""
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, n % 16 + 1, _rolling_checksum(payload))
 
@@ -320,6 +321,8 @@ def sniff_and_decode(payload: bytes) -> tuple[str, int | None, int, int, int, in
             return (k, None, w, h, f, chk)
         if payload[: len(_PNG_SIG)] == _PNG_SIG:
             return _decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return _decode_jpeg(payload)
     except Exception:
         return ("corrupt/unreadable", None, 0, 0, 0, _rolling_checksum(payload))
     w, h, f, chk = _decode_stub(payload)
@@ -335,10 +338,11 @@ def decode_media(
     Python call (not per-row). ``codec``:
 
     - ``"stub"`` (default): deterministic fake features — stands in
-      for formats whose decoders need a library (JPEG/MP4).
-    - ``"sniff"``: REAL decode for BMP, WAV, and PNG payloads
-      (stdlib parsers, see _decode_bmp/_decode_wav/_decode_png),
-      stub fallback for unrecognized magic; the emitted ``kind`` is
+      for formats whose decoders need a library (MP4).
+    - ``"sniff"``: REAL decode for BMP, WAV, PNG, and baseline JPEG
+      payloads (stdlib parsers, see _decode_bmp/_decode_wav/
+      _decode_png/_decode_jpeg), stub fallback for unrecognized
+      magic; the emitted ``kind`` is
       the detected one. PNG rows report n_bytes as the DECODED
       pixel-buffer size (container size varies with compression);
       other kinds keep the metadata's container size.
@@ -350,8 +354,8 @@ def decode_media(
     if use_real_codec and not _HAS_PIL:
         raise NotImplementedError(
             "library-backed media decode needs PIL/ffmpeg, not present "
-            "in this container — BMP/WAV/PNG decode for real via "
-            "codec='sniff'; JPEG/MP4 use the deterministic stub"
+            "in this container — BMP/WAV/PNG/JPEG decode for real via "
+            "codec='sniff'; MP4 uses the deterministic stub"
         )
     sniff = codec == "sniff"
 
@@ -516,4 +520,358 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         batches, schema=RESIZED_SCHEMA
+    )
+
+
+# --- real stdlib codec: baseline JPEG (Huffman + DCT) --------------
+#
+# A genuine ITU T.81 baseline sequential JFIF path for 8-bit
+# grayscale: forward DCT + quantization + zigzag + category/run
+# Huffman coding with byte stuffing on encode; marker walk (DQT /
+# SOF0 / DHT / SOS), canonical-Huffman entropy decode, dequantize,
+# de-zigzag, IDCT on decode. Tables are the public Annex K luminance
+# defaults. No library, no shortcuts: the decoder handles any
+# single-component baseline stream built from these conventions
+# (multi-component / progressive / restart-marker streams raise and
+# quarantine via sniff_and_decode).
+
+import numpy as np
+
+_ZIGZAG = [
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3.3.1/2: default luminance Huffman table specs (BITS, VALS)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _huff_codes(_AC_BITS, _AC_VALS)
+_DC_DEC = {v: k for k, v in _DC_ENC.items()}
+_AC_DEC = {v: k for k, v in _AC_ENC.items()}
+
+# Orthonormal 8x8 DCT-II basis; fwd = T A T', inv = T' S T.
+_DCT_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _DCT_T[_u, _x] = (
+            (1 / np.sqrt(8)) if _u == 0 else 0.5 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+        )
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v else 0
+
+
+def encode_jpeg(pixels: bytes, width: int) -> bytes:
+    """Baseline sequential grayscale JFIF around raw 8-bit pixels
+    (row-major, height = ceil(len/width), zero pad). Quant table is
+    all-ones, so block-constant content round-trips EXACTLY (the DC
+    coefficient 8*(v-128) is integral; every AC term vanishes) and
+    arbitrary content round-trips within +-1/pixel."""
+    if width <= 0 or not pixels:
+        raise ValueError("encode_jpeg needs pixels and a positive width")
+    height = (len(pixels) + width - 1) // width
+    padded = pixels + bytes(width * height - len(pixels))
+    img = np.frombuffer(padded, dtype=np.uint8).reshape(height, width)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    full = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    full[:height, :width] = img
+    shifted = full - 128.0
+    # batch forward DCT over all blocks
+    blocks = (
+        shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coefs = np.einsum("ux,nxy,vy->nuv", _DCT_T, blocks, _DCT_T)
+    q = np.rint(coefs).astype(np.int64)  # quant table = all ones
+
+    w = _BitWriter()
+    pred = 0
+    for n in range(q.shape[0]):
+        zz = q[n].reshape(64)[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        cat = _category(diff)
+        code, length = _DC_ENC[cat]
+        w.write(code, length)
+        if cat:
+            w.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]  # ZRL
+                w.write(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = _AC_ENC[(run << 4) | s]
+            w.write(c, ln)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            c, ln = _AC_ENC[0x00]  # EOB
+            w.write(c, ln)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 0x01, 0x11, 0x00]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 unstuffing; raises on a
+    premature marker (truncated stream -> quarantine upstream)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    """Real baseline JPEG decode (single-component): marker walk,
+    canonical-Huffman entropy decode, dequantize, de-zigzag, IDCT,
+    level shift + clamp. Returns (kind, n_bytes=decoded buffer size,
+    width, height, 1, checksum of reconstructed pixels)."""
+    w, h, pix = _jpeg_pixels(payload)
+    return ("image/jpeg", w * h, w, h, 1, _rolling_checksum(pix))
+
+
+def _jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = 0
+    comp_q = 0
+    dc_id = ac_id = 0
+    scan_start = -1
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables")
+                qt[tq] = np.array(list(body[i + 1 : i + 65]), dtype=np.int64)
+                i += 65
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            if body[7] != 0x11:
+                raise ValueError("subsampling on a grayscale stream")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                enc = _huff_codes(bits, vals)
+                huff[(tc, th)] = {(c, l): sym for sym, (c, l) in enc.items()}
+                i += 17 + nvals
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("only single-component scans")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + ln
+            break
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        pos += 2 + ln
+    if scan_start < 0 or not width or not height:
+        raise ValueError("truncated JPEG (no scan)")
+    dq = qt[comp_q]
+    dct = huff[(0, dc_id)]
+    act = huff[(1, ac_id)]
+    br = _BitReader(payload, scan_start)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    zz = np.zeros((bh * bw, 64), dtype=np.int64)
+    pred = 0
+    for n in range(bh * bw):
+        cat = br.huff(dct)
+        diff = _extend(br.read(cat), cat) if cat else 0
+        pred += diff
+        zz[n, 0] = pred
+        k = 1
+        while k < 64:
+            rs = br.huff(act)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0xF
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[n, k] = _extend(br.read(s), s)
+            k += 1
+    coefs = np.zeros((bh * bw, 64), dtype=np.float64)
+    coefs[:, _ZIGZAG] = zz * dq[np.arange(64)]
+    blocks = coefs.reshape(-1, 8, 8)
+    spatial = np.einsum("ux,nuv,vy->nxy", _DCT_T, blocks, _DCT_T)
+    img = (
+        spatial.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
+    out = np.clip(np.rint(img + 128.0), 0, 255).astype(np.uint8)
+    return (width, height, out[:height, :width].tobytes())
+
+
+def build_jpeg_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Encode each doc as a REAL baseline JPEG whose pixel content is
+    the doc's bytes expanded to 8x8 CONSTANT blocks (width 8, one
+    block per byte, height 8*len). Constant blocks are the one
+    content class the all-ones quant table reproduces EXACTLY
+    (encode_jpeg docstring), so a SQL oracle can derive the decoded
+    pixel checksum from the text octets alone — every stage of the
+    entropy pipeline (Huffman, dequantize, de-zigzag, IDCT) must be
+    bit-correct for the hashes to agree."""
+    flat = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8") or b"\x00"
+                pix = b"".join(bytes([b]) * 64 for b in data)
+                payloads.append(encode_jpeg(pix, 8))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    enc = flat.mapInPandas(batches, schema="doc_id BIGINT, payload BINARY")
+    return enc.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("kind"),
+            F.octet_length("payload").alias("n_bytes"),
+        ).alias("meta"),
     )
