@@ -746,3 +746,115 @@ SRC_JSONL_ROUNDTRIP_SQL = """
 SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
 FROM nation GROUP BY 1 ORDER BY 1
 """
+
+
+# --- T19b: merge-on-read time travel (lakehouse contract query) ----
+
+_MOR_TMP = "/root/repo/.tmp/mor_snapshot"
+
+
+def mor_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19b contract: build a three-version merge-on-read table
+    deterministically from `orders` (base snapshot → delta v1 with
+    updates + inserts + tombstones → delta v2 with further updates),
+    then TIME-TRAVEL to ``as_of_version=1``. The v2 delta exists
+    precisely so the oracle proves the as-of read excludes it —
+    reproducing "the table as the v1 training run saw it" from the
+    immutable delta chain (sinks.mor_read; reference src:768+ only
+    ever appends CSVs, the versioned-lakehouse layer is the
+    brief-mandated extension).
+
+    Deterministic: fixed key ranges, no timestamps; the whole table
+    is rebuilt from parquet ground truth on every call so retries
+    and engines agree byte-for-byte.
+    """
+    from etl_npl_pipeline_spark import sinks
+
+    shutil.rmtree(_MOR_TMP, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") < 1000)
+    sinks.mor_init(base, _MOR_TMP)
+    v1 = (
+        orders.where(
+            (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100000.0))
+        .withColumn("_deleted", F.col("o_orderkey") % 10 == 0)
+    )
+    assert sinks.mor_upsert(v1, _MOR_TMP) == 1
+    v2 = orders.where(F.col("o_orderkey") < 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    assert sinks.mor_upsert(v2, _MOR_TMP) == 2
+    return sinks.mor_read(
+        spark, _MOR_TMP, key_cols=["o_orderkey"], as_of_version=1
+    ).orderBy("o_orderkey")
+
+
+MOR_SNAPSHOT_ASOF_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey < 1000
+),
+v1 AS (
+    SELECT o_orderkey, o_custkey,
+           o_totalprice + 100000.0 AS o_totalprice,
+           (o_orderkey % 10 = 0) AS del
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+)
+SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM v1 WHERE NOT del
+ORDER BY o_orderkey
+"""
+
+
+# --- L12: REAL baseline JPEG decode (Huffman + IDCT) ---------------
+
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG round trip: each doc's bytes become 8x8-constant
+    grayscale blocks inside a genuine baseline JFIF stream
+    (encode_jpeg: forward DCT, all-ones quant, zigzag, Annex-K
+    Huffman, byte stuffing), decoded back through the full stdlib
+    entropy path (_decode_jpeg: marker walk, canonical Huffman,
+    dequantize, IDCT). Block-constant content is exactly
+    reproducible, so the oracle recomputes width/height/n_bytes AND
+    the decoded-pixel checksum from the text octets alone — a bug
+    anywhere in the entropy pipeline cannot hash-match. MP4 remains
+    the one stubbed format (video codecs need ffmpeg)."""
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        build_jpeg_media_frame,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    media = build_jpeg_media_frame(docs, "text", "doc_id")
+    return decode_media(media, codec="sniff").orderBy("doc_id")
+
+
+# Decoded buffer = each octet repeated 64x (8x8 block, width 8), so
+# the rolling checksum folds every octet 64 consecutive times.
+MM_DECODE_JPEG_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 60
+)
+SELECT doc_id, 'image/jpeg' AS kind,
+       CAST(64 * nb AS INT) AS n_bytes,
+       CAST(8 AS INT) AS width,
+       CAST(8 * nb AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               flatten(list_transform(range(1, nb + 1),
+                   i -> list_transform(range(1, 65),
+                        j -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT))))),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+FROM b ORDER BY doc_id
+"""
