@@ -119,6 +119,9 @@ HEADLINE = [
     "mm_decode_meta",
     "mm_decode_real",
     "mm_resize",
+    "mm_frame_sample",
+    "mor_snapshot_asof",
+    "dedup_cross_source",
 ]
 
 
@@ -139,6 +142,15 @@ def main() -> None:
     # Warm the JVM/codegen path once on a trivial plan so query #1
     # doesn't pay session startup.
     queries["q6_forecast_revenue"](spark, sf_dir).count()
+
+    # Pin the events table: 11+ events_* queries share ONE
+    # materialized scan instead of re-reading the parquet each time
+    # (the production hot-table pattern; shows how much of the
+    # events-tier floor is scan vs planning). Values are identical —
+    # the pin happens after ts normalization.
+    from etl_npl_pipeline_spark.sources.tables import cache_table
+
+    cache_table(spark, sf_dir, "events")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -201,11 +213,12 @@ def main() -> None:
 
     # The driver's stdout capture is ~2000 chars and truncation makes
     # the whole line unparseable (BENCH_r02). Emit the richest form
-    # that FITS: full 2-dp queries -> 1-dp queries -> slowest-first
-    # truncated queries with an explicit omission count. value /
-    # recall_at_5 / sf always survive; full precision is in
-    # bench_detail.json either way.
-    def _line(qmap: dict, omitted: int) -> str:
+    # that FITS: full 2-dp queries -> 1-dp queries -> drop the
+    # sub-0.5s tier (summed into q_fast_sec, counted in q_omitted)
+    # so the slow tier never truncates -> slowest-first truncation
+    # as the last resort. value / recall_at_5 / sf always survive;
+    # full precision is in bench_detail.json either way.
+    def _line(qmap: dict, omitted: int, fast_sec: float | None = None) -> str:
         body = {
             "metric": "headline_total",
             "value": round(sum(timings.values()), 2),
@@ -216,11 +229,17 @@ def main() -> None:
         }
         if omitted:
             body["q_omitted"] = omitted
+        if fast_sec is not None:
+            body["q_fast_sec"] = round(fast_sec, 2)
         return json.dumps(body, separators=(",", ":"))
 
     line = _line({k: _compact(v) for k, v in timings.items()}, 0)
     if len(line) > 1980:
         line = _line({k: round(v, 1) for k, v in timings.items()}, 0)
+    if len(line) > 1980:
+        slow = {k: round(v, 1) for k, v in timings.items() if v >= 0.5}
+        fast_total = sum(v for v in timings.values() if v < 0.5)
+        line = _line(slow, len(timings) - len(slow), fast_total)
     if len(line) > 1980:
         slowest = sorted(timings, key=timings.get, reverse=True)
         keep = dict()
@@ -231,6 +250,40 @@ def main() -> None:
             keep = trial
         line = _line(keep, len(timings) - len(keep))
     print(line)
+
+    # Self-baseline regression gate (`--gate`): BASELINE_SELF.json
+    # pins the previous round's per-query times; any query with a
+    # >=0.5s baseline running slower than GATE_RATIO x baseline is a
+    # regression. Violators always go to stderr + bench_detail.json;
+    # the nonzero exit is opt-in so the driver's plain `python
+    # bench.py` run still records the bench line.
+    GATE_RATIO = 1.25
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_SELF.json"
+    )
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)["queries"]
+        violators = {
+            k: {"baseline": base[k], "now": timings[k]}
+            for k in timings
+            if base.get(k, 0) >= 0.5
+            and timings[k] > GATE_RATIO * base[k]
+        }
+        detail["regressions_vs_self_baseline"] = violators
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"), "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+        if violators:
+            print(
+                f"REGRESSIONS vs self-baseline (> {GATE_RATIO}x): "
+                + json.dumps(violators),
+                file=sys.stderr,
+            )
+            if "--gate" in sys.argv:
+                sys.exit(1)
 
 
 if __name__ == "__main__":
