@@ -888,13 +888,17 @@ ANN_N_QUERIES = 20
 
 # Approximate-index knobs, importable by bench so the published
 # recall numbers always carry the settings that produced them.
-# r4 sweep at sf0.1 (grid published in bench_detail.json under
-# "ann_lsh_sweep"): (n_tables in {6,8,10,12}) x (probe_bits in
-# {0,1}) at 6 planes. Chosen point below = cheapest with
-# recall@5 >= 0.93; bucket size ~ corpus/2^planes drives the
-# candidate-join cost, so fewer/fatter buckets only win when the
-# probe union still covers the true neighbors.
-LSH_KNOBS = {"n_planes": 6, "n_tables": 12, "probe_bits": 1}
+# r4 sweep at sf0.1 (grid in lsh_sweep.json, republished in
+# bench_detail.json under "ann_lsh_sweep"): (n_tables in
+# {6,8,10,12}) x (probe_bits in {0,1}) at 6 planes. Hamming-1
+# multiprobe dominates its cost everywhere (0-probe tops out at
+# 0.57 recall even with 12 tables); 10x1 measured recall@5 = 0.94
+# at 1.67 s vs 12x1's 0.97 at 1.98 s — chosen point = cheapest
+# with recall >= 0.93 per the round-2/3 directive. Candidate-join
+# cost scales with n_tables x bucket size (~corpus/2^planes), so
+# the two dropped tables are a real 100-TB saving, not just bench
+# time.
+LSH_KNOBS = {"n_planes": 6, "n_tables": 10, "probe_bits": 1}
 # The synthetic embeddings are uniform on the sphere (no cluster
 # structure), so IVF recall tracks the probed fraction; 8/12 cells
 # measured recall@5 = 0.92 at sf0.1. On real clustered corpora the
