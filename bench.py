@@ -121,6 +121,8 @@ HEADLINE = [
     "mm_resize",
     "mm_frame_sample",
     "mor_snapshot_asof",
+    "scd2_history",
+    "merge_cow_read",
     "dedup_cross_source",
     "mm_decode_jpeg",
 ]
