@@ -125,6 +125,7 @@ HEADLINE = [
     "merge_cow_read",
     "dedup_cross_source",
     "mm_decode_jpeg",
+    "mm_decode_mp4",
 ]
 
 
@@ -163,13 +164,23 @@ def main() -> None:
 
     cache_table(spark, sf_dir, "events")
 
+    # Two passes: the FIRST run of a plan pays one-time costs a
+    # long-lived cluster amortizes away (janino codegen compile,
+    # fresh Python-worker plan shapes) and those costs land on
+    # whichever queries happen to run first — the r4 window rotation
+    # showed +2-4s "regressions" that were pure run-order artifacts.
+    # Pass 1 records the cold time (published in bench_detail.json),
+    # pass 2 is the steady-state number the headline line reports —
+    # the regime a 1000-executor production cluster actually runs in.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        # noop write = full materialization of every output column
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for dest in (cold, timings):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            # noop write = full materialization of every output column
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dest[name] = round(time.time() - t0, 3)
 
     # ANN quality alongside speed: recall@5 of each approximate
     # index vs the exact brute-force baseline (speed without recall
@@ -222,7 +233,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "timing": "steady_state_2nd_run",
         "queries": timings,
+        "cold_first_run": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "recall_at_5": recall,
         "knobs": knobs,
         "sf": sf_val,
@@ -247,6 +261,8 @@ def main() -> None:
             "metric": "headline_total",
             "value": round(sum(timings.values()), 2),
             "unit": "sec",
+            "timing": "steady2nd",
+            "cold_total": round(sum(cold.values()), 2),
             "queries": qmap,
             "recall_at_5": recall,
             "sf": sf_val,

@@ -824,8 +824,8 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantize, IDCT). Block-constant content is exactly
     reproducible, so the oracle recomputes width/height/n_bytes AND
     the decoded-pixel checksum from the text octets alone — a bug
-    anywhere in the entropy pipeline cannot hash-match. MP4 remains
-    the one stubbed format (video codecs need ffmpeg)."""
+    anywhere in the entropy pipeline cannot hash-match. (MP4 gets
+    the same treatment at box level in mm_decode_mp4.)"""
     from etl_npl_pipeline_spark.operators.multimodal import (
         build_jpeg_media_frame,
         decode_media,
@@ -856,5 +856,47 @@ SELECT doc_id, 'image/jpeg' AS kind,
                    i -> list_transform(range(1, 65),
                         j -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT))))),
            (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+FROM b ORDER BY doc_id
+"""
+
+
+# --- L12: REAL MP4 box-level decode (ISO BMFF sample tables) -------
+
+def mm_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 round trip: each doc's bytes become the sample
+    stream of a genuine ISO BMFF container (encode_mp4: ftyp/mdat/
+    moov with full mvhd/tkhd/stbl tree), decoded back through the
+    stdlib box walker (_decode_mp4: size/type header walk, tkhd
+    16.16 geometry, stsd fourcc, then sample EXTRACTION out of mdat
+    via stco offsets + stsz sizes). The checksum folds the extracted
+    sample bytes, so a mistake anywhere in the sample-table
+    navigation cannot hash-match the oracle, which recomputes
+    everything from the text octets alone. Frame-pixel decode of
+    compressed video is the one remaining library-gated step."""
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        build_mp4_media_frame,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 60) & (F.col("n_chars") > 0)
+    )
+    media = build_mp4_media_frame(docs, "text", "doc_id")
+    return decode_media(media, codec="sniff").orderBy("doc_id")
+
+
+MM_DECODE_MP4_SQL = f"""
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 60 AND n_chars > 0
+)
+SELECT doc_id, 'video/mp4v' AS kind,
+       CAST(nb AS INT) AS n_bytes,
+       CAST(nb % 320 + 16 AS INT) AS width,
+       CAST(nb % 240 + 16 AS INT) AS height,
+       CAST((nb + 63) // 64 AS INT) AS n_frames,
+       {_MM_CHK.format(n="nb")} AS checksum
 FROM b ORDER BY doc_id
 """
