@@ -93,6 +93,7 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_pq",
     "text_scrub",
     "text_commonness",
     "data_split",
@@ -126,6 +127,7 @@ HEADLINE = [
     "dedup_cross_source",
     "mm_decode_jpeg",
     "mm_decode_mp4",
+    "dedup_bloom",
 ]
 
 
@@ -194,7 +196,7 @@ def main() -> None:
     exact = pairs("ann_topk")
     recall = {
         name: round(len(exact & pairs(name)) / max(len(exact), 1), 4)
-        for name in ("ann_lsh", "ann_ivf")
+        for name in ("ann_lsh", "ann_ivf", "ann_pq")
     }
 
     # The knobs behind the approximate numbers, so recall/time are
@@ -206,6 +208,7 @@ def main() -> None:
     knobs = {
         "ann_lsh": _ld.LSH_KNOBS,
         "ann_ivf": _ld.IVF_KNOBS,
+        "ann_pq": _ld.PQ_KNOBS,
         "dedup_minhash": {
             "n_perm": _dd.N_PERM,
             "n_bands": _dd.N_BANDS,

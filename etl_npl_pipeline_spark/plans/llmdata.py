@@ -357,6 +357,47 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44: Bloom-filter decontamination — same contamination
+    contract as L22 but the benchmark membership set ships as a
+    128 KB bit array instead of broadcast gram strings (the scale
+    path when the eval suite itself is large: m bits is constant in
+    gram count; L22's broadcast grows with it).
+
+    Two stages, candidates-then-verify: the Bloom probe (JVM-side
+    xxhash64 positions + one Arrow bit-test) CANNOT produce false
+    negatives, so exact-verifying only its survivors reproduces the
+    exact answer — the oracle replays it as a plain join. False
+    positives only cost verify work; at the default 2^20 bits / 4
+    hashes and this benchmark size the FP rate is < 1e-4 (pinned
+    by test_bloom_decontaminate.py)."""
+    from etl_npl_pipeline_spark.operators.bloom import (
+        bloom_maybe_member,
+        build_bloom_bits,
+    )
+    from etl_npl_pipeline_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", DECON_N)).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") % 10 == 0).select("g").distinct()
+    corpus = grams.where(F.col("doc_id") % 10 != 0)
+    bits = build_bloom_bits(bench)
+    survivors = bloom_maybe_member(corpus, bits).where(F.col("maybe"))
+    return (
+        survivors.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+# Exact semantics identical to L22 — the Bloom stage is a lossless
+# (no-false-negative) pre-filter, so the oracle is the same replay.
+DEDUP_BLOOM_SQL = DEDUP_DECONTAMINATE_SQL
+
+
 # --- L23: intra-document repetition (Gopher-style quality rule) ----
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +734,23 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43: product-quantization ANN (ADC + exact re-rank) — the
+    memory-scale path: corpus vectors compress to m one-byte codes
+    (16 bytes vs 256+ for the raw floats), search reconstructs
+    approximate dots from per-query lookup tables, and the exact
+    pass re-ranks only the ADC top k×rerank_factor. Rows-only
+    contract (k-means code internals are engine-specific); recall@5
+    vs ann_topk is published by bench alongside lsh/ivf."""
+    from etl_npl_pipeline_spark.operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return pq_topk(queries, emb, k=ANN_K, **PQ_KNOBS).orderBy(
+        "query_id", "rank"
+    )
+
+
 # --- L1: exact dedup ----------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +957,11 @@ ANN_N_QUERIES = 20
 # the two dropped tables are a real 100-TB saving, not just bench
 # time.
 LSH_KNOBS = {"n_planes": 6, "n_tables": 10, "probe_bits": 1}
+# PQ: 16 subspaces x 16 codes = 16 bytes/vector (vs 256B float32 at
+# dim 64); ADC picks k x rerank_factor candidates, exact pass
+# re-ranks. rerank_factor is the recall knob that costs only
+# |Q| x k' exact dots — cheap to raise.
+PQ_KNOBS = {"m_subspaces": 16, "k_codes": 16, "rerank_factor": 8}
 # The synthetic embeddings are uniform on the sphere (no cluster
 # structure), so IVF recall tracks the probed fraction; 8/12 cells
 # measured recall@5 = 0.92 at sf0.1. On real clustered corpora the
