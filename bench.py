@@ -128,6 +128,7 @@ HEADLINE = [
     "mm_decode_jpeg",
     "mm_decode_mp4",
     "dedup_bloom",
+    "vocab_bpe_pairs",
 ]
 
 

@@ -1261,6 +1261,61 @@ def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 30
+
+
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45: one BPE merge round — the inner loop of tokenizer
+    training: count adjacent CHARACTER pairs across the corpus and
+    rank the top merge candidates.
+
+    The classic BPE scale trick keeps this cheap at 100 TB: pair
+    counting runs over the DISTINCT-WORD frequency table, not the
+    raw corpus — Zipf collapses billions of tokens to a vocabulary
+    of millions, so the char-pair explode touches each distinct word
+    once and weights by its corpus frequency. Two shuffles (word
+    agg, pair agg) and a TakeOrderedAndProject top-k; every
+    expression is codegen (substring/transform), no UDF. Iterating
+    the merge loop re-runs this plan on a re-segmented vocab table —
+    each round costs O(vocab), never O(corpus)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+VOCAB_BPE_PAIRS_SQL = f"""
+WITH words AS (
+    SELECT unnest({_TOKS}) AS w FROM documents
+), wf AS (
+    SELECT w, COUNT(*) AS freq FROM words
+    WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+    SELECT unnest(list_transform(range(1, length(w)),
+                  i -> substr(w, i, 2))) AS pair, freq
+    FROM wf
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+"""
+
+
 VOCAB_TOP_NGRAMS_SQL = f"""
 WITH toks AS (
     SELECT {_TOKS} AS t FROM documents
