@@ -129,6 +129,9 @@ HEADLINE = [
     "mm_decode_mp4",
     "dedup_bloom",
     "vocab_bpe_pairs",
+    "src_excel_roundtrip",
+    "src_rest_pages",
+    "stream_upsert_read",
 ]
 
 

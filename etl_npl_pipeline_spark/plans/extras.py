@@ -900,3 +900,170 @@ SELECT doc_id, 'video/mp4v' AS kind,
        {_MM_CHK.format(n="nb")} AS checksum
 FROM b ORDER BY doc_id
 """
+
+
+# --- S2/S3/ST7 driver-grade evidence: excel, REST, stream upsert ---
+
+_XLSX_TMP = "/root/repo/.tmp/excel_roundtrip.xlsx"
+_STREAM_UPSERT_TMP = "/root/repo/.tmp/stream_upsert_mor"
+
+
+def src_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 contract: nation → OOXML workbook (stdlib write_xlsx) →
+    parse_xlsx/read_excel → aggregate. Proves the Excel READ path
+    (ref get_excel src:48) against ground truth through a genuine
+    xlsx round trip, not a fixture. Excel is a driver-side exchange
+    format for small reference tables; the 25-row collect is the
+    intended shape."""
+    from etl_npl_pipeline_spark.sources.files import read_excel, write_xlsx
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = [["n_nationkey", "n_name", "n_regionkey"]] + [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in nation.orderBy("n_nationkey").collect()
+    ]
+    os.makedirs(os.path.dirname(_XLSX_TMP), exist_ok=True)
+    write_xlsx(rows, _XLSX_TMP)
+    back = read_excel(spark, _XLSX_TMP)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+SRC_EXCEL_ROUNDTRIP_SQL = """
+SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
+       SUM(n_nationkey) AS key_sum
+FROM nation GROUP BY 1 ORDER BY 1
+"""
+
+
+def src_rest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 contract: month-chunked REST pagination against an
+    injectable transport (ref observations_bot src:78 walks
+    result.series[0].observations page by page). The fake server
+    serves orders rows as JSON observation pages keyed by the
+    month-range params — so the pagination logic, the JSON envelope
+    walk, and the record flattening are all exercised for real; only
+    the socket is simulated. REST ingestion is driver-side by
+    nature, so the bounded collect IS the production shape (bulk
+    data arrives via parquet, not REST)."""
+    import json as _json
+    from datetime import date
+
+    from etl_npl_pipeline_spark.sources.rest import fetch_observations
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderkey") < 2000)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    by_month: dict[str, list[dict]] = {}
+    for r in orders.collect():
+        d = r["o_orderdate"]
+        iso = d.isoformat() if hasattr(d, "isoformat") else str(d)[:10]
+        by_month.setdefault(iso[:7], []).append(
+            {
+                "date": iso,
+                "key": r["o_orderkey"],
+                "value": float(r["o_totalprice"]),
+            }
+        )
+
+    def fetcher(url: str, params: dict) -> str:
+        month = params["start_period"][:7]
+        obs = sorted(by_month.get(month, []), key=lambda o: o["key"])
+        return _json.dumps({"result": {"series": [{"observations": obs}]}})
+
+    df = fetch_observations(
+        spark,
+        fetcher,
+        "http://fake.local/api",
+        "ORDERS_1995",
+        date(1995, 1, 1),
+        date(1996, 1, 1),
+    )
+    return (
+        df.groupBy(F.substring("date", 1, 7).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+SRC_REST_PAGES_SQL = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderkey < 2000
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def stream_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 contract: drain an update STREAM into a merge-on-read
+    table via foreachBatch (streaming/events.stream_upsert_mor),
+    then reconcile with mor_read. Each event_id appears once in the
+    update stream, so the final state is batch-packing-independent
+    and a SQL oracle can replay it as plain last-writer-wins — the
+    streaming sink's epoch/versioning machinery (checkpoint-scoped
+    manifests, replay idempotence) runs for real underneath."""
+    import shutil
+
+    from etl_npl_pipeline_spark import sinks
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        stream_upsert_mor,
+    )
+
+    shutil.rmtree(_STREAM_UPSERT_TMP, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.where(F.col("event_id") < 200)
+    sinks.mor_init(base, _STREAM_UPSERT_TMP)
+    updates = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .where((F.col("event_id") >= 100) & (F.col("event_id") < 300))
+        .withColumn("value", F.round(F.col("value") * 2, 6))
+    )
+    stream_upsert_mor(updates, _STREAM_UPSERT_TMP)
+    return sinks.mor_read(
+        spark, _STREAM_UPSERT_TMP, key_cols=["event_id"]
+    ).orderBy("event_id")
+
+
+STREAM_UPSERT_READ_SQL = """
+WITH base AS (
+    SELECT event_id, event_type, value FROM events WHERE event_id < 200
+),
+upd AS (
+    SELECT event_id, event_type, ROUND(value * 2, 6) AS value
+    FROM events WHERE event_id >= 100 AND event_id < 300
+)
+SELECT * FROM (
+    SELECT * FROM base
+    WHERE event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+)
+ORDER BY event_id
+"""

@@ -227,3 +227,85 @@ def read_excel(
         tuple(casts[i](r[i]) for i in range(len(header))) for r in data
     ]
     return spark.createDataFrame(norm, schema)
+
+
+# --- OOXML writer (stdlib) ----------------------------------------
+
+_XLSX_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_XLSX_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def _xlsx_col_name(i: int) -> str:
+    name = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        name = chr(ord("A") + rem) + name
+    return name
+
+
+def write_xlsx(rows: list[list], path: str, sheet_name: str = "data") -> str:
+    """Write rows (first row = header) as a minimal but genuine
+    OOXML workbook — stdlib zipfile + hand-built XML, the write twin
+    of ``parse_xlsx``. Strings go as ``inlineStr`` cells (no
+    sharedStrings table needed), ints/floats as numeric cells,
+    booleans as ``b`` cells, None as omitted cells.
+
+    Driver-side by design: Excel is an EXCHANGE format for small
+    reference tables (the reference's workbooks are a few hundred
+    rows, src:48); bulk data belongs in parquet. The bounded use is
+    the point, not a limitation to engineer around."""
+    from xml.sax.saxutils import escape
+
+    def cell_xml(r: int, c: int, v) -> str:
+        ref = f"{_xlsx_col_name(c)}{r + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+        )
+
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell_xml(ri, ci, v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{body}</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CT)
+        zf.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return path
