@@ -132,6 +132,11 @@ HEADLINE = [
     "src_excel_roundtrip",
     "src_rest_pages",
     "stream_upsert_read",
+    "src_pyds_backfill",
+    "src_jsonl_quarantine",
+    "sink_partition_upsert",
+    "compat_pandas_quarterly",
+    "pipeline_full_read",
 ]
 
 

@@ -1,0 +1,240 @@
+"""Driver-grade contract queries for API surfaces that previously
+had only unit-test evidence: the Spark-4 Python Data Source (S9),
+corrupt-tolerant JSONL ingest (S11), partition-granular upsert
+(T18), the pandas-on-Spark bridge (T21), and the end-to-end
+reference pipeline with its segmented/timestamped writes (X3 + T14).
+
+Each rebuilds its inputs from parquet ground truth on every call, so
+retries, engines, and scale factors agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_npl_pipeline_spark.sources.tables import load_table
+
+_TMP = "/root/repo/.tmp"
+
+
+def src_pyds_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 contract: the custom Python Data Source (Spark 4
+    DataSource API) runs its month-chunk backfill AS INPUT
+    PARTITIONS — six months of the synthetic observations feed fetch
+    executor-side, 6-wide. The synthetic values are md5-derived, so
+    DuckDB recomputes the identical feed from scratch: the oracle
+    covers the partition planning, the per-partition fetch loop, and
+    the row schema all at once."""
+    from etl_npl_pipeline_spark.sources.pyds import RestObservationsDataSource
+
+    try:
+        spark.dataSource.register(RestObservationsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("rest_observations")
+        .option("series_code", "NPL")
+        .option("start", "2024-01-01")
+        .option("end", "2024-07-01")
+        .load()
+    )
+    return (
+        df.groupBy(F.substring("period", 1, 7).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+# DuckDB replays the synthetic feed: value = (first 8 md5 hex chars
+# of "code:period" as int) % 1_000_000 / 100 — engine-independent.
+SRC_PYDS_BACKFILL_SQL = """
+WITH days AS (
+    SELECT CAST(unnest(generate_series(
+        DATE '2024-01-01', DATE '2024-06-30', INTERVAL 1 DAY)) AS DATE) AS d
+), feed AS (
+    SELECT strftime(d, '%Y-%m-%d') AS period,
+           CAST(('0x' || substr(md5('NPL:' || strftime(d, '%Y-%m-%d')), 1, 8))
+                AS BIGINT) % 1000000 / 100.0 AS value
+    FROM days
+)
+SELECT substr(period, 1, 7) AS month, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM feed GROUP BY 1 ORDER BY 1
+"""
+
+
+def src_jsonl_quarantine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 contract: a JSONL file where every 5th record is
+    malformed (truncated mid-object) must QUARANTINE the bad lines
+    into the corrupt column and keep every good one — the dead-letter
+    audit a web-scale crawl ingest runs on every batch. Output is
+    the per-region clean aggregate plus one 'quarantined' row, all
+    from the ONE text scan."""
+    from etl_npl_pipeline_spark.sources.files import read_jsonl_quarantine
+
+    path = f"{_TMP}/jsonl_quarantine.jsonl"
+    os.makedirs(_TMP, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    with open(path, "w") as fh:
+        for r in rows:
+            line = json.dumps(
+                {
+                    "n_nationkey": r["n_nationkey"],
+                    "n_name": r["n_name"],
+                    "n_regionkey": r["n_regionkey"],
+                }
+            )
+            if r["n_nationkey"] % 5 == 0:
+                line = line[: len(line) // 2]  # truncate -> malformed
+            fh.write(line + "\n")
+    parsed = read_jsonl_quarantine(
+        spark, path, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    )
+    clean = (
+        parsed.where(F.col("_corrupt_record").isNull())
+        .groupBy(F.col("n_regionkey").cast("string").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dead = parsed.where(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("quarantined").alias("bucket"), F.count(F.lit(1)).alias("n")
+    )
+    return clean.unionByName(dead).orderBy("bucket")
+
+
+SRC_JSONL_QUARANTINE_SQL = """
+SELECT * FROM (
+    SELECT CAST(n_regionkey AS VARCHAR) AS bucket, COUNT(*) AS n
+    FROM nation WHERE n_nationkey % 5 <> 0 GROUP BY 1
+    UNION ALL
+    SELECT 'quarantined', COUNT(*) FROM nation WHERE n_nationkey % 5 = 0
+)
+ORDER BY bucket
+"""
+
+
+def sink_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 contract: dynamic partition overwrite — seed a table
+    partitioned by o_orderstatus with orders < 1500, then upsert a
+    batch carrying ONLY status-'O' rows (keys 1000–2499). The 'O'
+    partition is replaced wholesale; 'F' and 'P' files are never
+    touched. The oracle replays partition-granularity semantics:
+    non-'O' rows survive from the base, 'O' rows come only from the
+    batch."""
+    from etl_npl_pipeline_spark import sinks
+
+    path = f"{_TMP}/partition_upsert"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    base = orders.where(F.col("o_orderkey") < 1500)
+    base.write.partitionBy("o_orderstatus").parquet(path)
+    batch = orders.where(
+        (F.col("o_orderkey") >= 1000)
+        & (F.col("o_orderkey") < 2500)
+        & (F.col("o_orderstatus") == "O")
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    sinks.upsert_by_partition(batch, path, "o_orderstatus")
+    back = spark.read.option("basePath", path).parquet(path)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).orderBy("o_orderkey")
+
+
+SINK_PARTITION_UPSERT_SQL = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus
+    FROM orders
+)
+SELECT * FROM (
+    SELECT * FROM o WHERE o_orderkey < 1500 AND o_orderstatus <> 'O'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderstatus
+    FROM o
+    WHERE o_orderkey >= 1000 AND o_orderkey < 2500 AND o_orderstatus = 'O'
+)
+ORDER BY o_orderkey
+"""
+
+
+def compat_pandas_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 contract: the pandas-on-Spark bridge runs the reference's
+    groupby-quarter-count in pandas idioms (.dt accessors, assign,
+    groupby.agg) and must agree with plain SQL on the same parquet —
+    proving the migration path computes what the native engine
+    computes."""
+    from etl_npl_pipeline_spark import compat
+
+    out = compat.quarterly_avg_pandas_style(sf_dir).to_spark()
+    return out.select("quarter", "n").orderBy("quarter")
+
+
+COMPAT_PANDAS_QUARTERLY_SQL = """
+SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+       CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def pipeline_full_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 + T14 contract: run the COMPLETE reference pipeline
+    (npl_quarterly + npl_assemble) through its production writers —
+    write_segmented (one-pass partitioned-by-segment layout) and
+    write_timestamped — then read the segmented output back and
+    aggregate per segment. A fixed timestamp keeps the layout
+    deterministic; the oracle recomputes from the NPL SQL chain, so
+    the whole plan→write→read loop must round-trip exactly."""
+    from etl_npl_pipeline_spark.plans.pipeline import run_full_pipeline
+
+    out_dir = f"{_TMP}/pipeline_full"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = run_full_pipeline(spark, sf_dir, out_dir, timestamp="t0")
+    seg = spark.read.option("basePath", paths["segments"]).parquet(
+        paths["segments"]
+    )
+    return (
+        seg.groupBy(F.col("segment").cast("string").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_quarters"),
+            F.sum(F.col("pct_npl").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("pct_npl_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _pipeline_sql() -> str:
+    from etl_npl_pipeline_spark.plans import npl
+
+    inner = npl.NPL_QUARTERLY_SQL.replace("ORDER BY segment, quarter", "")
+    return f"""
+WITH q AS ({inner})
+SELECT segment, COUNT(*) AS n_quarters,
+       CAST(SUM(CAST(pct_npl AS DECIMAL(18,6))) AS DOUBLE) AS pct_npl_sum
+FROM q WHERE segment IS NOT NULL
+GROUP BY segment ORDER BY segment
+"""
+
+
+PIPELINE_FULL_READ_SQL = _pipeline_sql()
