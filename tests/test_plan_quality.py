@@ -341,3 +341,44 @@ def test_contrastive_production_path_no_global_sort(spark, sf_dir):
     plan = _formatted(llmdata.contrastive_pairs_plan(docs))
     assert "Exchange rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_probe_is_map_side_before_verify(spark, sf_dir):
+    """dedup_bloom's Bloom stage must not introduce extra shuffles:
+    the probe is a map-side pandas_udf over the exploded grams, so
+    the plan carries exactly the shuffles of the verify join + final
+    agg — and never a cartesian product."""
+    plan = _formatted(llmdata.dedup_bloom(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bench gram set broadcasts for the exact verify stage
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_corpus_vectors_never_join(spark, sf_dir):
+    """ann_pq's search side must shuffle CANDIDATES, not corpus
+    vectors: the ADC pass is mapInPandas over the code table with
+    per-batch partial top-k, so no join in the plan may be cartesian
+    and the exact re-rank joins a broadcast id set."""
+    plan = _formatted(llmdata.ann_pq(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_joins_only_the_open_slice_broadcast(spark, sf_dir):
+    """scd2_history: the change batch joins the OPEN slice via
+    broadcast — closed history (the bulk of a 100 TB dimension) must
+    never enter a join."""
+    from etl_npl_pipeline_spark.plans import lakehouse
+
+    plan = _formatted(lakehouse.scd2_history(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pairs_partial_topk_not_global_sort(spark, sf_dir):
+    """vocab_bpe_pairs top-k is TakeOrderedAndProject (partial
+    per-partition top-k + merge), never a full Sort of the pair
+    table."""
+    plan = _formatted(llmdata.vocab_bpe_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
