@@ -940,7 +940,7 @@ def src_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SRC_EXCEL_ROUNDTRIP_SQL = """
 SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
-       SUM(n_nationkey) AS key_sum
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
 FROM nation GROUP BY 1 ORDER BY 1
 """
 
