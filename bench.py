@@ -137,6 +137,8 @@ HEADLINE = [
     "sink_partition_upsert",
     "compat_pandas_quarterly",
     "pipeline_full_read",
+    "stream_session_window",
+    "stream_stream_left_join",
 ]
 
 

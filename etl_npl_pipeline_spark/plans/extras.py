@@ -1067,3 +1067,163 @@ SELECT * FROM (
 )
 ORDER BY event_id
 """
+
+
+# --- ST8: native streaming session windows ------------------------
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: Spark's NATIVE ``session_window`` in streaming mode —
+    gap-merged session aggregation handled entirely by the engine's
+    session-window state store (vs ST2, which builds the same
+    sessions in custom applyInPandasWithState logic). Watermark +
+    append mode close sessions once the gap can no longer be
+    bridged. Session range is [first_event, last_event + gap): an
+    event at exactly gap distance starts a NEW session, which the
+    oracle mirrors with a >= gap break condition."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    # Watermark BEFORE the cutoff filter: the watermark statistic is
+    # collected at the EventTimeWatermark operator, and a predicate
+    # on the event-time column is never pushed below it — so the
+    # FULL stream advances the watermark to max_ts - 10m while only
+    # events <= max_ts - 20m form sessions. Every session then ends
+    # by max_ts - 15m < watermark and is guaranteed to close inside
+    # the bounded drain; without the margin the per-user FINAL
+    # session stays open forever and append mode never emits it.
+    ev = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES"))
+    )
+    agg = ev.groupBy(
+        F.session_window("ts", "5 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    mem = run_stream_to_memory(agg, output_mode="append")
+    return mem.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_WINDOW_SQL = """
+WITH cut AS (
+    SELECT MAX(ts) - INTERVAL 20 MINUTE AS c FROM events
+), marked AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) >= 300.0 THEN 1 ELSE 0 END AS brk
+    FROM events WHERE ts <= (SELECT c FROM cut)
+), sess AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# --- ST9: watermarked LEFT OUTER stream-stream join ---------------
+
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: stream-stream LEFT OUTER join — attribution where
+    unmatched clicks must still emit (with null purchase) once the
+    watermark proves no purchase can arrive. Outer rows only emit
+    after state eviction, so the query pre-filters clicks old enough
+    (45 min = join window + watermark before the stream's max ts)
+    that EVERY click's eviction deadline passes inside the bounded
+    drain — making the emitted set exactly the batch LEFT JOIN and
+    the oracle deterministic."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    # Each side's watermark stalls at ITS OWN last event (Catalyst
+    # pushes the type predicate below the watermark node, so the
+    # click watermark tracks clicks only), and outer rows emit only
+    # once the GLOBAL watermark — the min over both sides — passes
+    # click_ts + 30m. Anchoring the cutoff 45 min (join window +
+    # watermark + slack) below the SLOWER side's maximum therefore
+    # guarantees every kept click's eviction deadline passes inside
+    # the bounded drain; an all-events max would strand the tail of
+    # whichever type finishes earlier (observed: the last 40 min of
+    # clicks at sf0.001 never emitted their null rows).
+    maxes = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    anchor = min(r["m"] for r in maxes)
+    cutoff = F.lit(anchor) - F.expr("INTERVAL 45 MINUTES")
+    clicks = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .where((F.col("event_type") == "click") & (F.col("ts") <= cutoff))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("user_id", "click_id", "purchase_id")
+    mem = run_stream_to_memory(joined, output_mode="append")
+    return mem.orderBy("user_id", "click_id", "purchase_id")
+
+
+STREAM_STREAM_LEFT_JOIN_SQL = """
+WITH cutoff AS (
+    SELECT MIN(m) - INTERVAL 45 MINUTE AS c FROM (
+        SELECT event_type, MAX(ts) AS m FROM events
+        WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+    )
+)
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       p.event_id AS purchase_id
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND c.ts <= (SELECT c FROM cutoff)
+ORDER BY user_id, click_id, purchase_id
+"""
