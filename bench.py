@@ -139,6 +139,7 @@ HEADLINE = [
     "pipeline_full_read",
     "stream_session_window",
     "stream_stream_left_join",
+    "sql_udtf_sessionize",
 ]
 
 

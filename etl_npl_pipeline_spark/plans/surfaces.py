@@ -238,3 +238,68 @@ GROUP BY segment ORDER BY segment
 
 
 PIPELINE_FULL_READ_SQL = _pipeline_sql()
+
+
+# --- X5: SQL-level table function (Spark 4 Python UDTF) -----------
+
+def sql_udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 contract: per-user sessionization as a SQL TABLE FUNCTION —
+    a Spark 4 Python UDTF consumed with
+    ``TABLE(v) PARTITION BY user_id ORDER BY (ts, event_id)``, the
+    SQL-surface twin of the applyInPandasWithState sessionizer (ST2).
+    Each partition streams through one UDTF instance in order
+    (constant memory per user: prev-ts + two counters); the engine
+    handles the partition shuffle and in-partition sort, so the
+    same class runs unchanged on a 1000-executor cluster. The gap
+    rule (> 300 s starts a new session) matches ST2, and the oracle
+    is the identical lag-based replay."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_sessions int, n_events bigint")
+    class Sessionize:
+        def __init__(self):
+            self.uid = None
+            self.prev = None
+            self.sessions = 0
+            self.events = 0
+
+        def eval(self, row):
+            ts = row["ts"].timestamp()
+            self.uid = row["user_id"]
+            if self.prev is None or ts - self.prev > 300.0:
+                self.sessions += 1
+            self.prev = ts
+            self.events += 1
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.sessions, self.events)
+
+    spark.udtf.register("sessionize_udtf", Sessionize)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    ev.createOrReplaceTempView("udtf_events_v")
+    return spark.sql(
+        """
+        SELECT * FROM sessionize_udtf(
+            TABLE(udtf_events_v)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id
+        """
+    )
+
+
+SQL_UDTF_SESSIONIZE_SQL = """
+WITH marked AS (
+    SELECT user_id,
+           CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch(ts), event_id
+                ) > 300.0 THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id, CAST(SUM(new_session) + 1 AS INTEGER) AS n_sessions,
+       COUNT(*) AS n_events
+FROM marked GROUP BY user_id ORDER BY user_id
+"""
