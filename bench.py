@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_session_window",
     "stream_stream_left_join",
     "sql_udtf_sessionize",
+    "dedup_incremental",
 ]
 
 

@@ -2626,3 +2626,84 @@ SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
 FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- L46: incremental dedup against a persisted signature store ---
+
+_SIG_STORE_TMP = "/root/repo/.tmp/sig_store"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L46: continuous-ingest dedup — a NEW BATCH deduplicates
+    against the persisted signature store of everything already
+    ingested, then appends its accepted signatures. This is the
+    shape every rolling crawl runs daily: the corpus is never
+    re-scanned, only its hash index is consulted.
+
+    Here the store seeds from docs with doc_id % 4 != 0; the new
+    batch is the rest plus planted re-crawls (copies of existing
+    docs under new ids), guaranteeing both cross-batch and
+    in-batch duplicates exist. Accepted = in-batch keeper (min
+    doc_id per hash) that is NOT in the store.
+
+    Scale shape: the store side is corpus-sized, so the anti-join
+    SHUFFLES on the 16-byte hash — deliberately not broadcast (the
+    r2 lesson: never broadcast an unbounded set); the batch side is
+    small, so at 100 TB this is a map-side-pruned shuffle join on
+    md5 keys with even distribution by construction. The store
+    append is O(batch). Store rebuilt per call for determinism.
+    """
+    import shutil as _shutil
+
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") % 4 != 0)
+    _shutil.rmtree(_SIG_STORE_TMP, ignore_errors=True)
+    existing.select(
+        F.md5(D.normalize_text("text")).alias("h")
+    ).distinct().write.parquet(_SIG_STORE_TMP)
+
+    recrawl = docs.where(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 4 == 0).unionByName(recrawl)
+        .select("doc_id", F.md5(D.normalize_text("text")).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    keepers = (
+        batch.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "h")
+    )
+    store = spark.read.parquet(_SIG_STORE_TMP)
+    accepted = keepers.join(store, "h", "left_anti")
+    # append accepted signatures so the NEXT batch sees them
+    accepted.select("h").write.mode("append").parquet(_SIG_STORE_TMP)
+    return accepted.select("doc_id").orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH norm AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+    FROM documents
+),
+store AS (SELECT DISTINCT h FROM norm WHERE doc_id % 4 <> 0),
+batch AS (
+    SELECT doc_id, h FROM norm WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, h FROM norm WHERE doc_id % 8 = 1
+),
+keepers AS (
+    SELECT doc_id, h FROM (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+        FROM batch
+    ) WHERE rk = 1
+)
+SELECT doc_id FROM keepers
+WHERE h NOT IN (SELECT h FROM store)
+ORDER BY doc_id
+"""
