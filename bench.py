@@ -323,11 +323,15 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path) as fh:
             base = json.load(fh)["queries"]
+        # Gate on the BEST of the two passes: a transient system
+        # noise spike (measured: 0.9s queries reading 4s+ in one
+        # pass, clean in isolation) rarely hits both passes, so the
+        # min is the query's honest cost this run.
         violators = {
-            k: {"baseline": base[k], "now": timings[k]}
+            k: {"baseline": base[k], "now": min(timings[k], cold[k])}
             for k in timings
             if base.get(k, 0) >= 0.5
-            and timings[k] > GATE_RATIO * base[k] + GATE_SLACK_SEC
+            and min(timings[k], cold[k]) > GATE_RATIO * base[k] + GATE_SLACK_SEC
         }
         detail["regressions_vs_self_baseline"] = violators
         with open(
