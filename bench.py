@@ -230,16 +230,18 @@ def main() -> None:
         },
     }
 
-    # Republish the ann_lsh knob sweep (tools_lsh_sweep.py) next to
-    # the chosen point so the published recall always carries the
-    # grid that justified it.
-    sweep_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "lsh_sweep.json"
-    )
-    sweep = None
-    if os.path.exists(sweep_path):
-        with open(sweep_path) as fh:
-            sweep = json.load(fh)
+    # Republish the ann_lsh / ann_pq knob sweeps (tools_lsh_sweep.py,
+    # tools_pq_sweep.py) next to the chosen points so the published
+    # recalls always carry the grids that justified them.
+    def _load_sweep(fname):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    sweep = _load_sweep("lsh_sweep.json")
+    pq_sweep = _load_sweep("pq_sweep.json")
 
     # Full-precision timings + index knobs go to a file; stdout gets ONE
     # compact line (the driver's capture window is ~2000 chars — r2's
@@ -259,6 +261,8 @@ def main() -> None:
     }
     if sweep is not None:
         detail["ann_lsh_sweep"] = sweep
+    if pq_sweep is not None:
+        detail["ann_pq_sweep"] = pq_sweep
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_detail.json"), "w",
