@@ -66,8 +66,8 @@ def build_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _rolling_checksum(data: bytes) -> int:
-    checksum = 0
+def _rolling_checksum(data: bytes, seed: int = 0) -> int:
+    checksum = seed
     for b in data:
         checksum = (checksum * 31 + b) % 1_000_000_007
     return checksum
@@ -75,8 +75,9 @@ def _rolling_checksum(data: bytes) -> int:
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, int]:
     """STUB decoder: deterministic fake (width, height, n_frames,
-    checksum) from the payload bytes. Used for formats that need a
-    codec library (now only MP4/video) — see decode_media."""
+    checksum) from the payload bytes. The fallback for payloads with
+    no recognized magic (BMP/WAV/PNG/JPEG/MP4 all decode for real) —
+    see decode_media / sniff_and_decode."""
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, n % 16 + 1, _rolling_checksum(payload))
 
@@ -976,12 +977,14 @@ def _walk_boxes(buf: bytes, start: int, end: int):
         size = int.from_bytes(buf[pos : pos + 4], "big")
         btype = buf[pos + 4 : pos + 8]
         body = pos + 8
+        min_size = 8
         if size == 1:  # 64-bit largesize
             size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
             body = pos + 16
+            min_size = 16  # header itself is 16 bytes here
         elif size == 0:  # box runs to end of file
             size = end - pos
-        if size < 8 or pos + size > end:
+        if size < min_size or pos + size > end:
             raise ValueError("bad box size")
         yield btype, body, pos + size
         pos += size
@@ -1037,8 +1040,7 @@ def _decode_mp4(payload: bytes) -> tuple[str, int, int, int, int, int]:
         sample = payload[offset : offset + s]
         if len(sample) != s:
             raise ValueError("sample overruns mdat")
-        for b in sample:
-            chk = (chk * 31 + b) % 1_000_000_007
+        chk = _rolling_checksum(sample, seed=chk)
         total += s
         offset += s
     return (f"video/{fourcc}", total, width, height, n, chk)

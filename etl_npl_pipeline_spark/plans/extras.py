@@ -1120,7 +1120,7 @@ STREAM_SESSION_WINDOW_SQL = """
 WITH cut AS (
     SELECT MAX(ts) - INTERVAL 20 MINUTE AS c FROM events
 ), marked AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                 ) >= 300.0 THEN 1 ELSE 0 END AS brk
@@ -1128,7 +1128,7 @@ WITH cut AS (
 ), sess AS (
     SELECT user_id, ts,
            SUM(brk) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING
            ) AS sid
     FROM marked

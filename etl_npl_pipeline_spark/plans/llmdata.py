@@ -2678,7 +2678,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "h")
     )
     store = spark.read.parquet(_SIG_STORE_TMP)
-    accepted = keepers.join(store, "h", "left_anti")
+    # Materialize BEFORE the append: the returned frame is lazily
+    # re-executed by the caller, and an un-pinned anti-join would
+    # then re-list the store directory and anti-join every accepted
+    # doc against its own just-appended signature (empty result).
+    accepted = keepers.join(store, "h", "left_anti").localCheckpoint(
+        eager=True
+    )
     # append accepted signatures so the NEXT batch sees them
     accepted.select("h").write.mode("append").parquet(_SIG_STORE_TMP)
     return accepted.select("doc_id").orderBy("doc_id")

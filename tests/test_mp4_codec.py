@@ -94,3 +94,15 @@ def test_sniff_dispatches_on_ftyp_magic():
     assert kind == "video/mp4v"
     assert (w, h, n) == (32, 24, 1)
     assert nb == 16
+
+
+def test_largesize_below_header_min_quarantines():
+    # a 64-bit largesize in [8, 16) would make the body interval
+    # reversed; the walker must reject it (routes to corrupt via
+    # sniff), never "decode" zeroed fields from empty slices
+    p = encode_mp4(b"x" * 50, 16, 16)
+    bad = bytearray(p)
+    bad[0:4] = (1).to_bytes(4, "big")  # ftyp becomes largesize box
+    bad[8:16] = (12).to_bytes(8, "big")  # < 16: invalid
+    kind, *_ = sniff_and_decode(bytes(bad[:4] + b"ftyp" + bad[8:]))
+    assert kind == "corrupt/unreadable"
