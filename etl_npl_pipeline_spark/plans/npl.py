@@ -165,22 +165,28 @@ def npl_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """common_df analog: outer-join chain of the quarterly series +
     shock flag (ref: src:706-708).
 
-    flowrate + price_index come out of one aggregation (no repeated
-    lineitem scan); the orders-derived macro frame outer-joins on
-    the shared quarter key — column order mirrors the oracle: the
-    series frame leads so its quarters coalesce first.
+    flowrate + price_index come out of ONE aggregation carried in
+    ONE frame (selecting them from two separate quarter_series
+    calls would rebuild the plan twice — column pruning makes the
+    diamond subtrees non-identical, so ReusedExchange cannot
+    deduplicate them and lineitem would scan twice); the
+    orders-derived macro frame outer-joins on the shared quarter
+    key. Output column order mirrors the oracle.
     """
+    series = quarter_series(spark, sf_dir)
     common = merge_chain(
-        [
-            quarter_series(spark, sf_dir).select("quarter", "flowrate_ratio"),
-            macro_by_quarter(spark, sf_dir),
-            quarter_series(spark, sf_dir).select("quarter", "price_index"),
-        ],
+        [series, macro_by_quarter(spark, sf_dir)],
         on="quarter",
         how="outer",
         broadcast_tail=True,
     )
-    return common.withColumn(
+    return common.select(
+        "quarter",
+        "flowrate_ratio",
+        "avg_order_value",
+        "n_orders",
+        "price_index",
+    ).withColumn(
         "shock", shock_flag("quarter", SHOCK_START, SHOCK_END)
     ).orderBy("quarter")
 

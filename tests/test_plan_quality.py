@@ -382,3 +382,12 @@ def test_bpe_pairs_partial_topk_not_global_sort(spark, sf_dir):
     table."""
     plan = _formatted(llmdata.vocab_bpe_pairs(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_npl_assemble_single_lineitem_scan(spark, sf_dir):
+    """npl_assemble carries flowrate + price_index in ONE
+    quarter_series frame; selecting them from two separate calls
+    would rebuild the plan twice (pruning breaks ReusedExchange) and
+    scan lineitem twice."""
+    plan = _formatted(npl.npl_assemble(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
