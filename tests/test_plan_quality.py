@@ -391,3 +391,14 @@ def test_npl_assemble_single_lineitem_scan(spark, sf_dir):
     scan lineitem twice."""
     plan = _formatted(npl.npl_assemble(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_events_funnel_single_event_scan(spark, sf_dir):
+    """The funnel's three sequential stage constraints ride chained
+    window mins over one user_id partitioning — one scan of the
+    fact table, not one per stage (the naive per-stage-frame chain
+    re-planned the scan 6x)."""
+    from etl_npl_pipeline_spark.plans import extras
+
+    plan = _formatted(extras.events_funnel(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
