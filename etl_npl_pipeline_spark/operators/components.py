@@ -79,8 +79,10 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    # One materialization of the edge list reused every round.
-    und = und.localCheckpoint(eager=True)
+    # One materialization of the edge list reused every round. Lazy
+    # checkpoint: the count() below is the materializing job, so the
+    # truncation costs no job of its own.
+    und = und.localCheckpoint(eager=False)
     with _loop_shuffle_pin(und, und.count()):
         labels = _hashmin_loop(und, max_iter)
     return labels
@@ -94,8 +96,9 @@ def _hashmin_loop(und: DataFrame, max_iter: int) -> DataFrame:
         und.groupBy(F.col("u").alias("node"))
         .agg(F.min("v").alias("mn"))
         .select("node", F.least("node", F.col("mn")).alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev_sig = None
     for _ in range(max_iter):
         # neighbor labels flow along edges; min with own label
         msgs = und.join(
@@ -121,17 +124,25 @@ def _hashmin_loop(und: DataFrame, max_iter: int) -> DataFrame:
                 "node",
                 F.coalesce("c_comp", "component").alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # Fixpoint check: xor-folded label signature — a shuffle-free
+        # scan, vs the old old-vs-new equi-join + count which cost a
+        # full extra shuffle every round. The checkpoint above is
+        # LAZY, so this collect is also the round's single
+        # materializing job (eager checkpoint + separate check ran
+        # two). Labels only ever decrease, so two consecutive
+        # identical (count, hash) pairs mean converged (same trick
+        # as the star loop's edge-set signature).
         labels = new_labels
-        if changed == 0:
+        row = labels.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, component))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels
 
 
@@ -170,7 +181,7 @@ def connected_components_star(
     """
     cur = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     with _loop_shuffle_pin(cur, cur.count()):
         cur, converged = _star_loop(cur, max_iter)
     if not converged:
@@ -211,7 +222,10 @@ def _star_loop(cur: DataFrame, max_iter: int):
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        cur = _canon(ls).localCheckpoint(eager=True)
+        # Lazy: materialized by the small-star half's signature job —
+        # the large-star result has exactly one consumer below, so an
+        # eager checkpoint here would only add a round-trip.
+        cur = _canon(ls).localCheckpoint(eager=False)
         # --- small-star (canonical orientation: v < u already) ---
         mins2 = cur.groupBy("u").agg(F.min("v").alias("m"))
         ss_nbrs = (
@@ -223,8 +237,9 @@ def _star_loop(cur: DataFrame, max_iter: int):
             ss_nbrs.union(ss_self).select(
                 F.col("n").alias("u"), F.col("m").alias("v")
             )
-        ).localCheckpoint(eager=True)
-        # --- fixpoint: edge-set signature unchanged ---
+        ).localCheckpoint(eager=False)
+        # --- fixpoint: edge-set signature unchanged --- (the lazy
+        # checkpoints above make this collect the round's ONE job)
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),
             # xor-fold: order-independent, overflow-free under ANSI
