@@ -141,6 +141,13 @@ HEADLINE = [
     "stream_stream_left_join",
     "sql_udtf_sessionize",
     "dedup_incremental",
+    "text_gopher_rules",
+    "text_script_profile",
+    "data_curriculum",
+    "emb_quantize_int8",
+    "events_windowed_topk",
+    "data_token_budget",
+    "text_langid_confusion",
 ]
 
 

@@ -2713,3 +2713,388 @@ SELECT doc_id FROM keepers
 WHERE h NOT IN (SELECT h FROM store)
 ORDER BY doc_id
 """
+
+
+# --- L47: Gopher/Dolma document-quality rule flags -----------------
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L47: the Gopher (Rae et al. 2021) / Dolma rule family as
+    per-document boolean flags — word-count bounds, mean-word-length
+    band, alphabetic-word fraction, minimum distinct-stopword hits —
+    plus the conjunction the pipeline actually gates on. Keeping the
+    individual flags (not just the verdict) is what lets the funnel
+    report (L39) attribute attrition per rule.
+
+    Scale shape: map-only codegen — token array built once per row,
+    every rule is a HOF over it, no shuffle. Integer/ratio
+    arithmetic is exact except mean word length, which both engines
+    compute as int/int division in double and round to 6 dp."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens("text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(
+        n_words > 0, F.round(sum_len.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), stop_arr)
+    )
+    r_wc = (n_words >= 15) & (n_words <= 10_000)
+    r_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_alpha = alpha_words * 10 >= n_words * 8  # >= 0.8, exact ints
+    r_stop = stop_distinct >= 2
+    return (
+        docs.where(F.col("doc_id") < 250)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            r_wc.cast("int").alias("rule_word_count"),
+            r_mwl.cast("int").alias("rule_mean_word_len"),
+            r_alpha.cast("int").alias("rule_alpha_frac"),
+            r_stop.cast("int").alias("rule_stopwords"),
+            (r_wc & r_mwl & r_alpha & r_stop).cast("int").alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_GOPHER_RULES_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 250
+), m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+               AS sum_len,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+           len(list_intersect(list_distinct(toks),
+                              {_STOP_EN})) AS stop_distinct
+    FROM t
+), r AS (
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN ROUND(CAST(sum_len AS DOUBLE) / n_words, 6)
+                ELSE 0.0 END AS mean_word_len,
+           (n_words >= 15 AND n_words <= 10000) AS r_wc,
+           alpha_words, stop_distinct
+    FROM m
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+       CAST(r_wc AS INT) AS rule_word_count,
+       CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+           AS rule_mean_word_len,
+       CAST(alpha_words * 10 >= n_words * 8 AS INT) AS rule_alpha_frac,
+       CAST(stop_distinct >= 2 AS INT) AS rule_stopwords,
+       CAST(r_wc AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_words * 10 >= n_words * 8
+            AND stop_distinct >= 2 AS INT) AS passes
+FROM r ORDER BY doc_id
+"""
+
+
+# --- L48: character-class script profile ---------------------------
+
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: per-document character-class composition — alphabetic /
+    digit / whitespace / other counts and the dominant class. The
+    cheap first-pass signal crawl pipelines use to drop binary
+    junk, code masquerading as prose, and wrong-script documents
+    before any tokenizer runs.
+
+    Scale shape: map-only, four regexp_replace+length expressions
+    per row in one codegen stage; no shuffle, no UDF. Counts are
+    exact integers so the oracle compare is exact."""
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    n_total = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(c, r"\S", ""))
+    n_other = n_total - n_alpha - n_digit - n_space
+    dominant = (
+        F.when((n_alpha >= n_digit) & (n_alpha >= n_space)
+               & (n_alpha >= n_other), F.lit("alpha"))
+        .when((n_digit >= n_space) & (n_digit >= n_other), F.lit("digit"))
+        .when(n_space >= n_other, F.lit("space"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        docs.where(F.col("doc_id") < 250)
+        .select(
+            "doc_id",
+            n_total.alias("n_total"),
+            n_alpha.alias("n_alpha"),
+            n_digit.alias("n_digit"),
+            n_space.alias("n_space"),
+            n_other.alias("n_other"),
+            dominant.alias("dominant"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SCRIPT_PROFILE_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           len(text) AS n_total,
+           len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+           len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           len(regexp_replace(text, '\\S', '', 'g')) AS n_space
+    FROM documents WHERE doc_id < 250
+)
+SELECT doc_id,
+       CAST(n_total AS INT) AS n_total,
+       CAST(n_alpha AS INT) AS n_alpha,
+       CAST(n_digit AS INT) AS n_digit,
+       CAST(n_space AS INT) AS n_space,
+       CAST(n_total - n_alpha - n_digit - n_space AS INT) AS n_other,
+       CASE
+         WHEN n_alpha >= n_digit AND n_alpha >= n_space
+              AND n_alpha >= n_total - n_alpha - n_digit - n_space
+           THEN 'alpha'
+         WHEN n_digit >= n_space
+              AND n_digit >= n_total - n_alpha - n_digit - n_space
+           THEN 'digit'
+         WHEN n_space >= n_total - n_alpha - n_digit - n_space
+           THEN 'space'
+         ELSE 'other'
+       END AS dominant
+FROM m ORDER BY doc_id
+"""
+
+
+# --- L49: quality-quantile curriculum assignment -------------------
+
+def data_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: curriculum scheduling — rank documents by a quality
+    signal (en-stopword density) and cut each SOURCE into 4 ntile
+    stages, easiest (highest quality) first; training then feeds
+    stage 1 before stage 2. Per-stage sums stay exact integers so
+    the oracle compare is exact.
+
+    Scale shape: the ntile window partitions by source (the same
+    partitioning L25/L40 already justify: source count is bounded,
+    rows per source are what the cluster shards on) — one shuffle,
+    no global sort. A mega-source makes one window partition large;
+    the mitigation (sub-bucket by md5 prefix inside the source)
+    is the documented L42 pattern and not needed at contract scale.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(T.tokens("text"))
+    score = F.round(
+        T.stopword_hits("text", "en").cast("double") / n_words, 6
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", score.alias("score"),
+            n_words.alias("n_words"),
+            T.stopword_hits("text", "en").alias("stop_hits"),
+        )
+        .withColumn("stage", F.ntile(4).over(w))
+        .groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("stop_hits").alias("sum_stop_hits"),
+            F.sum("n_words").alias("sum_words"),
+        )
+        .orderBy("source", "stage")
+    )
+
+
+DATA_CURRICULUM_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           ROUND(CAST(len(list_filter({_TOKS},
+                     t -> list_contains({_STOP_EN}, t))) AS DOUBLE)
+                 / len({_TOKS}), 6) AS score,
+           len({_TOKS}) AS n_words,
+           len(list_filter({_TOKS},
+                     t -> list_contains({_STOP_EN}, t))) AS stop_hits
+    FROM documents
+), staged AS (
+    SELECT source, stop_hits, n_words,
+           NTILE(4) OVER (PARTITION BY source
+                          ORDER BY score DESC, doc_id) AS stage
+    FROM scored
+)
+SELECT source, stage, COUNT(*) AS n_docs,
+       CAST(SUM(stop_hits) AS BIGINT) AS sum_stop_hits,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words
+FROM staged GROUP BY source, stage ORDER BY source, stage
+"""
+
+
+# --- L50: int8 scalar quantization of embeddings -------------------
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L50: per-vector int8 scalar quantization (min/max affine) —
+    the standard 4x memory cut for embedding stores (float32 -> 1
+    byte/dim) and the entry-level sibling of L43's PQ: code =
+    round((x - mn) / ((mx - mn)/255)), dequant = mn + code*step.
+    Emits per-vector reconstruction error so the pipeline can gate
+    quantization on measured quality, not hope.
+
+    Scale shape: map-only HOF chain (array_min/max + two transforms
+    + an aggregate fold) in one codegen stage; nothing shuffles.
+    The error fold mirrors DuckDB's list_reduce left-to-right, and
+    max() is order-free — both round to 6 dp for the compare."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 200)
+    e = F.col("embedding")
+    mn = F.array_min(e)
+    mx = F.array_max(e)
+    step = (mx - mn) / F.lit(255.0)
+    errs = F.when(
+        mx > mn,
+        F.transform(
+            e,
+            lambda x: F.abs(
+                x - (mn + F.round((x - mn) / step, 0) * step)
+            ),
+        ),
+    ).otherwise(F.transform(e, lambda x: F.lit(0.0)))
+    err_sum = F.aggregate(
+        errs, F.lit(0.0), lambda acc, v: acc + v
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mn, 6).alias("v_min"),
+        F.round(mx, 6).alias("v_max"),
+        F.round(F.array_max(errs), 6).alias("err_max"),
+        F.round(err_sum / F.size(e), 6).alias("err_mean"),
+    ).orderBy("vec_id")
+
+
+EMB_QUANTIZE_INT8_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings WHERE vec_id < 200
+), m AS (
+    SELECT vec_id, emb,
+           list_min(emb) AS mn, list_max(emb) AS mx
+    FROM e
+), q AS (
+    SELECT vec_id, mn, mx,
+           CASE WHEN mx > mn THEN list_transform(emb,
+               x -> abs(x - (mn + ROUND((x - mn) / ((mx - mn)/255.0), 0)
+                               * ((mx - mn)/255.0))))
+           ELSE list_transform(emb, x -> 0.0) END AS errs,
+           len(emb) AS dim
+    FROM m
+)
+SELECT vec_id,
+       ROUND(mn, 6) AS v_min,
+       ROUND(mx, 6) AS v_max,
+       ROUND(list_max(errs), 6) AS err_max,
+       ROUND(list_reduce(errs, (a, b) -> a + b) / dim, 6) AS err_mean
+FROM q ORDER BY vec_id
+"""
+
+
+# --- L51: token-budget epoch planning ------------------------------
+
+TOKEN_BUDGET = 1_000_000
+
+
+def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L51: pre-training run planning — given a global token budget,
+    allocate it across sources proportionally to their token mass
+    and report how many epochs of each source that allocation buys
+    (x100, integer — mixtures are usually quoted in 0.01-epoch
+    granularity). The arithmetic every training-mixture spreadsheet
+    does, expressed as a plan so it runs on the real corpus instead
+    of a sampled guess.
+
+    Scale shape: one per-source agg (map-side partials; source
+    cardinality is bounded) + a 1-row broadcast of the corpus total.
+    All integer arithmetic — floor-div allocations are exact and
+    engine-independent."""
+    docs = _docs(spark, sf_dir)
+    per_src = (
+        docs.select("source", T.token_count_ws("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("src_tokens"))
+    )
+    total = per_src.agg(F.sum("src_tokens").alias("total_tokens"))
+    alloc = F.floor(
+        F.lit(TOKEN_BUDGET).cast("long") * F.col("src_tokens")
+        / F.col("total_tokens")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "src_tokens",
+            alloc.alias("alloc_tokens"),
+            F.floor(alloc * 100 / F.col("src_tokens")).alias("epochs_x100"),
+        )
+        .orderBy("source")
+    )
+
+
+DATA_TOKEN_BUDGET_SQL = f"""
+WITH per_src AS (
+    SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens
+    FROM documents GROUP BY source
+), tot AS (SELECT SUM(src_tokens) AS total_tokens FROM per_src)
+SELECT source, src_tokens,
+       CAST(FLOOR(CAST({TOKEN_BUDGET} AS BIGINT) * src_tokens
+                  / total_tokens) AS BIGINT) AS alloc_tokens,
+       CAST(FLOOR(FLOOR(CAST({TOKEN_BUDGET} AS BIGINT) * src_tokens
+                        / total_tokens) * 100
+                  / src_tokens) AS BIGINT) AS epochs_x100
+FROM per_src, tot ORDER BY source
+"""
+
+
+# --- L52: language-ID confusion matrix -----------------------------
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52: classifier evaluation INSIDE the pipeline — confusion
+    matrix of the L8 heuristic language-ID against the corpus'
+    labeled ``lang`` column. Running evaluation as a distributed
+    query (instead of a notebook sample) is what lets a crawl
+    operator watch lang-filter precision drift per ingest batch.
+
+    Scale shape: map-only scoring (same codegen exprs as L8) + one
+    2-key groupBy; output is |langs|^2 bounded."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+TEXT_LANGID_CONFUSION_SQL = f"""
+WITH scores AS (
+    SELECT lang,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr
+    FROM documents
+), step AS (
+    SELECT lang,
+           CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0) THEN 'fr'
+                WHEN s_de > greatest(s_en, s_es, 0) THEN 'de'
+                WHEN s_es > greatest(s_en, 0) THEN 'es'
+                WHEN s_en > 0 THEN 'en'
+                ELSE 'und' END AS predicted
+    FROM scores
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM step GROUP BY 1, 2 ORDER BY 1, 2
+"""

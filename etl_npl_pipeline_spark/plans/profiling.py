@@ -377,3 +377,54 @@ FROM events e JOIN st2 ON e.event_type = st2.event_type
 WHERE ABS(value - mu) > 3 * sigma
 ORDER BY event_id
 """
+
+
+# --- A46: per-window top-k event types ----------------------------
+
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46: trending-items analytics — top-3 event types per 15-min
+    tumbling window by count (ties broken by event_type so the cut
+    is deterministic). Window starts emitted as epoch seconds for
+    exact integer compare across engines.
+
+    Scale shape: one (window, type) shuffle agg with map-side
+    partials, then a rank window PARTITIONED BY win_start — window
+    count grows with time span, so partitions stay small and
+    parallel; no global sort (final orderBy is presentation on an
+    already-small result)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    rk = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 3)
+        .orderBy("win_start", "rk")
+    )
+
+
+EVENTS_WINDOWED_TOPK_SQL = """
+WITH counts AS (
+    SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT win_start, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY win_start
+                              ORDER BY n DESC, event_type) AS rk
+    FROM counts
+)
+SELECT win_start, event_type, n, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY win_start, rk
+"""

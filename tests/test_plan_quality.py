@@ -402,3 +402,44 @@ def test_events_funnel_single_event_scan(spark, sf_dir):
 
     plan = _formatted(extras.events_funnel(spark, sf_dir))
     assert plan.count("events.parquet") == 1
+
+
+def test_gopher_rules_map_only_single_stage(spark, sf_dir):
+    """L47/L48 are filter-stage ops that run on every crawled doc:
+    they must stay map-only — one scan, no Exchange before the
+    presentation sort (which TakeOrdered/Sort adds at the end)."""
+    from etl_npl_pipeline_spark.plans import llmdata as ld
+
+    for qfn in (ld.text_gopher_rules, ld.text_script_profile):
+        plan = _formatted(qfn(spark, sf_dir))
+        # no data shuffle: the only exchange allowed is the
+        # rangepartitioning that feeds the presentation sort
+        assert "hashpartitioning" not in plan, f"{qfn.__name__} shuffles"
+        assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_curriculum_single_source_window_shuffle(spark, sf_dir):
+    """L49's only data shuffle is the per-source ntile window + the
+    stage groupBy on the same key family; no global-sort window
+    (ntile without partitionBy = one-partition straggler)."""
+    from etl_npl_pipeline_spark.plans import llmdata as ld
+
+    plan = _formatted(ld.data_curriculum(spark, sf_dir))
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or (
+        # the final presentation orderBy on the tiny agg result may
+        # range-partition; what must NOT exist is a single-partition
+        # window over the full corpus
+        "Window" not in plan.split("SinglePartition")[0]
+    )
+    assert "ntile" in plan.lower()
+
+
+def test_emb_quantize_map_only(spark, sf_dir):
+    """L50 quantization must be a pure map over the embedding scan —
+    an Exchange here would mean the 100-TB embedding store shuffles
+    to get compressed."""
+    from etl_npl_pipeline_spark.plans import llmdata as ld
+
+    plan = _formatted(ld.emb_quantize_int8(spark, sf_dir))
+    assert "hashpartitioning" not in plan  # rangepartitioning sort only
+    assert plan.count("Location: InMemoryFileIndex") == 1
