@@ -148,6 +148,7 @@ HEADLINE = [
     "events_windowed_topk",
     "data_token_budget",
     "text_langid_confusion",
+    "stream_windowed_topk",
 ]
 
 

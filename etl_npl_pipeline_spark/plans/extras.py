@@ -1245,3 +1245,43 @@ LEFT JOIN events p
 WHERE c.event_type = 'click' AND c.ts <= (SELECT c FROM cutoff)
 ORDER BY user_id, click_id, purchase_id
 """
+
+
+# --- ST10: streaming windowed top-k (pre-agg + serving rank) -------
+
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10: the trending-items architecture — the STREAM maintains
+    per-(15-min window, type) counts (watermarked stateful agg, the
+    unbounded-state-safe part); the top-3 RANK runs on the compact
+    aggregate downstream (serving layer / foreachBatch), because a
+    streaming global rank would need complete-mode state over every
+    window ever seen. Batch twin: events_windowed_topk (same oracle).
+
+    Scale shape: stream state is O(windows x types) and expires with
+    the watermark; the rank input is the aggregate, never raw
+    events."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    drained = run_stream_to_memory(agg, output_mode="complete")
+    rk = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 3)
+        .orderBy("win_start", "rk")
+    )
