@@ -149,6 +149,7 @@ HEADLINE = [
     "data_token_budget",
     "text_langid_confusion",
     "stream_windowed_topk",
+    "mm_audio_features",
 ]
 
 

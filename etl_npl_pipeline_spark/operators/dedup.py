@@ -261,6 +261,14 @@ def jaccard_pairs(
     sh = sh.withColumn("df_", F.count(F.lit(1)).over(wfreq))
     if max_shingle_freq is not None:
         sh = sh.where(F.col("df_") <= max_shingle_freq)
+    # The capped shingle table feeds FOUR consumers (both self-join
+    # sides + both broadcast size frames) and Catalyst does not CSE
+    # across a diamond DAG — without a checkpoint the explode+window
+    # subtree executes four times. Lazy localCheckpoint: the first
+    # consumer materializes it, the rest read the persisted blocks.
+    # At corpus scale the capped table is ~n_docs x shingles rows of
+    # (id, hash) — the same thing the shuffle already spills.
+    sh = sh.localCheckpoint(eager=False)
     # doc sizes count the full (capped) universe, including df=1
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # df=1 shingles can never produce a pair — drop them from the

@@ -1077,3 +1077,81 @@ def build_mp4_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFram
             F.octet_length("payload").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over decoded PCM audio — the audio leg of
+    the multimodal pipeline (speech-corpus filtering gates on
+    exactly these: clip length, clipping/peak, energy, voicedness
+    proxies). Decodes the WAV container with the REAL stdlib parser
+    and computes per-clip features from the int16 samples:
+
+    - ``n_samples`` / ``duration_ms`` (integer, rate-exact)
+    - ``peak_abs`` — max |sample| (clipping detector)
+    - ``energy`` — sum of squared samples, exact int64 (an RMS
+      without the sqrt: order-independent, oracle-exact)
+    - ``zero_crossings`` — strict sign changes (crude spectral
+      centroid proxy)
+
+    Arrow-batched mapInPandas; numpy int64 arithmetic per batch, no
+    per-row Python. Map-only — nothing shuffles until the caller
+    aggregates."""
+    fields = (
+        "doc_id BIGINT, sample_rate INT, n_samples BIGINT, "
+        "duration_ms BIGINT, peak_abs BIGINT, energy BIGINT, "
+        "zero_crossings BIGINT"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_ms",
+                "peak_abs", "energy", "zero_crossings",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                kind, rate, channels, n_samples, _ = _decode_wav(bytes(payload))
+                # locate the data chunk again for the raw samples
+                pos, data = 12, b""
+                while pos + 8 <= len(payload):
+                    cid = bytes(payload[pos:pos + 4])
+                    csize = int.from_bytes(payload[pos + 4:pos + 8], "little")
+                    if cid == b"data":
+                        data = bytes(payload[pos + 8:pos + 8 + csize])
+                        break
+                    pos += 8 + csize + (csize % 2)
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["duration_ms"].append(len(s) * 1000 // rate)
+                out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["energy"].append(int((s * s).sum()))
+                out["zero_crossings"].append(
+                    int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=fields)
+
+
+def build_wav_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Wrap every doc's text bytes (truncated to even length) in a
+    REAL PCM-16 WAV container — the all-audio twin of
+    build_real_media_frame for audio-pipeline tests/oracles."""
+    flat = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                payloads.append(
+                    encode_wav(data[: len(data) - (len(data) % 2)], 16_000, 1)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return flat.mapInPandas(batches, schema="doc_id BIGINT, payload BINARY")

@@ -1285,3 +1285,59 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("win_start", "rk")
     )
+
+
+# --- L53: audio feature extraction (multimodal, real WAV path) -----
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53: the audio leg of the multimodal pipeline — every doc's
+    bytes wrapped in a REAL PCM-16 WAV container, decoded back by
+    the stdlib RIFF parser, then per-clip features (duration, peak,
+    exact energy, zero crossings) via numpy over Arrow batches. The
+    oracle recomputes every feature from the text's octets alone
+    (little-endian int16 reconstruction in SQL), so a header-walk or
+    sample-decode bug cannot hash-match."""
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        audio_features,
+        build_wav_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return audio_features(build_wav_frame(docs, "text", "doc_id")).orderBy(
+        "doc_id"
+    )
+
+
+MM_AUDIO_FEATURES_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 100
+), s AS (
+    SELECT doc_id, nb // 2 AS ns,
+           list_transform(range(0, nb // 2), i ->
+               CASE WHEN CAST(('0x' || substr(hx, 4*i + 3, 2)) AS BIGINT)
+                         >= 128
+                    THEN CAST(('0x' || substr(hx, 4*i + 1, 2)) AS BIGINT)
+                         + 256 * CAST(('0x' || substr(hx, 4*i + 3, 2)) AS BIGINT)
+                         - 65536
+                    ELSE CAST(('0x' || substr(hx, 4*i + 1, 2)) AS BIGINT)
+                         + 256 * CAST(('0x' || substr(hx, 4*i + 3, 2)) AS BIGINT)
+               END) AS smp
+    FROM b
+)
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(ns * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(COALESCE(list_max(list_transform(smp, x -> abs(x))), 0)
+            AS BIGINT) AS peak_abs,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(smp, x -> x * x)), (a, c) -> a + c)
+            AS BIGINT) AS energy,
+       CAST(CASE WHEN ns > 1 THEN len(list_filter(range(1, ns),
+                i -> smp[i] * smp[i + 1] < 0)) ELSE 0 END
+            AS BIGINT) AS zero_crossings
+FROM s ORDER BY doc_id
+"""
