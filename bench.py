@@ -150,6 +150,8 @@ HEADLINE = [
     "text_langid_confusion",
     "stream_windowed_topk",
     "mm_audio_features",
+    "mm_video_sample",
+    "mor_compacted_read",
 ]
 
 

@@ -1155,3 +1155,70 @@ def build_wav_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
 
     return flat.mapInPandas(batches, schema="doc_id BIGINT, payload BINARY")
+
+
+def video_frame_sample(media: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Sample-accurate frame extraction from ISO BMFF video: walk
+    the sample table (stsz sizes + stco chunk offset) and pull out
+    every ``every_nth``-th SAMPLE's bytes from mdat — the seek
+    pattern every video-training pipeline runs (decode 1-in-N
+    frames, never the whole stream). Emits per-video totals and a
+    rolling checksum over exactly the sampled bytes, so an
+    off-by-one in the sample-table navigation cannot hash-match an
+    oracle that recomputes the sampled ranges independently.
+
+    Arrow-batched mapInPandas, map-only; the payload column never
+    shuffles."""
+    fields = (
+        "doc_id BIGINT, n_frames BIGINT, n_sampled BIGINT, "
+        "sampled_bytes BIGINT, checksum BIGINT"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_sampled", "sampled_bytes",
+                "checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                found: dict[bytes, tuple[int, int]] = {}
+
+                def recurse(start: int, end: int) -> None:
+                    for btype, b0, b1 in _walk_boxes(payload, start, end):
+                        if btype in _MP4_CONTAINERS:
+                            recurse(b0, b1)
+                        else:
+                            found.setdefault(btype, (b0, b1))
+
+                recurse(0, len(payload))
+                sz0, sz1 = found[b"stsz"]
+                sz = payload[sz0:sz1]
+                fixed = int.from_bytes(sz[4:8], "big")
+                n = int.from_bytes(sz[8:12], "big")
+                sizes = (
+                    [fixed] * n
+                    if fixed
+                    else [
+                        int.from_bytes(sz[12 + 4 * i: 16 + 4 * i], "big")
+                        for i in range(n)
+                    ]
+                )
+                co0, co1 = found[b"stco"]
+                offset = int.from_bytes(payload[co0 + 8: co0 + 12], "big")
+                chk, sampled_b, n_sampled = 0, 0, 0
+                pos = offset
+                for i, s in enumerate(sizes):
+                    if i % every_nth == 0:
+                        chk = _rolling_checksum(payload[pos:pos + s], seed=chk)
+                        sampled_b += s
+                        n_sampled += 1
+                    pos += s
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["n_sampled"].append(n_sampled)
+                out["sampled_bytes"].append(sampled_b)
+                out["checksum"].append(chk)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=fields)

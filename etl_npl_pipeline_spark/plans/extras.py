@@ -1341,3 +1341,143 @@ SELECT doc_id,
             AS BIGINT) AS zero_crossings
 FROM s ORDER BY doc_id
 """
+
+
+# --- L54: video frame sampling via the MP4 sample table ------------
+
+def mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54: 1-in-4 frame sampling out of REAL ISO BMFF containers —
+    the seek pattern of video-training ingestion (extract sparse
+    frames via the sample table; never decode the full stream). The
+    oracle recomputes the sampled byte ranges (64-byte frame lattice,
+    last ragged) from the text octets alone and folds the identical
+    rolling checksum, so stsz/stco navigation errors cannot match."""
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        build_mp4_media_frame,
+        video_frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 60) & (F.col("n_chars") > 0)
+    )
+    media = build_mp4_media_frame(docs, "text", "doc_id")
+    return video_frame_sample(media, every_nth=4).orderBy("doc_id")
+
+
+MM_VIDEO_SAMPLE_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           hex(encode(text)) AS hx
+    FROM documents WHERE doc_id < 60 AND n_chars > 0
+), f AS (
+    SELECT doc_id, nb, hx, (nb + 63) // 64 AS n FROM b
+), s AS (
+    SELECT doc_id, nb, hx, n,
+           list_filter(range(0, n), i -> i % 4 = 0) AS keep
+    FROM f
+), pos AS (
+    SELECT doc_id, n, len(keep) AS n_sampled,
+           flatten(list_transform(keep,
+               i -> range(i*64, least((i+1)*64, nb)))) AS ps,
+           hx
+    FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(len(ps) AS BIGINT) AS sampled_bytes,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(ps,
+               p -> CAST(('0x' || substr(hx, 2*p + 1, 2)) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 1000000007) AS checksum
+FROM pos ORDER BY doc_id
+"""
+
+
+# --- T19c: compaction + post-compaction upsert round trip ----------
+
+_MOR_COMPACT_TMP = "/root/repo/.tmp/mor_compact"
+
+
+def mor_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19c contract: the COMPACTION path of the merge-on-read
+    table — build the same deterministic base→v1→v2 chain as
+    mor_snapshot_asof, fold it with mor_compact (new base snapshot,
+    deltas cleared), then land ANOTHER upsert on the compacted table
+    and read latest. Proves the two invariants a lakehouse
+    compaction job must keep: the reconciled view is unchanged by
+    compaction, and the version counter restarts cleanly so
+    post-compaction writes reconcile on top.
+
+    Scale shape: compaction is the background job that bounds MOR's
+    read amplification — one reconcile (key-window shuffle) + one
+    rewrite; the post-compaction read then reconciles base + ONE
+    delta instead of the whole history."""
+    from etl_npl_pipeline_spark import sinks
+
+    shutil.rmtree(_MOR_COMPACT_TMP, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") < 1000)
+    sinks.mor_init(base, _MOR_COMPACT_TMP)
+    v1 = (
+        orders.where(
+            (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100000.0))
+        .withColumn("_deleted", F.col("o_orderkey") % 10 == 0)
+    )
+    assert sinks.mor_upsert(v1, _MOR_COMPACT_TMP) == 1
+    v2 = orders.where(F.col("o_orderkey") < 300).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    assert sinks.mor_upsert(v2, _MOR_COMPACT_TMP) == 2
+    sinks.mor_compact(spark, _MOR_COMPACT_TMP, ["o_orderkey"])
+    # post-compaction upsert: doubles a slice that survived v1/v2
+    v3 = orders.where(
+        (F.col("o_orderkey") >= 900) & (F.col("o_orderkey") < 1100)
+    ).withColumn("o_totalprice", F.lit(1.0))
+    assert sinks.mor_upsert(v3, _MOR_COMPACT_TMP) == 1
+    return sinks.mor_read(
+        spark, _MOR_COMPACT_TMP, key_cols=["o_orderkey"]
+    ).orderBy("o_orderkey")
+
+
+MOR_COMPACTED_READ_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey < 1000
+),
+v1 AS (
+    SELECT o_orderkey, o_custkey,
+           o_totalprice + 100000.0 AS o_totalprice,
+           (o_orderkey % 10 = 0) AS del
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+),
+v2 AS (
+    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderkey < 300
+),
+-- table state after v2 = what compaction folds into the new base
+folded AS (
+    SELECT o_orderkey, o_custkey, o_totalprice FROM v2
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM v1
+    WHERE NOT del AND o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.o_orderkey = b.o_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM v2 WHERE v2.o_orderkey = b.o_orderkey)
+),
+v3 AS (
+    SELECT o_orderkey, o_custkey, 1.0 AS o_totalprice
+    FROM orders WHERE o_orderkey >= 900 AND o_orderkey < 1100
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM v3
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM folded f
+WHERE NOT EXISTS (SELECT 1 FROM v3 WHERE v3.o_orderkey = f.o_orderkey)
+ORDER BY o_orderkey
+"""
