@@ -353,18 +353,18 @@ def main() -> None:
         return json.dumps(body, separators=(",", ":"))
 
     line = _line({k: _compact(v) for k, v in timings.items()}, 0)
-    if len(line) > 1980:
+    if len(line) > 1900:
         line = _line({k: round(v, 1) for k, v in timings.items()}, 0)
-    if len(line) > 1980:
+    if len(line) > 1900:
         slow = {k: round(v, 1) for k, v in timings.items() if v >= 0.5}
         fast_total = sum(v for v in timings.values() if v < 0.5)
         line = _line(slow, len(timings) - len(slow), fast_total)
-    if len(line) > 1980:
+    if len(line) > 1900:
         slowest = sorted(timings, key=timings.get, reverse=True)
         keep = dict()
         for name in slowest:
             trial = dict(keep, **{name: round(timings[name], 1)})
-            if len(_line(trial, len(timings) - len(trial))) > 1980:
+            if len(_line(trial, len(timings) - len(trial))) > 1900:
                 break
             keep = trial
         line = _line(keep, len(timings) - len(keep))
@@ -390,16 +390,19 @@ def main() -> None:
         # Scale the gate by relative machine speed when the baseline
         # recorded its host's calibration: a slower host inflates
         # every query together and a raw ratio gate reads that as
-        # dozens of false regressions. Clamped so a wildly different
-        # probe never opens the gate more than 3x or tightens it
-        # below 0.8x (streaming drains have trigger-wait floors that
-        # don't scale with CPU speed).
+        # dozens of false regressions. Clamped to [1.0, 3.0]: a
+        # SLOWER host loosens proportionally, but a fast-probe run
+        # never tightens below the plain 1.25x — baselines are
+        # already min-of-runs, and probe speed swings (turbo, noisy
+        # neighbors) don't move the streaming drains' trigger-wait
+        # floors, so sub-1.0 scaling measured 5 false positives in
+        # one pass.
         base_cal = (base_doc.get("calibration") or {}).get("shuffle_sec")
         machine_scale = 1.0
         if base_cal:
             machine_scale = min(
                 3.0,
-                max(0.8, calibration["shuffle_sec"] / base_cal),
+                max(1.0, calibration["shuffle_sec"] / base_cal),
             )
         # Gate on the BEST of the two passes: a transient system
         # noise spike (measured: 0.9s queries reading 4s+ in one

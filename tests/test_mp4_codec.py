@@ -106,3 +106,48 @@ def test_largesize_below_header_min_quarantines():
     bad[8:16] = (12).to_bytes(8, "big")  # < 16: invalid
     kind, *_ = sniff_and_decode(bytes(bad[:4] + b"ftyp" + bad[8:]))
     assert kind == "corrupt/unreadable"
+
+
+def test_video_frame_sample_every_1_matches_full_decode(spark):
+    """The sample-table walker in video_frame_sample and the one in
+    _decode_mp4 must agree: sampling every 1st frame IS the full
+    stream, so the chained checksum equals the decoder's."""
+    import pandas as pd
+
+    from etl_npl_pipeline_spark.operators.multimodal import (
+        _decode_mp4,
+        video_frame_sample,
+    )
+
+    texts = ["short", "x" * 64, "y" * 65, "z" * 200, "a" * 640 + "tail"]
+    payloads = [encode_mp4(t.encode(), 32, 24) for t in texts]
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "payload": payloads})
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in video_frame_sample(media, every_nth=1).collect()
+    }
+    for i, p in enumerate(payloads):
+        kind, total, w, h, n, chk = _decode_mp4(p)
+        assert rows[i]["n_frames"] == n
+        assert rows[i]["n_sampled"] == n
+        assert rows[i]["sampled_bytes"] == total
+        assert rows[i]["checksum"] == chk
+
+
+def test_video_frame_sample_strides(spark):
+    """1-in-3 over 5 frames keeps frames 0 and 3 — sizes and byte
+    counts follow the 64-byte lattice with a ragged tail."""
+    import pandas as pd
+
+    from etl_npl_pipeline_spark.operators.multimodal import video_frame_sample
+
+    data = bytes(range(256)) + b"EXTRA"  # 261 bytes -> 5 frames
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "payload": [encode_mp4(data, 16, 16)]})
+    )
+    r = video_frame_sample(media, every_nth=3).collect()[0]
+    assert r["n_frames"] == 5
+    assert r["n_sampled"] == 2          # frames 0, 3
+    assert r["sampled_bytes"] == 128    # both full 64-byte frames
