@@ -152,6 +152,7 @@ HEADLINE = [
     "mm_audio_features",
     "mm_video_sample",
     "mor_compacted_read",
+    "text_chunk_filter",
 ]
 
 

@@ -3098,3 +3098,70 @@ WITH scores AS (
 SELECT lang, predicted, COUNT(*) AS n
 FROM step GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- L55: intra-document chunk filtering (line-level cleaning) -----
+
+CHUNK_WORDS = 20
+
+
+def text_chunk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55: FineWeb/C4-style INTRA-document cleaning — documents are
+    not kept or dropped whole; their low-quality spans are cut and
+    the survivors reassembled. Here the unit is a 20-word chunk and
+    the gate is "contains at least one en stopword" (the C4
+    terminal-punctuation rule's analog for this corpus): chunks with
+    no function words are boilerplate/menu debris. Emits the
+    reassembled text's length + fingerprint and the kept/total chunk
+    counts, so the oracle pins the exact reconstruction, not just
+    the counts.
+
+    Scale shape: map-only — slice the token array on the chunk
+    lattice (F.sequence), filter chunks with a HOF exists(), flatten
+    and rejoin; one codegen stage, no shuffle, no UDF."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 250)
+    toks = T.tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * CHUNK_WORDS + 1, CHUNK_WORDS),
+    )
+    stop_arr = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    kept = F.filter(
+        chunks,
+        lambda ch: F.exists(ch, lambda t: F.array_contains(stop_arr, t)),
+    )
+    cleaned = F.array_join(F.flatten(kept), " ")
+    return docs.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.size(kept).alias("n_kept"),
+        F.length(cleaned).alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+TEXT_CHUNK_FILTER_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 250
+), c AS (
+    SELECT doc_id,
+           CAST(ceil(len(toks) / 20.0) AS INT) AS n_chunks,
+           list_filter(
+               list_transform(range(0, CAST(ceil(len(toks)/20.0) AS INT)),
+                   i -> list_slice(toks, i*20 + 1, i*20 + 20)),
+               ch -> len(list_filter(ch,
+                         t -> list_contains({_STOP_EN}, t))) > 0
+           ) AS kept
+    FROM t
+)
+SELECT doc_id, n_chunks,
+       CAST(len(kept) AS INT) AS n_kept,
+       -- flatten([]) is NULL in DuckDB (Spark's flatten of an empty
+       -- array is []); coalesce so the zero-kept doc reassembles to
+       -- the empty string on both engines
+       CAST(len(COALESCE(array_to_string(flatten(kept), ' '), ''))
+            AS INT) AS clean_len,
+       md5(COALESCE(array_to_string(flatten(kept), ' '), '')) AS clean_md5
+FROM c ORDER BY doc_id
+"""
