@@ -153,6 +153,7 @@ HEADLINE = [
     "mm_video_sample",
     "mor_compacted_read",
     "text_chunk_filter",
+    "data_shard_manifest",
 ]
 
 

@@ -3165,3 +3165,57 @@ SELECT doc_id, n_chunks,
        md5(COALESCE(array_to_string(flatten(kept), ' '), '')) AS clean_md5
 FROM c ORDER BY doc_id
 """
+
+
+# --- L56: deterministic shard assignment + balance manifest --------
+
+N_SHARDS = 32
+
+
+def data_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56: the last stage of every training-data pipeline — assign
+    each document to one of N fixed output shards deterministically
+    (md5-mod, never rand(): retries, engines, and re-runs agree) and
+    emit the shard MANIFEST: doc count + byte mass per shard, plus
+    each shard's min/max doc id for reproducible loader bookkeeping.
+    Balanced shards are what keep 1000 data-loader workers evenly
+    fed; the manifest is how you detect a skewed shard before
+    training does.
+
+    Scale shape: map-only shard assignment (codegen md5 arithmetic)
+    + ONE groupBy on the shard key (exact integer sums, map-side
+    partials). The write itself is `partitionBy(shard)` on this same
+    frame; the manifest is its audit twin."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long")
+    shard = (bucket % F.lit(N_SHARDS)).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.length("text").alias("nb"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+DATA_SHARD_MANIFEST_SQL = f"""
+WITH s AS (
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % {N_SHARDS} AS INT) AS shard,
+           doc_id, len(text) AS nb
+    FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS bytes,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY shard ORDER BY shard
+"""
