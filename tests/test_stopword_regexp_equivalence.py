@@ -76,3 +76,27 @@ def test_regexp_stopword_hits_matches_token_filter(spark, corpus):
             assert r[f"s_{L}"] == _ref_hits(r["text"], L), (
                 f"lang={L} text={r['text']!r}"
             )
+
+
+def test_int8_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Affine int8 quantization's reconstruction error is bounded by
+    step/2 = (max-min)/510 per element — the property that makes the
+    4x memory cut safe to gate on. Checked on the real embeddings."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark.plans.llmdata import _emb
+
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding")
+    mn, mx = F.array_min(e), F.array_max(e)
+    step = (mx - mn) / F.lit(255.0)
+    errs = F.transform(
+        e, lambda x: F.abs(x - (mn + F.round((x - mn) / step, 0) * step))
+    )
+    bad = (
+        emb.where(mx > mn)
+        .select((F.array_max(errs) <= step / 2 + F.lit(1e-12)).alias("ok"))
+        .where(~F.col("ok"))
+        .count()
+    )
+    assert bad == 0
