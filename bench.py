@@ -154,6 +154,7 @@ HEADLINE = [
     "mor_compacted_read",
     "text_chunk_filter",
     "data_shard_manifest",
+    "search_phrase",
 ]
 
 

@@ -3219,3 +3219,91 @@ SELECT shard, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM s GROUP BY shard ORDER BY shard
 """
+
+
+# --- L57: positional phrase search (posting-list intersection) -----
+
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57: exact phrase search the way an index serves it — only
+    the PHRASE TERMS' positional postings move, never the corpus:
+    postings (doc, pos) for each of the three words are intersected
+    with position arithmetic (pos+1, pos+2). BM25 (L32) ranks bags
+    of words; this is the complementary primitive for quoted
+    queries, contamination lookups, and span attribution.
+
+    The phrase is self-anchoring: the corpus' globally most frequent
+    word trigram (deterministic top-1, ties broken by string), so
+    the query keeps returning non-trivial matches across testdata
+    regenerations. Scale shape: trigram top-1 is one count shuffle +
+    TakeOrderedAndProject; the postings for the 3 chosen terms are
+    filtered BEFORE any shuffle (in-list pushdown vs the broadcast
+    phrase row), so the intersection joins move O(postings of 3
+    terms), not O(corpus)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "term")
+    )
+    tri = (
+        docs.select(
+            F.explode(D.word_shingles("text", 3)).alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram"))
+        .limit(1)
+        .select(F.split("trigram", " ").alias("ws"), "trigram")
+    )
+    phrase = tri.select(
+        F.col("ws")[0].alias("w1"),
+        F.col("ws")[1].alias("w2"),
+        F.col("ws")[2].alias("w3"),
+        "trigram",
+    )
+    p = toks.crossJoin(F.broadcast(phrase))
+    p1 = p.where(F.col("term") == F.col("w1")).select(
+        "doc_id", F.col("pos").alias("pos1"), "trigram"
+    )
+    p2 = toks.crossJoin(F.broadcast(phrase)).where(
+        F.col("term") == F.col("w2")
+    ).select("doc_id", F.col("pos").alias("pos2"))
+    p3 = toks.crossJoin(F.broadcast(phrase)).where(
+        F.col("term") == F.col("w3")
+    ).select("doc_id", F.col("pos").alias("pos3"))
+    hits = (
+        p1.join(p2, "doc_id")
+        .where(F.col("pos2") == F.col("pos1") + 1)
+        .join(p3, "doc_id")
+        .where(F.col("pos3") == F.col("pos1") + 2)
+        .select("doc_id", "trigram")
+        .distinct()
+    )
+    return hits.groupBy(F.col("trigram").alias("phrase")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SEARCH_PHRASE_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), tri AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ))) AS trigram
+    FROM t
+), top1 AS (
+    -- word_shingles is DISTINCT per doc on the Spark side, so the
+    -- top-1 is by DOCUMENT frequency (same CTE, same semantics)
+    SELECT trigram FROM tri
+    GROUP BY trigram ORDER BY COUNT(*) DESC, trigram LIMIT 1
+)
+SELECT trigram AS phrase, COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM tri WHERE trigram = (SELECT trigram FROM top1)
+GROUP BY trigram
+"""
