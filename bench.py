@@ -155,6 +155,7 @@ HEADLINE = [
     "text_chunk_filter",
     "data_shard_manifest",
     "search_phrase",
+    "events_sla_breach",
 ]
 
 

@@ -428,3 +428,58 @@ WITH counts AS (
 SELECT win_start, event_type, n, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= 3 ORDER BY win_start, rk
 """
+
+
+# --- A47: hourly error-rate SLA report ----------------------------
+
+def events_sla_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47: the pipeline-operations view of the event stream —
+    hourly total/error counts, error rate in basis points (exact
+    integer arithmetic: 10000*errors/total floor-divided, so the
+    compare is engine-exact with no float rounding contract), and
+    the SLA breach flag at a 5% threshold. What a data-platform
+    on-call actually pages on.
+
+    Scale shape: ONE (hour) shuffle agg with map-side partials and
+    conditional sums — no join, no second pass; output is bounded
+    by the time span."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("long")
+    return (
+        ev.select(
+            hour.alias("hour_start"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_err").alias("n_errors"),
+        )
+        .select(
+            "hour_start",
+            "n_events",
+            "n_errors",
+            F.floor(F.lit(10000) * F.col("n_errors") / F.col("n_events"))
+            .alias("err_bps"),
+            (
+                F.lit(10000) * F.col("n_errors")
+                > F.lit(500) * F.col("n_events")
+            ).cast("int").alias("sla_breach"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_SLA_BREACH_SQL = """
+WITH h AS (
+    SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_start,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+    FROM events
+)
+SELECT hour_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(is_err) AS BIGINT) AS n_errors,
+       CAST(FLOOR(10000.0 * SUM(is_err) / COUNT(*)) AS BIGINT) AS err_bps,
+       CAST(10000 * SUM(is_err) > 500 * COUNT(*) AS INT) AS sla_breach
+FROM h GROUP BY hour_start ORDER BY hour_start
+"""
