@@ -156,6 +156,7 @@ HEADLINE = [
     "data_shard_manifest",
     "search_phrase",
     "events_sla_breach",
+    "stream_anomaly_alerts",
 ]
 
 

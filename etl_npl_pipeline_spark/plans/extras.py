@@ -1481,3 +1481,83 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM folded f
 WHERE NOT EXISTS (SELECT 1 FROM v3 WHERE v3.o_orderkey = f.o_orderkey)
 ORDER BY o_orderkey
 """
+
+
+# --- ST11: streaming anomaly alerting (windowed z-score) -----------
+
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11: streaming observability — the STREAM maintains
+    watermark-expiring per-(15-min window, type) counts (the
+    unbounded-state-safe half); anomaly scoring (which windows are
+    traffic spikes/droughts for their type) runs downstream on the
+    compact aggregate, z-scoring each window's count against its
+    type's distribution over windows and flagging |z| > 2. The
+    alerting pipeline every event platform runs: per-key state O(1),
+    raw events never reach the scorer. Oracle = the identical batch
+    computation from exact integer sums (var = E[n²] − E[n]²)."""
+    from pyspark.sql.functions import broadcast
+
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    drained = run_stream_to_memory(agg, output_mode="complete")
+    stats = (
+        drained.groupBy(F.col("event_type").alias("et"))
+        .agg(
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+            F.sum(F.col("n") * F.col("n")).cast("double").alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn(
+            "sigma",
+            F.sqrt(F.col("sq") / F.col("cnt") - F.col("mu") * F.col("mu")),
+        )
+    )
+    return (
+        drained.join(
+            broadcast(stats), drained["event_type"] == stats["et"]
+        )
+        .where(F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma"))
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+STREAM_ANOMALY_ALERTS_SQL = """
+WITH counts AS (
+    SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(SUM(n*n) AS DOUBLE) AS sq,
+           COUNT(*) AS cnt
+    FROM counts GROUP BY event_type
+), s2 AS (
+    SELECT event_type, mu, sqrt(sq/cnt - mu*mu) AS sigma FROM stats
+)
+SELECT win_start, c.event_type, n,
+       ROUND((n - mu) / sigma, 4) AS z
+FROM counts c JOIN s2 ON c.event_type = s2.event_type
+WHERE abs(n - mu) > 2 * sigma
+ORDER BY win_start, c.event_type
+"""
