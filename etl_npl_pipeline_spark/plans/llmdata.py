@@ -952,7 +952,7 @@ ANN_N_QUERIES = 20
 # multiprobe dominates its cost everywhere (0-probe tops out at
 # 0.57 recall even with 12 tables); 10x1 measured recall@5 = 0.94
 # at 1.67 s vs 12x1's 0.97 at 1.98 s — chosen point = cheapest
-# with recall >= 0.93 per the round-2/3 directive. Candidate-join
+# with recall >= 0.93. Candidate-join
 # cost scales with n_tables x bucket size (~corpus/2^planes), so
 # the two dropped tables are a real 100-TB saving, not just bench
 # time.
