@@ -73,6 +73,13 @@ def connected_components(
 
     ``edges`` is consumed as undirected; only nodes appearing in at
     least one edge are labeled (isolated nodes never enter).
+
+    Termination is probabilistic: the fixpoint test compares
+    consecutive xor-folded 64-bit label signatures (shuffle-free),
+    so a ~2^-64 collision could end the loop one round early; a
+    ``max_iter`` exhaustion without a stable signature emits a
+    ``RuntimeWarning`` instead of failing (labels are then a valid
+    under-approximation — every labeled pair IS connected).
     """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -84,11 +91,22 @@ def connected_components(
     # truncation costs no job of its own.
     und = und.localCheckpoint(eager=False)
     with _loop_shuffle_pin(und, und.count()):
-        labels = _hashmin_loop(und, max_iter)
+        labels, converged = _hashmin_loop(und, max_iter)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no stable label signature after "
+            f"max_iter={max_iter} rounds; labels may be unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
-def _hashmin_loop(und: DataFrame, max_iter: int) -> DataFrame:
+def _hashmin_loop(
+    und: DataFrame, max_iter: int
+) -> tuple[DataFrame, bool]:
     # Warm start: label(v) = min(v, min neighbor) — one relaxation
     # round folded into the init aggregation (same single shuffle a
     # distinct-nodes init would cost).
@@ -99,6 +117,7 @@ def _hashmin_loop(und: DataFrame, max_iter: int) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         # neighbor labels flow along edges; min with own label
         msgs = und.join(
@@ -141,9 +160,10 @@ def _hashmin_loop(und: DataFrame, max_iter: int) -> DataFrame:
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
-    return labels
+    return labels, converged
 
 
 def _canon(edges: DataFrame) -> DataFrame:

@@ -1095,43 +1095,72 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     Arrow-batched mapInPandas; numpy int64 arithmetic per batch, no
     per-row Python. Map-only — nothing shuffles until the caller
-    aggregates."""
+    aggregates.
+
+    A payload that is not parseable PCM-16 WAV (no fmt chunk,
+    rate<=0, odd-length data section, truncated header) QUARANTINES
+    as a null-feature row instead of raising — the sniff_and_decode
+    convention: one bad file must never kill a corpus-scale stage.
+    doc_id survives so the dead-letter row stays attributable."""
     fields = (
         "doc_id BIGINT, sample_rate INT, n_samples BIGINT, "
         "duration_ms BIGINT, peak_abs BIGINT, energy BIGINT, "
         "zero_crossings BIGINT"
+    )
+    feat_cols = (
+        "sample_rate", "n_samples", "duration_ms", "peak_abs",
+        "energy", "zero_crossings",
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            out = {k: [] for k in (
-                "doc_id", "sample_rate", "n_samples", "duration_ms",
-                "peak_abs", "energy", "zero_crossings",
-            )}
+            out = {k: [] for k in ("doc_id",) + feat_cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                kind, rate, channels, n_samples, _ = _decode_wav(bytes(payload))
-                # locate the data chunk again for the raw samples
-                pos, data = 12, b""
-                while pos + 8 <= len(payload):
-                    cid = bytes(payload[pos:pos + 4])
-                    csize = int.from_bytes(payload[pos + 4:pos + 8], "little")
-                    if cid == b"data":
-                        data = bytes(payload[pos + 8:pos + 8 + csize])
-                        break
-                    pos += 8 + csize + (csize % 2)
-                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 out["doc_id"].append(doc_id)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(len(s))
-                out["duration_ms"].append(len(s) * 1000 // rate)
-                out["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
-                out["energy"].append(int((s * s).sum()))
-                out["zero_crossings"].append(
-                    int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
-                )
-            yield pd.DataFrame(out)
+                try:
+                    payload = bytes(payload)
+                    kind, rate, channels, n_samples, _ = _decode_wav(payload)
+                    if rate <= 0:
+                        raise ValueError("non-positive sample rate")
+                    # locate the data chunk again for the raw samples
+                    pos, data = 12, b""
+                    while pos + 8 <= len(payload):
+                        cid = payload[pos:pos + 4]
+                        csize = int.from_bytes(
+                            payload[pos + 4:pos + 8], "little"
+                        )
+                        if cid == b"data":
+                            data = payload[pos + 8:pos + 8 + csize]
+                            break
+                        pos += 8 + csize + (csize % 2)
+                    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(s))
+                    out["duration_ms"].append(len(s) * 1000 // rate)
+                    out["peak_abs"].append(
+                        int(np.abs(s).max()) if len(s) else 0
+                    )
+                    out["energy"].append(int((s * s).sum()))
+                    out["zero_crossings"].append(
+                        int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                    )
+                except Exception:
+                    for k in feat_cols:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    **{
+                        k: pd.array(
+                            out[k],
+                            dtype="Int32" if k == "sample_rate" else "Int64",
+                        )
+                        for k in feat_cols
+                    },
+                }
+            )
 
     return media.mapInPandas(batches, schema=fields)
 
@@ -1168,57 +1197,74 @@ def video_frame_sample(media: DataFrame, every_nth: int = 4) -> DataFrame:
     oracle that recomputes the sampled ranges independently.
 
     Arrow-batched mapInPandas, map-only; the payload column never
-    shuffles."""
+    shuffles.
+
+    A payload without a parseable box tree or with no stsz/stco
+    sample table (non-MP4 bytes, truncated moov) QUARANTINES as a
+    null-feature row instead of raising — the sniff_and_decode
+    convention; doc_id survives for dead-letter attribution."""
     fields = (
         "doc_id BIGINT, n_frames BIGINT, n_sampled BIGINT, "
         "sampled_bytes BIGINT, checksum BIGINT"
     )
+    feat_cols = ("n_frames", "n_sampled", "sampled_bytes", "checksum")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "doc_id", "n_frames", "n_sampled", "sampled_bytes",
-                "checksum",
-            )}
+            out = {k: [] for k in ("doc_id",) + feat_cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                found: dict[bytes, tuple[int, int]] = {}
-
-                def recurse(start: int, end: int) -> None:
-                    for btype, b0, b1 in _walk_boxes(payload, start, end):
-                        if btype in _MP4_CONTAINERS:
-                            recurse(b0, b1)
-                        else:
-                            found.setdefault(btype, (b0, b1))
-
-                recurse(0, len(payload))
-                sz0, sz1 = found[b"stsz"]
-                sz = payload[sz0:sz1]
-                fixed = int.from_bytes(sz[4:8], "big")
-                n = int.from_bytes(sz[8:12], "big")
-                sizes = (
-                    [fixed] * n
-                    if fixed
-                    else [
-                        int.from_bytes(sz[12 + 4 * i: 16 + 4 * i], "big")
-                        for i in range(n)
-                    ]
-                )
-                co0, co1 = found[b"stco"]
-                offset = int.from_bytes(payload[co0 + 8: co0 + 12], "big")
-                chk, sampled_b, n_sampled = 0, 0, 0
-                pos = offset
-                for i, s in enumerate(sizes):
-                    if i % every_nth == 0:
-                        chk = _rolling_checksum(payload[pos:pos + s], seed=chk)
-                        sampled_b += s
-                        n_sampled += 1
-                    pos += s
                 out["doc_id"].append(doc_id)
-                out["n_frames"].append(n)
-                out["n_sampled"].append(n_sampled)
-                out["sampled_bytes"].append(sampled_b)
-                out["checksum"].append(chk)
-            yield pd.DataFrame(out)
+                try:
+                    payload = bytes(payload)
+                    found: dict[bytes, tuple[int, int]] = {}
+
+                    def recurse(start: int, end: int) -> None:
+                        for btype, b0, b1 in _walk_boxes(payload, start, end):
+                            if btype in _MP4_CONTAINERS:
+                                recurse(b0, b1)
+                            else:
+                                found.setdefault(btype, (b0, b1))
+
+                    recurse(0, len(payload))
+                    sz0, sz1 = found[b"stsz"]
+                    sz = payload[sz0:sz1]
+                    fixed = int.from_bytes(sz[4:8], "big")
+                    n = int.from_bytes(sz[8:12], "big")
+                    sizes = (
+                        [fixed] * n
+                        if fixed
+                        else [
+                            int.from_bytes(sz[12 + 4 * i: 16 + 4 * i], "big")
+                            for i in range(n)
+                        ]
+                    )
+                    co0, co1 = found[b"stco"]
+                    offset = int.from_bytes(payload[co0 + 8: co0 + 12], "big")
+                    chk, sampled_b, n_sampled = 0, 0, 0
+                    pos = offset
+                    for i, s in enumerate(sizes):
+                        if i % every_nth == 0:
+                            chk = _rolling_checksum(
+                                payload[pos:pos + s], seed=chk
+                            )
+                            sampled_b += s
+                            n_sampled += 1
+                        pos += s
+                    out["n_frames"].append(n)
+                    out["n_sampled"].append(n_sampled)
+                    out["sampled_bytes"].append(sampled_b)
+                    out["checksum"].append(chk)
+                except Exception:
+                    for k in feat_cols:
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    **{
+                        k: pd.array(out[k], dtype="Int64")
+                        for k in feat_cols
+                    },
+                }
+            )
 
     return media.mapInPandas(batches, schema=fields)
