@@ -1136,16 +1136,27 @@ def audio_features(media: DataFrame) -> DataFrame:
                             break
                         pos += 8 + csize + (csize % 2)
                     s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                    # Compute every feature into locals FIRST, append
+                    # in one block LAST: if any computation raises, the
+                    # except-path null append then keeps all feat_cols
+                    # the same length as doc_id (a partial append would
+                    # desync the columns and fail the whole Arrow
+                    # batch — the opposite of quarantine).
+                    n_samples = len(s)
+                    duration_ms = n_samples * 1000 // rate
+                    peak_abs = int(np.abs(s).max()) if n_samples else 0
+                    energy = int((s * s).sum())
+                    zero_crossings = (
+                        int(((s[:-1] * s[1:]) < 0).sum())
+                        if n_samples > 1
+                        else 0
+                    )
                     out["sample_rate"].append(rate)
-                    out["n_samples"].append(len(s))
-                    out["duration_ms"].append(len(s) * 1000 // rate)
-                    out["peak_abs"].append(
-                        int(np.abs(s).max()) if len(s) else 0
-                    )
-                    out["energy"].append(int((s * s).sum()))
-                    out["zero_crossings"].append(
-                        int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
-                    )
+                    out["n_samples"].append(n_samples)
+                    out["duration_ms"].append(duration_ms)
+                    out["peak_abs"].append(peak_abs)
+                    out["energy"].append(energy)
+                    out["zero_crossings"].append(zero_crossings)
                 except Exception:
                     for k in feat_cols:
                         out[k].append(None)

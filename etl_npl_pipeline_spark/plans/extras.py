@@ -943,7 +943,15 @@ def src_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — see _XLSX_WRITTEN — so repeat executions time the read."""
     from etl_npl_pipeline_spark.sources.files import read_excel, write_xlsx
 
-    path = _XLSX_TMP.format(tag=os.path.basename(sf_dir.rstrip("/")))
+    # Tag = short hash of the FULL normalized sf_dir (not basename):
+    # two scale dirs sharing a basename under different parents must
+    # not silently reuse each other's workbook. Repeat executions
+    # skip the write by design; write-path coverage rests on the
+    # first execution per (process, sf) plus tests/test_excel_source.
+    import hashlib as _hl
+
+    norm = os.path.realpath(sf_dir.rstrip("/"))
+    path = _XLSX_TMP.format(tag=_hl.md5(norm.encode()).hexdigest()[:12])
     if path not in _XLSX_WRITTEN or not os.path.exists(path):
         nation = load_table(spark, sf_dir, "nation").select(
             "n_nationkey", "n_name", "n_regionkey"

@@ -55,6 +55,105 @@ def src_pyds_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src_rest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S9 live-transport contract: the SAME observations feed
+    fetched over REAL sockets by BOTH ingestion paths against an
+    in-process loopback HTTP server (sources.http_fixture) —
+
+    * executor-side: the Python Data Source's ``http`` transport
+      fetches each month partition with a urllib GET on the executor
+      that owns it (6 months, 6 concurrent sockets);
+    * driver-side: ``fetch_observations`` runs the reference's
+      month-chunk pagination loop (src:295-323) through
+      ``http_fetcher`` with the auth header the server enforces
+      (401 without it — parity with the reference's authenticated
+      gateway, src:100,307).
+
+    Both paths aggregate per month and join — a transport bug in
+    either one breaks the match. The feed is the md5-derived
+    synthetic series, so DuckDB replays the exact bytes the server
+    emitted. ``localCheckpoint`` materializes the result INSIDE the
+    server's lifetime; the returned frame needs no socket."""
+    from datetime import date
+
+    from etl_npl_pipeline_spark.sources.http_fixture import serve_observations
+    from etl_npl_pipeline_spark.sources.pyds import RestObservationsDataSource
+    from etl_npl_pipeline_spark.sources.rest import (
+        fetch_observations,
+        http_fetcher,
+    )
+
+    try:
+        spark.dataSource.register(RestObservationsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    api_key = "graft-loopback-key"
+    with serve_observations(api_key=api_key) as base_url:
+        url = f"{base_url}/observations"
+        execside = (
+            spark.read.format("rest_observations")
+            .option("series_code", "NPL")
+            .option("start", "2024-07-01")
+            .option("end", "2025-01-01")
+            .option("transport", "http")
+            .option("url", url)
+            .option("api_key", api_key)
+            .load()
+            .groupBy(F.substring("period", 1, 7).alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        drvside = (
+            fetch_observations(
+                spark,
+                http_fetcher({"Authorization": f"Bearer {api_key}"}),
+                url,
+                "NPL",
+                date(2024, 7, 1),
+                date(2025, 1, 1),
+            )
+            .groupBy(F.substring("period", 1, 7).alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_drv"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_drv"),
+            )
+        )
+        out = (
+            execside.join(drvside, "month", "inner")
+            .orderBy("month")
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+# Both sides replay identically in DuckDB: value = (first 8 md5 hex
+# chars of "NPL:period" as int) % 1_000_000 / 100, days
+# [2024-07-01, 2024-12-31] (fetch range end 2025-01-01 exclusive).
+SRC_REST_LIVE_SQL = """
+WITH days AS (
+    SELECT CAST(unnest(generate_series(
+        DATE '2024-07-01', DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+), feed AS (
+    SELECT strftime(d, '%Y-%m-%d') AS period,
+           CAST(('0x' || substr(md5('NPL:' || strftime(d, '%Y-%m-%d')), 1, 8))
+                AS BIGINT) % 1000000 / 100.0 AS value
+    FROM days
+), agg AS (
+    SELECT substr(period, 1, 7) AS month, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM feed GROUP BY 1
+)
+SELECT month, n, total, n AS n_drv, total AS total_drv
+FROM agg ORDER BY month
+"""
+
+
 # DuckDB replays the synthetic feed: value = (first 8 md5 hex chars
 # of "code:period" as int) % 1_000_000 / 100 — engine-independent.
 SRC_PYDS_BACKFILL_SQL = """

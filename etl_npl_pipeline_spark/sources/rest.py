@@ -28,6 +28,28 @@ Fetcher = Callable[[str, dict], str]
 """(url, params) -> response body (JSON text)."""
 
 
+def http_fetcher(
+    headers: dict[str, str] | None = None, timeout: float = 30.0
+) -> Fetcher:
+    """A real-socket Fetcher (stdlib urllib GET with query params and
+    auth headers — parity with the reference's requests.get calls,
+    src/ETL-NPL-Pipeline.py:100,307). Pass the result to
+    fetch_observations to run the month-chunk pagination loop over
+    live HTTP; tests point it at sources.http_fixture's loopback
+    server so the socket path is exercised without leaving the
+    host."""
+    import urllib.parse
+    import urllib.request
+
+    def fetch(url: str, params: dict) -> str:
+        qs = urllib.parse.urlencode(params)
+        req = urllib.request.Request(f"{url}?{qs}", headers=headers or {})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read().decode("utf-8")
+
+    return fetch
+
+
 def month_chunks(start: date, end: date) -> list[tuple[date, date]]:
     """[start, end) split into calendar-month windows (ref's
     month-by-month loop, src:295)."""

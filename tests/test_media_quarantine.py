@@ -2,9 +2,10 @@
 non-WAV / non-MP4 / truncated payload must yield a null-feature row
 (doc_id preserved) instead of killing the executor — the
 sniff_and_decode dead-letter convention extended to audio_features
-and video_frame_sample (parity: the reference pipeline's loaders
-drop unreadable rows instead of aborting the run, ref src:34-47
-error-tolerant get_csv)."""
+and video_frame_sample. This is a scale requirement of THIS engine,
+not reference parity: at corpus scale one unreadable payload must
+never abort a whole stage, and the null-feature row keeps the
+dead-letter attributable for audit."""
 
 from __future__ import annotations
 
