@@ -109,7 +109,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(
         ["user_id", "event_type"]
     )
-    mem = run_stream_to_memory(deduped, output_mode="append")
+    mem = run_stream_to_memory(
+        deduped, output_mode="append", label="stream_dedup_events"
+    )
     return mem.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
@@ -140,7 +142,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
     )
-    mem = run_stream_to_memory(agg, output_mode="complete")
+    mem = run_stream_to_memory(
+        agg, output_mode="complete", label="stream_static_join"
+    )
     return mem.orderBy("c_mktsegment")
 
 
@@ -445,7 +449,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("user_id", "click_id", "purchase_id")
-    mem = run_stream_to_memory(joined, output_mode="append")
+    mem = run_stream_to_memory(
+        joined, output_mode="append", label="stream_stream_join"
+    )
     return mem.orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -1144,7 +1150,9 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.session_window("ts", "5 minutes"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    mem = run_stream_to_memory(agg, output_mode="append")
+    mem = run_stream_to_memory(
+        agg, output_mode="append", label="stream_session_window"
+    )
     return mem.select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
@@ -1243,7 +1251,9 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "left_outer",
     ).select("user_id", "click_id", "purchase_id")
-    mem = run_stream_to_memory(joined, output_mode="append")
+    mem = run_stream_to_memory(
+        joined, output_mode="append", label="stream_stream_left_join"
+    )
     return mem.orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -1270,28 +1280,41 @@ ORDER BY user_id, click_id, purchase_id
 
 def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST10: the trending-items architecture — the STREAM maintains
-    per-(15-min window, type) counts (watermarked stateful agg, the
-    unbounded-state-safe part); the top-3 RANK runs on the compact
-    aggregate downstream (serving layer / foreachBatch), because a
-    streaming global rank would need complete-mode state over every
-    window ever seen. Batch twin: events_windowed_topk (same oracle).
+    per-(15-min window, type) counts (watermarked stateful agg); the
+    top-3 RANK runs on the compact aggregate downstream (serving
+    layer / foreachBatch), because a streaming global rank would need
+    complete-mode state over every window ever seen.
 
-    Scale shape: the rank input is the aggregate, never raw events.
-    This bounded drain runs complete mode, where Spark RETAINS all
-    window state (the watermark evicts nothing) — that retention is
-    what lets the drain reproduce the full batch answer. A
-    production deployment would run append/update mode, where the
-    same watermark bounds state at O(open windows x types) and each
-    window emits once closed."""
+    The drain runs APPEND mode: each window emits exactly once, when
+    the watermark passes its end, and its state is EVICTED — the
+    production state-bound (O(open windows x types)) is the
+    demonstrated behavior, not a docstring claim. The ST8 anchoring
+    trick makes that work in a bounded drain: the watermark is
+    declared BEFORE the cutoff filter, so the FULL stream advances it
+    to max_ts - 10m while only events <= max_ts - 30m form windows —
+    every kept window ends by max_ts - 15m < watermark and is
+    guaranteed to close (emit + evict) before the drain finishes.
+
+    Scale shape: the rank input is the aggregate, never raw events;
+    state never outlives the watermark. Oracle replays the identical
+    cutoff in batch SQL."""
     from etl_npl_pipeline_spark.streaming.events import (
         events_stream,
         run_stream_to_memory,
     )
 
-    ev = events_stream(spark, sf_dir)
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+    )
     agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").cast("long").alias("win_start"),
@@ -1299,7 +1322,9 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    drained = run_stream_to_memory(agg, output_mode="complete")
+    drained = run_stream_to_memory(
+        agg, output_mode="append", label="stream_windowed_topk"
+    )
     rk = Window.partitionBy("win_start").orderBy(
         F.col("n").desc(), F.col("event_type")
     )
@@ -1308,6 +1333,26 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("win_start", "rk")
     )
+
+
+STREAM_WINDOWED_TOPK_SQL = """
+WITH cut AS (
+    SELECT MAX(ts) - INTERVAL 30 MINUTE AS c FROM events
+), counts AS (
+    SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events WHERE ts <= (SELECT c FROM cut)
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT win_start, event_type, n,
+           ROW_NUMBER() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type
+           ) AS rk
+    FROM counts
+)
+SELECT win_start, event_type, n, rk FROM ranked
+WHERE rk <= 3 ORDER BY win_start, rk
+"""
 
 
 # --- L53: audio feature extraction (multimodal, real WAV path) -----
@@ -1510,18 +1555,21 @@ ORDER BY o_orderkey
 
 def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST11: streaming observability — the STREAM maintains
-    per-(15-min window, type) counts; this bounded drain runs
-    complete mode, where Spark RETAINS all window state (the
-    watermark evicts nothing) so the full batch answer is
-    reproducible, while a production deployment would run
-    append/update mode with the same watermark bounding state at
-    O(open windows x types). Anomaly scoring (which windows are
-    traffic spikes/droughts for their type) runs downstream on the
-    compact aggregate, z-scoring each window's count against its
+    per-(15-min window, type) counts and drains in APPEND mode: each
+    window emits once when the watermark passes its end and its
+    state is evicted, so the state bound a production deployment
+    needs (O(open windows x types)) is the demonstrated behavior.
+    Same anchoring as ST8/ST10: watermark declared BEFORE the cutoff
+    filter, full stream advances it to max_ts - 10m, only events
+    <= max_ts - 30m form windows, so every kept window closes inside
+    the bounded drain. Anomaly scoring (which windows are traffic
+    spikes/droughts for their type) runs downstream on the compact
+    emitted aggregate, z-scoring each window's count against its
     type's distribution over windows and flagging |z| > 2. The
     alerting pipeline every event platform runs: per-key state O(1),
     raw events never reach the scorer. Oracle = the identical batch
-    computation from exact integer sums (var = E[n²] − E[n]²)."""
+    computation from exact integer sums (var = E[n²] − E[n]²) under
+    the identical cutoff."""
     from pyspark.sql.functions import broadcast
 
     from etl_npl_pipeline_spark.streaming.events import (
@@ -1529,10 +1577,18 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
-    ev = events_stream(spark, sf_dir)
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .where(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+    )
     agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("w.start").cast("long").alias("win_start"),
@@ -1540,7 +1596,9 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    drained = run_stream_to_memory(agg, output_mode="complete")
+    drained = run_stream_to_memory(
+        agg, output_mode="append", label="stream_anomaly_alerts"
+    )
     stats = (
         drained.groupBy(F.col("event_type").alias("et"))
         .agg(
@@ -1569,10 +1627,13 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_ANOMALY_ALERTS_SQL = """
-WITH counts AS (
+WITH cut AS (
+    SELECT MAX(ts) - INTERVAL 30 MINUTE AS c FROM events
+), counts AS (
     SELECT CAST(floor(epoch(ts)/900)*900 AS BIGINT) AS win_start,
            event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts <= (SELECT c FROM cut)
+    GROUP BY 1, 2
 ), stats AS (
     SELECT event_type,
            CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,

@@ -89,7 +89,9 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    return run_stream_to_memory(agg, output_mode="complete")
+    return run_stream_to_memory(
+        agg, output_mode="complete", label="stream_events_window"
+    )
 
 
 _SESSION_STATE = StructType(
@@ -154,7 +156,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra parallelism outweighs the per-partition state-commit cost
     # (measured: 1.5 s at 8 vs 2.2 s at 4, sf0.1 — and the same
     # sweep moved stream_user_totals 1.8 s -> 1.4 s steady-state).
-    return run_stream_to_memory(sessions, output_mode="update")
+    return run_stream_to_memory(
+        sessions, output_mode="update", label="stream_sessionize"
+    )
 
 
 _TWS_OUT = StructType(
@@ -269,7 +273,9 @@ def stream_user_totals(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    mem = run_stream_to_memory(out, output_mode="update")
+    mem = run_stream_to_memory(
+        out, output_mode="update", label="stream_user_totals"
+    )
     # Update mode emits one row per user per micro-batch; keep the
     # LAST emitted state per user. n_events grows monotonically, so
     # max over struct(n_events, cents) picks both fields from that
@@ -287,13 +293,56 @@ def stream_user_totals(
     )
 
 
+# StreamingQueryProgress summaries of every drain this process ran,
+# keyed by the caller's label (unlabeled drains key by the memory
+# sink's generated name). bench.py publishes this to
+# bench_detail.json["streaming_progress"]; tests gate state bounds
+# on it. Each entry: batches, input_rows, duration_ms, and the MAX
+# stateOperators numRowsTotal across batches — the number that must
+# stay bounded for the watermark-eviction story to be real.
+DRAIN_PROGRESS: dict[str, dict] = {}
+
+
+def _progress_summary(q, output_mode: str) -> dict:
+    import json as _json
+
+    summary = {
+        "output_mode": output_mode,
+        "batches": 0,
+        "input_rows": 0,
+        "duration_ms": 0,
+        "state_rows_max": 0,
+        "state_rows_last": 0,
+    }
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        summary["batches"] += 1
+        summary["input_rows"] += int(d.get("numInputRows") or 0)
+        summary["duration_ms"] += int(
+            (d.get("durationMs") or {}).get("triggerExecution") or 0
+        )
+        state_total = sum(
+            int(op.get("numRowsTotal") or 0)
+            for op in (d.get("stateOperators") or [])
+        )
+        summary["state_rows_max"] = max(summary["state_rows_max"], state_total)
+        summary["state_rows_last"] = state_total
+    return summary
+
+
 def run_stream_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
     state_partitions: int = 8,
+    label: str | None = None,
 ) -> DataFrame:
     """Drain a streaming frame with availableNow into a memory sink
     and return the materialized result as a batch DataFrame.
+
+    Every drain records a StreamingQueryProgress summary in
+    DRAIN_PROGRESS[label] (batches, input rows, trigger time, max/
+    final state rows) — streaming state growth is observable and
+    gateable instead of asserted.
 
     Stateful streaming queries pin their state-store partition count
     to ``spark.sql.shuffle.partitions`` at query start; each state
@@ -325,6 +374,7 @@ def run_stream_to_memory(
             .start()
         )
         q.awaitTermination()
+        DRAIN_PROGRESS[label or name] = _progress_summary(q, output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
