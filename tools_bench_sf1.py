@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""One sf1.0 measured point for the scale doctrine: run the top-10
+most expensive bench queries (by the r5 sf0.1 steady-state ranking)
+against the 10x dataset from tools_make_sf1.py and publish
+sf1_top10.json (bench.py republishes it as
+bench_detail.json["sf1_top10"]).
+
+For each query: cold + steady wall-time at sf1, the sf0.1 steady
+time from the same process for an in-host scaling ratio, and two
+plan re-checks on the sf1 plan — no BroadcastNestedLoopJoin
+anywhere, and the Exchange count must not exceed the sf0.1 plan's
+(a plan that grows extra shuffles with data size would be the
+100-TB red flag).
+
+Run: python tools_make_sf1.py && python tools_bench_sf1.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF1_DIR = "/root/repo/.tmp/sf1"
+SF01_DIR = "/root/testdata/sf0.1"
+
+# r5 steady-state top-10 at sf0.1 (BENCH_r05 ranking)
+TOP10 = [
+    "pipeline_full_read",
+    "corpus_curation",
+    "dedup_components_star",
+    "stream_stream_left_join",
+    "dedup_components",
+    "data_contrastive_pairs",
+    "dedup_bloom",
+    "stream_stream_join",
+    "sql_udtf_sessionize",
+    "ann_ivf",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    if not os.path.isdir(SF1_DIR):
+        sys.exit("run tools_make_sf1.py first")
+    spark = get_spark("bench-sf1")
+    queries = entrymod.queries()
+    # warm session + Arrow workers once (same as bench.py)
+    queries["q6_forecast_revenue"](spark, SF01_DIR).count()
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    spark.range(10).select(_pudf(lambda s: s, "long")("id")).count()
+
+    out: dict[str, dict] = {}
+    for name in TOP10:
+        fn = queries[name]
+        # sf0.1 reference timing in THIS process/host (steady = 2nd)
+        for _ in range(2):
+            t0 = time.time()
+            df01 = fn(spark, SF01_DIR)
+            df01.write.format("noop").mode("overwrite").save()
+            ref_sec = time.time() - t0
+        plan01 = _plan(fn(spark, SF01_DIR))
+        # sf1: cold then steady
+        t0 = time.time()
+        fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+        cold = time.time() - t0
+        t0 = time.time()
+        df1 = fn(spark, SF1_DIR)
+        df1.write.format("noop").mode("overwrite").save()
+        steady = time.time() - t0
+        plan1 = _plan(fn(spark, SF1_DIR))
+        out[name] = {
+            "sf1_cold_sec": round(cold, 3),
+            "sf1_steady_sec": round(steady, 3),
+            "sf01_steady_sec": round(ref_sec, 3),
+            "scaleup_x10_ratio": round(steady / max(ref_sec, 1e-9), 2),
+            "bnlj_in_sf1_plan": "BroadcastNestedLoop" in plan1,
+            "exchanges_sf1": plan1.count("Exchange "),
+            "exchanges_sf01": plan01.count("Exchange "),
+        }
+        print(name, json.dumps(out[name]), flush=True)
+
+    doc = {
+        "sf1_rows": {"lineitem": 6_000_000, "events": 1_000_000,
+                     "documents": 50_000},
+        "note": (
+            "10x key-shifted replication of sf0.1 (tools_make_sf1.py); "
+            "ratio ~10 = linear scan-bound scaling, <10 = sublinear "
+            "(fixed floors amortize), >10 needs a look"
+        ),
+        "queries": out,
+        "total_sf1_steady_sec": round(
+            sum(v["sf1_steady_sec"] for v in out.values()), 2
+        ),
+        "any_bnlj": any(v["bnlj_in_sf1_plan"] for v in out.values()),
+        "any_exchange_growth": any(
+            v["exchanges_sf1"] > v["exchanges_sf01"] for v in out.values()
+        ),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "sf1_top10.json"), "w",
+    ) as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps({k: doc[k] for k in
+                      ("total_sf1_steady_sec", "any_bnlj",
+                       "any_exchange_growth")}))
+
+
+if __name__ == "__main__":
+    main()
