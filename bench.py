@@ -308,6 +308,7 @@ def main() -> None:
     pq_sweep = _load_sweep("pq_sweep.json")
     skew_probe = _load_sweep("skew_probe.json")
     sf1_top10 = _load_sweep("sf1_top10.json")
+    sf1_correct = _load_sweep("sf1_correctness.json")
 
     # StreamingQueryProgress summaries captured by every drain this
     # run (streaming/events.DRAIN_PROGRESS): batches, input rows,
@@ -340,6 +341,8 @@ def main() -> None:
         detail["skew_probe"] = skew_probe
     if sf1_top10 is not None:
         detail["sf1_top10"] = sf1_top10
+    if sf1_correct is not None:
+        detail["sf1_correctness"] = sf1_correct
     detail["streaming_progress"] = dict(DRAIN_PROGRESS)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
