@@ -489,5 +489,10 @@ def stream_upsert_mor(
             .start()
         )
         q.awaitTermination()
+        # foreachBatch drains bypass run_stream_to_memory — record
+        # progress here so ST7 is observable like the other streams
+        DRAIN_PROGRESS["stream_upsert_read"] = _progress_summary(
+            q, "foreachBatch"
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
