@@ -297,11 +297,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+    # Aggregate BY NAME after the supplier join (TPC-H q21 groups on
+    # s_name, not suppkey): identical while names are unique, but on
+    # data with duplicate supplier names the per-suppkey grouping
+    # returns one row per key where the spec merges them (caught by
+    # the sf1 replication check — replicas reuse names). The name
+    # re-agg runs on the already-tiny waiting set, so the plan keeps
+    # its two big shuffles.
     return (
         waiting.join(F.broadcast(
             supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         ), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.sum("numwait").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

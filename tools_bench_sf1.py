@@ -70,14 +70,19 @@ def main() -> None:
             df01.write.format("noop").mode("overwrite").save()
             ref_sec = time.time() - t0
         plan01 = _plan(fn(spark, SF01_DIR))
-        # sf1: cold then steady
+        # sf1: cold, then steady = min of 2 (single-shot steady
+        # measured a 2x transient on corpus_curation; min-of-2 is the
+        # honest per-plan cost, same convention as the gate)
         t0 = time.time()
         fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
         cold = time.time() - t0
-        t0 = time.time()
-        df1 = fn(spark, SF1_DIR)
-        df1.write.format("noop").mode("overwrite").save()
-        steady = time.time() - t0
+        steady = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF1_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            steady = min(steady, time.time() - t0)
         plan1 = _plan(fn(spark, SF1_DIR))
         out[name] = {
             "sf1_cold_sec": round(cold, 3),

@@ -33,27 +33,70 @@ from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 SF1_DIR = "/root/repo/.tmp/sf1"
 
 CHECK = [
+    # TPC-H joins/aggs — all 22 analogs + rollup/cube/set-ops/top-k
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
     "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
     "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
     "q18_large_orders",
+    "q19_disjunctive",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
     "q_rollup_region",
+    "q_cube_status_priority",
+    "q_set_ops",
     "q_top_parts_per_brand",
+    # events analytics: sessions, windows, as-of, funnel, retention
     "events_sessionize",
     "events_window_agg",
     "events_median",
+    "events_hopping_window",
+    "events_asof_join",
+    "events_range_join",
+    "events_gapfill",
+    "events_funnel",
+    "events_retention",
+    "events_anomalies",
+    "dq_orders",
+    # NPL pipeline + window functions
     "npl_quarterly",
+    "op_rolling_avg",
+    "op_yoy_growth",
+    # LLM-data map-only + dedup + splits
     "text_quality",
     "text_fingerprint",
+    "text_scrub",
+    "text_repetition",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_chunks",
     "data_split",
+    "data_mixture",
+    "data_cap_domains",
+    "vocab_top_ngrams",
     "doc_length_hist",
     "join_bucketed",
-    "op_yoy_growth",
 ]
+# Excluded on purpose: dedup_components / corpus_curation (the
+# DuckDB oracle replays a recursive CTE — minutes at sf1; their
+# Spark-side scale behavior is covered by tools_bench_sf1.py),
+# streaming queries (oracle replays the same batch logic), and
+# fixture-rebuild queries (excel/REST/MOR — they re-manufacture
+# their own inputs, so sf has no effect).
 
 
 def _norm(v):
