@@ -62,9 +62,37 @@ def rot(i: int) -> tuple[str, str]:
     ).upper()
 
 
+def _check_shifts(con) -> None:
+    """Replica key ranges must not overlap: a source key >= its
+    shift stride would silently collide across replicas (breaking
+    the uniqueness the correctness sweeps rely on). The driver
+    regenerates testdata between rounds, so guard every build."""
+    checks = [
+        ("customer", "c_custkey", "cust"),
+        ("supplier", "s_suppkey", "supp"),
+        ("part", "p_partkey", "part"),
+        ("orders", "o_orderkey", "order"),
+        ("events", "event_id", "event"),
+        ("events", "user_id", "user"),
+        ("documents", "doc_id", "doc"),
+        ("embeddings", "vec_id", "vec"),
+    ]
+    for table, col, shift in checks:
+        mx = con.execute(
+            f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+        ).fetchone()[0]
+        need = REPLICAS and mx is not None and mx >= SHIFTS[shift]
+        if need:
+            raise SystemExit(
+                f"{table}.{col} max={mx} >= shift {SHIFTS[shift]}: "
+                "replica ids would collide — raise SHIFTS"
+            )
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    _check_shifts(con)
     copies = {
         "region": "SELECT * FROM t",
         "nation": "SELECT * FROM t",
