@@ -181,14 +181,19 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:10]
     t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     if tag not in _BUCKETED_BUILT:
+        # resolve the ACTUAL warehouse dir (defaults to $PWD/
+        # spark-warehouse — the driver may run from any cwd); a
+        # stale table dir without a catalog entry blocks saveAsTable
+        # even after DROP
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
         for tname, tbl, key in (
             (t_orders, "orders", "o_orderkey"),
             (t_li, "lineitem", "l_orderkey"),
         ):
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
-            shutil.rmtree(
-                f"/root/repo/spark-warehouse/{tname}", ignore_errors=True
-            )
+            shutil.rmtree(os.path.join(wh, tname), ignore_errors=True)
             (
                 load_table(spark, sf_dir, tbl)
                 .write.mode("overwrite")
