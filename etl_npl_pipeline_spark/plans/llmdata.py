@@ -158,12 +158,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_FINGERPRINT_SQL = """
+-- NULL text -> NULL fp (engine contract: null in, null out). The
+-- CASE guard matters because list_prepend(0, NULL) is [0] in
+-- DuckDB, which would silently turn a null doc into fp=0.
 SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(
            list_prepend(CAST(0 AS BIGINT),
                list_transform(range(1, len(text)+1),
                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+           (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
 FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
@@ -1943,7 +1947,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"start_tok DIV {CHUNK_STRIDE}").alias("chunk_idx"),
         "start_tok",
         F.size(chunk).alias("n_tok"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        # null text must null-propagate COHERENTLY: n_tok is already
+        # NULL via size(NULL), but concat_ws SWALLOWS a null array
+        # (yields ''), which would stamp the null doc with md5('') —
+        # half-null rows poison downstream chunk-level dedup joins
+        F.when(F.col("t").isNull(), F.lit(None))
+        .otherwise(F.md5(F.concat_ws(" ", chunk)))
+        .alias("chunk_hash"),
     )
 
 
@@ -3159,10 +3169,15 @@ SELECT doc_id, n_chunks,
        CAST(len(kept) AS INT) AS n_kept,
        -- flatten([]) is NULL in DuckDB (Spark's flatten of an empty
        -- array is []); coalesce so the zero-kept doc reassembles to
-       -- the empty string on both engines
+       -- the empty string on both engines. The kept IS NULL guard
+       -- keeps that coalesce from ALSO swallowing null-text docs,
+       -- which must stay NULL end to end (engine contract)
+       CASE WHEN kept IS NULL THEN NULL ELSE
        CAST(len(COALESCE(array_to_string(flatten(kept), ' '), ''))
-            AS INT) AS clean_len,
-       md5(COALESCE(array_to_string(flatten(kept), ' '), '')) AS clean_md5
+            AS INT) END AS clean_len,
+       CASE WHEN kept IS NULL THEN NULL ELSE
+       md5(COALESCE(array_to_string(flatten(kept), ' '), ''))
+       END AS clean_md5
 FROM c ORDER BY doc_id
 """
 
