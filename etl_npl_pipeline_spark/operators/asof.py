@@ -65,9 +65,20 @@ def asof_join(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry the latest right ROW as a struct, not the bare values:
+    # last(value, ignorenulls) would skip a right row whose value IS
+    # NULL and match an older one — DuckDB's ASOF matches the
+    # nearest-prior row regardless of its payload, and so must we.
+    # The when() makes the struct NULL exactly on left rows, so
+    # ignorenulls selects on row presence; field access then
+    # null-propagates a null payload faithfully.
+    rv = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(a) for a in val_aliases])
+    )
+    carried = F.last(rv, ignorenulls=True).over(w)
     filled = merged.select(
         *left.columns,
         "_side",
-        *[F.last(F.col(a), ignorenulls=True).over(w).alias(a) for a in val_aliases],
+        *[carried.getField(a).alias(a) for a in val_aliases],
     )
     return filled.where(F.col("_side") == 1).drop("_side")

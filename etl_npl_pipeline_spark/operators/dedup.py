@@ -141,9 +141,17 @@ def minhash_signatures(
 
     hs = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(text_col, n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)),
+        # null text -> empty hash list (not None): a None element
+        # would crash the Arrow UDF's len() pass executor-side; the
+        # empty list flows to the empty-doc sentinel signature, and
+        # candidate verification (exact jaccard) emits no pairs for
+        # shingle-less docs — null behaves exactly like empty
+        F.coalesce(
+            F.transform(
+                word_shingles(text_col, n),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE)),
+            ),
+            F.array().cast("array<bigint>"),
         ).alias("hs"),
     )
     sig = hs.select("doc", sig_udf(F.col("hs")).alias("sig"))
@@ -363,8 +371,15 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+        # null text -> empty list (not None): a None element crashes
+        # the Arrow UDF's len() executor-side; empty folds to sig 0,
+        # same as an empty doc
+        F.coalesce(
+            F.transform(
+                F.split(F.trim(F.col(text_col)), r"\s+"),
+                lambda t: F.xxhash64(t),
+            ),
+            F.array().cast("array<bigint>"),
         ).alias("hs"),
     )
     return toks.select("doc", sim_udf(F.col("hs")).alias("simhash"))

@@ -320,6 +320,10 @@ def sniff_and_decode(payload: bytes) -> tuple[str, int | None, int, int, int, in
     bad file must never kill a million-row decode stage — the kind
     column is the dead-letter routing key, and the checksum (over
     the raw payload) still identifies the offender."""
+    if payload is None:
+        # null payload (null source doc): a distinct dead-letter
+        # kind — checksum 0, zero geometry; never raises
+        return ("missing/null", None, 0, 0, 0, 0)
     try:
         if payload[:2] == b"BM":
             k, w, h, f, chk = _decode_bmp(payload)
@@ -382,9 +386,15 @@ def decode_media(
                 ]
                 feats = [d[2:] for d in decoded]
             else:
-                kinds = list(pdf["kind"])
+                kinds = [
+                    k if p is not None else "missing/null"
+                    for k, p in zip(pdf["kind"], pdf["payload"])
+                ]
                 n_bytes = list(pdf["n_bytes"])
-                feats = [_decode_stub(p) for p in pdf["payload"]]
+                feats = [
+                    _decode_stub(p) if p is not None else (0, 0, 0, 0)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -418,6 +428,10 @@ def build_real_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFra
         for pdf in it:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # null doc -> null payload; decoders quarantine
+                    payloads.append(None)
+                    continue
                 data = text.encode("utf-8")
                 if doc_id % 3 == 0:
                     w, h = len(data) % 640 + 1, len(data) % 480 + 1
@@ -490,6 +504,13 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
         for pdf in it:
             kinds, widths, heights, resized, checksums = [], [], [], [], []
             for p in pdf["payload"]:
+                if p is None:
+                    kinds.append("missing/null")
+                    widths.append(0)
+                    heights.append(0)
+                    resized.append(False)
+                    checksums.append(0)
+                    continue
                 if p[: len(_PNG_SIG)] == _PNG_SIG:
                     try:
                         w, h, pix = _png_pixels(p)
@@ -871,6 +892,9 @@ def build_jpeg_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFra
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
+                if text is None:
+                    payloads.append(None)
+                    continue
                 data = text.encode("utf-8") or b"\x00"
                 pix = b"".join(bytes([b]) * 64 for b in data)
                 payloads.append(encode_jpeg(pix, 8))
@@ -1059,6 +1083,9 @@ def build_mp4_media_frame(df: DataFrame, text_col: str, id_col: str) -> DataFram
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
+                if text is None:
+                    payloads.append(None)
+                    continue
                 data = text.encode("utf-8")
                 nb = len(data) or 1
                 payloads.append(
@@ -1186,6 +1213,9 @@ def build_wav_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for text in pdf["text"]:
+                if text is None:
+                    payloads.append(None)
+                    continue
                 data = text.encode("utf-8")
                 payloads.append(
                     encode_wav(data[: len(data) - (len(data) % 2)], 16_000, 1)

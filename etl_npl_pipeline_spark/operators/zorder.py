@@ -22,8 +22,16 @@ from pyspark.sql import Column
 
 def hash16(col: Column | str) -> Column:
     """First 16 bits of md5(col) as a long — a cheap, engine-stable
-    dimension hash (conv from the leading 4 hex chars)."""
-    return F.conv(F.substring(F.md5(F.col(col) if isinstance(col, str) else col), 1, 4), 16, 10).cast("long")
+    dimension hash (conv from the leading 4 hex chars). NULL
+    coalesces to '' first: a layout key must be TOTAL — a null
+    dimension gets the ''-slot deterministically instead of a null
+    zkey, whose sort position differs between engines (Spark NULLS
+    FIRST vs DuckDB NULLS LAST) and which parquet min/max stats
+    can't prune on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.coalesce(c, F.lit(""))), 1, 4), 16, 10
+    ).cast("long")
 
 
 def morton_key(a: Column, b: Column, bits: int = 16) -> Column:

@@ -196,7 +196,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct → mapInPandas decode (STUB
     codec, real plumbing). Deterministic fake features mean the
     oracle can verify the full Arrow round-trip."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 100) & F.col("text").isNotNull())
     media = build_media_frame(docs, "text", "doc_id")
     return decode_media(media).orderBy("doc_id")
 
@@ -209,7 +209,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100
+    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
 )
 SELECT doc_id, 'image/fake' AS kind,
        nb AS n_bytes,
@@ -239,7 +239,7 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 100) & F.col("text").isNotNull())
     media = build_real_media_frame(docs, "text", "doc_id")
     return decode_media(media, codec="sniff").orderBy("doc_id")
 
@@ -271,7 +271,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100
+    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
 ), d AS (
     SELECT *, nb % 640 + 1 AS pw,
            (nb + nb % 640) // (nb % 640 + 1) AS ph
@@ -300,7 +300,7 @@ FROM d ORDER BY doc_id
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: explode every-4th frame index per
     payload, count sampled frames per doc."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 50) & F.col("text").isNotNull())
     media = build_media_frame(docs, "text", "doc_id")
     return (
         frame_sample(media, every_nth=4)
@@ -313,7 +313,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_FRAME_SAMPLE_SQL = """
 SELECT doc_id,
        ((octet_length(encode(text)) % 16 + 1) - 1) // 4 + 1 AS n_sampled
-FROM documents WHERE doc_id < 50 ORDER BY doc_id
+FROM documents WHERE doc_id < 50 AND text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -330,7 +330,9 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 2)
+        (F.col("doc_id") < 100)
+        & (F.col("doc_id") % 3 == 2)
+        & F.col("text").isNotNull()
     )
     media = build_real_media_frame(docs, "text", "doc_id")
     return resize_media(media, factor=2).orderBy("doc_id")
@@ -344,7 +346,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
+    FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2 AND text IS NOT NULL
 ), d AS (
     SELECT *, nb % 640 + 1 AS pw,
            (nb + nb % 640) // (nb % 640 + 1) AS ph
@@ -855,7 +857,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 60) & F.col("text").isNotNull())
     media = build_jpeg_media_frame(docs, "text", "doc_id")
     return decode_media(media, codec="sniff").orderBy("doc_id")
 
@@ -867,7 +869,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 60
+    FROM documents WHERE doc_id < 60 AND text IS NOT NULL
 )
 SELECT doc_id, 'image/jpeg' AS kind,
        CAST(64 * nb AS INT) AS n_bytes,
@@ -903,7 +905,7 @@ def mm_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 60) & (F.col("n_chars") > 0)
+        (F.col("doc_id") < 60) & (F.col("n_chars") > 0) & F.col("text").isNotNull()
     )
     media = build_mp4_media_frame(docs, "text", "doc_id")
     return decode_media(media, codec="sniff").orderBy("doc_id")
@@ -914,7 +916,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 60 AND n_chars > 0
+    FROM documents WHERE doc_id < 60 AND n_chars > 0 AND text IS NOT NULL
 )
 SELECT doc_id, 'video/mp4v' AS kind,
        CAST(nb AS INT) AS n_bytes,
@@ -1020,7 +1022,13 @@ def src_rest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "date": iso,
                 "key": r["o_orderkey"],
-                "value": float(r["o_totalprice"]),
+                # null price -> JSON null (a real gateway serves
+                # missing observations as null; float(None) raised)
+                "value": (
+                    None
+                    if r["o_totalprice"] is None
+                    else float(r["o_totalprice"])
+                ),
             }
         )
 
@@ -1370,7 +1378,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_wav_frame,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 100) & F.col("text").isNotNull())
     return audio_features(build_wav_frame(docs, "text", "doc_id")).orderBy(
         "doc_id"
     )
@@ -1381,7 +1389,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100
+    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
 ), s AS (
     SELECT doc_id, nb // 2 AS ns,
            list_transform(range(0, nb // 2), i ->
@@ -1426,7 +1434,7 @@ def mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 60) & (F.col("n_chars") > 0)
+        (F.col("doc_id") < 60) & (F.col("n_chars") > 0) & F.col("text").isNotNull()
     )
     media = build_mp4_media_frame(docs, "text", "doc_id")
     return video_frame_sample(media, every_nth=4).orderBy("doc_id")
@@ -1437,7 +1445,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 60 AND n_chars > 0
+    FROM documents WHERE doc_id < 60 AND n_chars > 0 AND text IS NOT NULL
 ), f AS (
     SELECT doc_id, nb, hx, (nb + 63) // 64 AS n FROM b
 ), s AS (

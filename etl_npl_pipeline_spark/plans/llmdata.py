@@ -2349,7 +2349,10 @@ def data_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "source")
         .withColumn("round", F.row_number().over(w))
-        .orderBy("round", "source", "doc_id")
+        # NULLS LAST explicitly: Spark's asc default is NULLS FIRST,
+        # DuckDB's is NULLS LAST — on a corpus with null sources the
+        # two previews silently diverge unless the rule is pinned
+        .orderBy("round", F.col("source").asc_nulls_last(), "doc_id")
         .limit(INTERLEAVE_PREVIEW)
     )
 
@@ -2361,7 +2364,7 @@ SELECT doc_id, source,
            ORDER BY md5('ilv0-' || CAST(doc_id AS VARCHAR)), doc_id
        ) AS round
 FROM documents
-ORDER BY round, source, doc_id LIMIT {INTERLEAVE_PREVIEW}
+ORDER BY round, source NULLS LAST, doc_id LIMIT {INTERLEAVE_PREVIEW}
 """
 
 
@@ -2392,7 +2395,9 @@ def data_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Z16 = """CAST(('0x' || substr(md5({c}), 1, 4)) AS BIGINT)"""
+# COALESCE mirrors hash16's total-key rule: null dims take the
+# ''-slot instead of producing a null zkey
+_Z16 = """CAST(('0x' || substr(md5(COALESCE({c}, '')), 1, 4)) AS BIGINT)"""
 
 DATA_ZORDER_SQL = f"""
 WITH h AS (
@@ -2670,9 +2675,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     existing = docs.where(F.col("doc_id") % 4 != 0)
     _shutil.rmtree(_SIG_STORE_TMP, ignore_errors=True)
+    # null text -> null hash: a signature store must not carry NULL
+    # keys (Spark's anti-join never matches them -> every null doc
+    # "accepted" forever; and one NULL in a SQL NOT-IN store empties
+    # the whole result by three-valued logic). Content-less docs are
+    # outside dedup's contract on both engines.
     existing.select(
         F.md5(D.normalize_text("text")).alias("h")
-    ).distinct().write.parquet(_SIG_STORE_TMP)
+    ).where(F.col("h").isNotNull()).distinct().write.parquet(_SIG_STORE_TMP)
 
     recrawl = docs.where(F.col("doc_id") % 8 == 1).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
@@ -2680,6 +2690,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = (
         docs.where(F.col("doc_id") % 4 == 0).unionByName(recrawl)
         .select("doc_id", F.md5(D.normalize_text("text")).alias("h"))
+        .where(F.col("h").isNotNull())
     )
     w = Window.partitionBy("h").orderBy("doc_id")
     keepers = (
@@ -2706,11 +2717,14 @@ WITH norm AS (
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
     FROM documents
 ),
-store AS (SELECT DISTINCT h FROM norm WHERE doc_id % 4 <> 0),
+store AS (
+    SELECT DISTINCT h FROM norm WHERE doc_id % 4 <> 0 AND h IS NOT NULL
+),
 batch AS (
-    SELECT doc_id, h FROM norm WHERE doc_id % 4 = 0
+    SELECT doc_id, h FROM norm WHERE doc_id % 4 = 0 AND h IS NOT NULL
     UNION ALL
-    SELECT doc_id + 2000000, h FROM norm WHERE doc_id % 8 = 1
+    SELECT doc_id + 2000000, h FROM norm
+    WHERE doc_id % 8 = 1 AND h IS NOT NULL
 ),
 keepers AS (
     SELECT doc_id, h FROM (

@@ -25,7 +25,11 @@ from tests.oracle import assert_matches_oracle
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
-# the r6 offenders + the text/doc/value paths nulls flow through
+# the r6 offenders + the text/doc/value paths nulls flow through.
+# Second wave (full-sweep finds): UDF crash guards (minhash
+# signatures, media builders/decoders), the as-of row-vs-value
+# carry, NULLS FIRST/LAST divergence (interleave), total z-order
+# keys, and the NOT-IN null collapse (incremental store).
 SENSITIVE = [
     "text_fingerprint",
     "doc_chunks",
@@ -40,6 +44,14 @@ SENSITIVE = [
     "events_median",
     "dq_orders",
     "profile_orders",
+    "events_asof_join",
+    "data_interleave",
+    "data_zorder",
+    "dedup_incremental",
+    "dedup_minhash",
+    "mm_audio_features",
+    "mm_decode_meta",
+    "src_rest_pages",
 ]
 
 
