@@ -295,9 +295,16 @@ def jaccard_pairs(
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .withColumn(
+            # try_divide: two shingle-less docs give union 0 — under
+            # Spark 4's default ANSI mode a plain division would
+            # abort the stage; NULL jaccard fails the threshold and
+            # the degenerate pair drops (content-less docs are
+            # exact-dedup's business, not near-dup's)
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            F.try_divide(
+                F.col("inter").cast("double"),
+                (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
@@ -331,9 +338,14 @@ def verify_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
+            # same ANSI-safe rule as jaccard_pairs: union 0 -> NULL
+            # -> pair drops
             "jaccard",
-            F.col("inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+            F.try_divide(
+                F.col("inter").cast("double"),
+                (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+                .cast("double"),
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

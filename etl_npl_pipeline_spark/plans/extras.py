@@ -865,10 +865,14 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decoded buffer = each octet repeated 64x (8x8 block, width 8), so
 # the rolling checksum folds every octet 64 consecutive times.
 MM_DECODE_JPEG_SQL = """
+-- empty text floors to ONE zero byte, mirroring the builder's
+-- `data or b'\\x00'` (a JPEG needs at least one pixel); hx '00'
+-- keeps the checksum fold consistent with that byte
 WITH b AS (
     SELECT doc_id,
-           octet_length(encode(text)) AS nb,
-           hex(encode(text)) AS hx
+           greatest(octet_length(encode(text)), 1) AS nb,
+           CASE WHEN octet_length(encode(text)) = 0
+                THEN '00' ELSE hex(encode(text)) END AS hx
     FROM documents WHERE doc_id < 60 AND text IS NOT NULL
 )
 SELECT doc_id, 'image/jpeg' AS kind,

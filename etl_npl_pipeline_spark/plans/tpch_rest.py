@@ -45,7 +45,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
 
-    unit = money("l_extendedprice").cast("double") / F.col("l_quantity")
+    # try_divide: a zero-quantity line has no unit cost -> NULL
+    # (min skips it). Spark 4 runs ANSI mode by default, so a plain
+    # division would ABORT the query on the first such line; the
+    # oracle mirrors with NULLIF(l_quantity, 0).
+    unit = F.try_divide(
+        money("l_extendedprice").cast("double"), F.col("l_quantity")
+    )
     catalog = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(unit).alias("supplycost")
     )
@@ -74,7 +80,7 @@ Q2_SQL = """
 WITH catalog AS (
     SELECT l_partkey, l_suppkey,
            MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE)
-               / l_quantity) AS supplycost
+               / NULLIF(l_quantity, 0)) AS supplycost
     FROM lineitem GROUP BY 1, 2
 ), eu AS (
     SELECT s_suppkey, s_name, s_acctbal, n_name
