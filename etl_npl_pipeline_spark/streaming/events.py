@@ -344,6 +344,15 @@ def run_stream_to_memory(
     final state rows) — streaming state growth is observable and
     gateable instead of asserted.
 
+    Engine constraint (pinned in tests/test_streaming_pre_epoch.py):
+    Spark's watermark initializes at epoch 0 and only advances, so
+    in APPEND/UPDATE mode every event with event time before
+    1970-01-01 UTC is dropped as late in its first micro-batch —
+    the batch twins process such rows fine, and complete mode keeps
+    them (late filtering is disabled there). Pre-epoch event time is
+    therefore outside the watermarked-streaming contract; remap or
+    batch-process historical archives that old.
+
     Stateful streaming queries pin their state-store partition count
     to ``spark.sql.shuffle.partitions`` at query start; each state
     partition pays a fixed open/commit cost per micro-batch, so a
