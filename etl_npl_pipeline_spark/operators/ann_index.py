@@ -1,0 +1,373 @@
+"""Persisted ANN index lifecycle: build once, query many.
+
+The r6-era ANN operators retrained their models per invocation —
+correct, but the wrong production shape: at 100 TB you cannot
+collect a training sample, re-run k-means, and re-encode the corpus
+for every query batch. This module splits each ANN family into
+
+- ``build_ann_index``: train the coarse quantizer (IVF k-means
+  centroids), the PQ per-subspace codebooks, and materialize the
+  three derived corpus artifacts — cell-assigned normalized vectors,
+  PQ codes, LSH bucket postings — as parquet under the Spark
+  warehouse. Training cost is paid ONCE per (corpus, knobs).
+- ``ivf_query`` / ``pq_query`` / ``lsh_query``: load the persisted
+  artifacts and search. No sampling, no k-means, no corpus
+  re-encode — the only per-query work is the candidate join and the
+  exact re-rank, which is the part that should scale with |Q|.
+
+Determinism contract: the builders delegate to the same seeded
+trainers/encoders the per-call operators used (`ivf._centroids`,
+`pq.train_pq_codebooks`, `pq.pq_encode`,
+`similarity._lsh_table_signatures`), and the normalized corpus
+vectors are persisted from the same Catalyst `l2_normalize`
+expression — parquet round-trips doubles exactly — so query results
+(and bench recall@5) are bit-identical to the retrain-per-call path.
+
+Scale notes:
+- The vectors artifact is written ``partitionBy("cell")`` so an IVF
+  probe plan can prune cells at the scan and the per-cell files stay
+  executor-sized at any corpus scale.
+- The in-process cache (`_ANN_BUILT`) is keyed by
+  (corpus realpath, knobs, seed): bench steady-state and driver
+  retries measure the QUERY, not the build — the same split
+  join_bucketed uses for its bucketed tables.
+- Only tiny model artifacts (centroids: n_clusters x dim; codebooks:
+  m x k x d/m) ever collect to the driver at query time; corpus-
+  sized artifacts stay distributed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_npl_pipeline_spark.operators.ivf import _centroids, _sq_dists
+from etl_npl_pipeline_spark.operators.pq import (
+    _norm_rows,
+    pq_encode,
+    train_pq_codebooks,
+)
+from etl_npl_pipeline_spark.operators.similarity import (
+    _lsh_table_signatures,
+    l2_normalize,
+    pair_dot,
+)
+
+# Index dirs already built by THIS process, keyed by the knob+corpus
+# hash. Repeat invocations (bench steady-state, the driver's oracle
+# sweep) reuse the artifacts and measure search alone.
+_ANN_BUILT: dict[str, str] = {}
+
+ARTIFACTS = ("ivf_centroids", "lsh_buckets", "pq_codebooks", "pq_codes", "vectors")
+
+
+def _warehouse_dir(spark: SparkSession) -> str:
+    return spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+
+
+def build_ann_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    corpus_key: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 12,
+    pq_m: int = 16,
+    pq_k: int = 32,
+    lsh_planes: int = 6,
+    lsh_tables: int = 10,
+    seed: int = 42,
+) -> str:
+    """Train + materialize every ANN artifact for ``corpus``; return
+    the index directory. Cached per (process, corpus_key, knobs) —
+    the build runs once, later calls return the existing dir.
+
+    ``corpus_key`` identifies the corpus (e.g. the sf dir realpath);
+    it is hashed together with the knobs so a knob change rebuilds
+    rather than serving a stale layout.
+    """
+    tag = hashlib.md5(
+        f"{corpus_key}|{n_clusters}|{pq_m}|{pq_k}|{lsh_planes}|{lsh_tables}|{seed}".encode()
+    ).hexdigest()[:12]
+    if tag in _ANN_BUILT:
+        return _ANN_BUILT[tag]
+    root = os.path.join(_warehouse_dir(spark), f"ann_idx_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # --- IVF: coarse quantizer + cell-assigned normalized vectors
+    cents = _centroids(corpus, vec_col, n_clusters, seed)
+
+    @F.pandas_udf("long")
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=np.int64)
+        d = _sq_dists(_norm_rows(vs), cents)
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    vectors = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        l2_normalize(F.col(vec_col)).alias("cv"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+    )
+    vectors.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, "vectors")
+    )
+    cent_rows = [
+        (int(c), [float(x) for x in cents[c]]) for c in range(len(cents))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "ivf_centroids")
+    )
+
+    # --- PQ: per-subspace codebooks + corpus codes
+    books = train_pq_codebooks(corpus, vec_col, pq_m, pq_k, seed)
+    book_rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "pq_codebooks")
+    )
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(root, "pq_codes")
+    )
+
+    # --- LSH: bucket postings (t, sig, neighbor_id) — exactly the
+    # exploded index side of lsh_topk_multi, built once. The planes
+    # are seed-derived (stateless), so only the postings persist.
+    sig_udf = _lsh_table_signatures(lsh_planes, lsh_tables)
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            sig_udf(F.col(vec_col)).alias("sigs"),
+        )
+        .select("neighbor_id", F.posexplode("sigs").alias("t", "sig"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "lsh_buckets"))
+    )
+
+    _ANN_BUILT[tag] = root
+    return root
+
+
+def _vectors(spark: SparkSession, index_dir: str) -> DataFrame:
+    # partition-column inference may narrow `cell`; pin it back
+    return spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        "neighbor_id", "cv", F.col("cell").cast("long").alias("cell")
+    )
+
+
+def _topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a persisted index: probe-list UDF over the
+    (tiny, driver-loaded) centroid matrix, equi-join on cell against
+    the cell-partitioned vectors artifact, exact re-rank. No
+    training, no corpus re-encode."""
+    crows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "ivf_centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        d = _sq_dists(_norm_rows(vs), cents)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int64)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        q.join(_vectors(spark, index_dir), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    return _topk(cand, k)
+
+
+def pq_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over the persisted code table + exact re-rank
+    against the persisted normalized vectors. The codebook tensor
+    (m x k x d/m doubles) and the bounded query set are the only
+    driver-side loads."""
+    brows = spark.read.parquet(os.path.join(index_dir, "pq_codebooks")).collect()
+    m_sub = 1 + max(r["subspace"] for r in brows)
+    k_codes = 1 + max(r["code"] for r in brows)
+    d_sub = len(brows[0]["centroid"])
+    books = np.empty((m_sub, k_codes, d_sub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in qrows])
+    q_mat = np.array([r["v"] for r in qrows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    lut = np.einsum(
+        "qsd,skd->qsk", q_mat.reshape(len(q_mat), m_sub, d_sub), books
+    )
+    k_prime = k * rerank_factor
+
+    def partial_topk(it):
+        sub_idx = np.arange(m_sub)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            nid = pdf["neighbor_id"].to_numpy()
+            rows_q, rows_n, rows_s = [], [], []
+            for qi in range(len(q_ids)):
+                adc = lut[qi][sub_idx[None, :], cm].sum(axis=1)
+                top = np.argpartition(-adc, min(k_prime, len(adc) - 1))[:k_prime]
+                rows_q.append(np.full(len(top), q_ids[qi]))
+                rows_n.append(nid[top])
+                rows_s.append(adc[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(rows_q),
+                    "neighbor_id": np.concatenate(rows_n),
+                    "adc": np.concatenate(rows_s),
+                }
+            )
+
+    codes = spark.read.parquet(os.path.join(index_dir, "pq_codes"))
+    partials = codes.mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, adc double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    cand = (
+        partials.withColumn("r", F.row_number().over(w_adc))
+        .where(F.col("r") <= k_prime)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(_vectors(spark, index_dir), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    return _topk(exact, k)
+
+
+def lsh_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 10,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table multiprobe LSH against the persisted bucket
+    postings. Query signatures regenerate from the shared seed (the
+    planes are stateless); only the corpus-side postings were worth
+    persisting — at scale they are the L-rows-per-vector artifact
+    you never want to rebuild per query batch."""
+    sig_udf = _lsh_table_signatures(n_planes, n_tables)
+    q_sig = queries.select(
+        F.col(id_col).alias("query_id"), sig_udf(F.col(vec_col)).alias("sigs")
+    ).select("query_id", F.posexplode("sigs").alias("t", "sig"))
+    probes = [F.col("sig")]
+    if probe_bits >= 1:
+        probes += [
+            F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    q_idx = q_sig.select(
+        "query_id", "t", F.explode(F.array(*probes)).alias("sig")
+    )
+    buckets = spark.read.parquet(os.path.join(index_dir, "lsh_buckets"))
+    cand = (
+        q_idx.join(buckets, ["t", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(_vectors(spark, index_dir), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-artifact row counts as ONE lazy union plan — the
+    oracle-checkable surface of the build (each count is derivable
+    from |embeddings| and the knobs)."""
+    parts = [
+        spark.read.parquet(os.path.join(index_dir, name))
+        .groupBy(F.lit(name).alias("artifact"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        for name in ARTIFACTS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("artifact")

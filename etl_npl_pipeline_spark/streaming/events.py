@@ -390,6 +390,67 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
+def run_stream_to_dir(
+    sdf: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    output_mode: str = "update",
+    state_partitions: int = 8,
+    label: str | None = None,
+    fail_at_batch: int | None = None,
+) -> None:
+    """Durable drain: foreachBatch writes each micro-batch's rows to
+    ``{out_root}/batch_id=N`` with per-batch overwrite, checkpointed
+    at ``checkpoint`` so a killed drain RESUMES from the last
+    committed batch instead of restarting.
+
+    This is the recoverable twin of run_stream_to_memory (whose
+    memory sink dies with the query). Exactly-once effect under
+    at-least-once foreachBatch: a replayed batch_id overwrites its
+    own directory, so duplicates cannot accumulate; reading
+    ``out_root`` back yields every batch's emission exactly once,
+    with ``batch_id`` recovered as a partition column.
+
+    ``fail_at_batch`` injects a crash BEFORE that micro-batch
+    commits — the test hook tests/test_stream_recovery.py uses to
+    prove the recovery contract: restart from the same checkpoint,
+    and stateful operators resume from the state store with no row
+    lost or double-counted.
+    """
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected failure before batch {batch_id} commit"
+            )
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_root.rstrip('/')}/batch_id={batch_id}"
+        )
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        q = (
+            sdf.writeStream.foreachBatch(_sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            DRAIN_PROGRESS[label or f"dir_{os.path.basename(out_root)}"] = (
+                _progress_summary(q, "foreachBatch")
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+
+
 # Version stride reserved per stream epoch: every (re)started stream
 # checkpoint claims a fresh block of EPOCH_STRIDE delta versions above
 # everything already in the table, so stream deltas can never land on
@@ -403,6 +464,7 @@ def stream_upsert_mor(
     path: str,
     fmt: str = "parquet",
     state_partitions: int = 4,
+    fail_at_batch: int | None = None,
 ) -> None:
     """ST7: continuous upsert sink — drain a stream into a
     merge-on-read table via ``foreachBatch`` (the CDC-ingest /
@@ -476,6 +538,12 @@ def stream_upsert_mor(
     epoch = manifest["epoch"]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            # recovery test hook: die BEFORE this batch commits —
+            # the restart must resume here from the checkpoint
+            raise RuntimeError(
+                f"injected failure before batch {batch_id} commit"
+            )
         v = epoch + batch_id + 1
         target = f"{ddir}/v={v}"
         if os.path.exists(target) and batch_id not in manifest["written"]:
