@@ -32,10 +32,10 @@ def src_pyds_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row schema all at once."""
     from etl_npl_pipeline_spark.sources.pyds import RestObservationsDataSource
 
-    try:
-        spark.dataSource.register(RestObservationsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # registration is replace-on-duplicate in Spark 4 — never wrap it
+    # in a blanket except; a real import/registration failure must
+    # surface here, not as DATA_SOURCE_NOT_FOUND at read time
+    spark.dataSource.register(RestObservationsDataSource)
     df = (
         spark.read.format("rest_observations")
         .option("series_code", "NPL")
@@ -83,10 +83,7 @@ def src_rest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         http_fetcher,
     )
 
-    try:
-        spark.dataSource.register(RestObservationsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    spark.dataSource.register(RestObservationsDataSource)
     api_key = "graft-loopback-key"
     with serve_observations(api_key=api_key) as base_url:
         url = f"{base_url}/observations"
@@ -151,6 +148,73 @@ WITH days AS (
 )
 SELECT month, n, total, n AS n_drv, total AS total_drv
 FROM agg ORDER BY month
+"""
+
+
+def src_rest_flaky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3c fault-tolerance contract: the SAME live-socket feed as
+    src_rest_live, but the gateway fails the FIRST TWO attempts of
+    every request with a 500 (sources.http_fixture fail_first=2).
+    http_fetcher's bounded deterministic retries (2 retries,
+    exponential backoff) must land the series COMPLETE — the oracle
+    replays the clean feed, so one dropped month breaks the match —
+    and the dead-letter quarantine stays empty (n_dead column). The
+    dead-letter path itself (a month broken beyond retries lands in
+    the manifest, load continues) is pinned in
+    tests/test_http_live.py."""
+    from datetime import date
+
+    from etl_npl_pipeline_spark.sources.http_fixture import serve_observations
+    from etl_npl_pipeline_spark.sources.rest import (
+        fetch_observations,
+        http_fetcher,
+    )
+
+    api_key = "graft-loopback-key"
+    dead: list[dict] = []
+    with serve_observations(api_key=api_key, fail_first=2) as base_url:
+        out = (
+            fetch_observations(
+                spark,
+                http_fetcher(
+                    {"Authorization": f"Bearer {api_key}"},
+                    retries=2,
+                    backoff_s=0.05,
+                ),
+                f"{base_url}/observations",
+                "NPL",
+                date(2024, 7, 1),
+                date(2025, 1, 1),
+                dead_letters=dead,
+            )
+            .groupBy(F.substring("period", 1, 7).alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .withColumn("n_dead", F.lit(len(dead)).cast("bigint"))
+            .orderBy("month")
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+SRC_REST_FLAKY_SQL = """
+WITH days AS (
+    SELECT CAST(unnest(generate_series(
+        DATE '2024-07-01', DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+), feed AS (
+    SELECT strftime(d, '%Y-%m-%d') AS period,
+           CAST(('0x' || substr(md5('NPL:' || strftime(d, '%Y-%m-%d')), 1, 8))
+                AS BIGINT) % 1000000 / 100.0 AS value
+    FROM days
+)
+SELECT substr(period, 1, 7) AS month, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(0 AS BIGINT) AS n_dead
+FROM feed GROUP BY 1 ORDER BY month
 """
 
 

@@ -49,6 +49,27 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler contract
+        # flake injection: the first `fail_first` requests for each
+        # distinct query string fail (500 or a truncated JSON page) —
+        # deterministic, so a retrying client always lands complete
+        fail_first = getattr(self.server, "fail_first", 0)
+        if fail_first:
+            with self.server.attempt_lock:
+                seen = self.server.attempts.get(self.path, 0)
+                self.server.attempts[self.path] = seen + 1
+            if seen < fail_first:
+                if getattr(self.server, "failure_mode", "500") == "truncate":
+                    body = b'{"result": {"series": [{"obser'
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(b'{"error": "transient"}')
+                return
         key = getattr(self.server, "api_key", None)
         if key is not None:
             auth = self.headers.get("Authorization", "")
@@ -78,13 +99,26 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 @contextmanager
-def serve_observations(api_key: str | None = None):
+def serve_observations(
+    api_key: str | None = None,
+    fail_first: int = 0,
+    failure_mode: str = "500",
+):
     """Start the loopback server on an ephemeral port; yield its base
     URL (``http://127.0.0.1:PORT``). The server dies with the
     context — callers must materialize anything fetched through it
-    BEFORE leaving the block (e.g. ``df.localCheckpoint()``)."""
+    BEFORE leaving the block (e.g. ``df.localCheckpoint()``).
+
+    ``fail_first`` > 0 makes the server fail the first N attempts of
+    EVERY distinct request (``failure_mode``: '500' = status 500,
+    'truncate' = a cut-off JSON page) before serving it correctly —
+    the flaky-gateway harness for the retry/dead-letter contract."""
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     srv.api_key = api_key
+    srv.fail_first = fail_first
+    srv.failure_mode = failure_mode
+    srv.attempts = {}
+    srv.attempt_lock = threading.Lock()
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:

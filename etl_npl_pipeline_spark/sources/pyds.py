@@ -93,7 +93,10 @@ def _fetch_month(
         with urllib.request.urlopen(req, timeout=30) as resp:
             payload = _json.loads(resp.read().decode("utf-8"))
         for obs in payload["result"]["series"][0]["observations"]:
-            yield (series_code, obs["period"], float(obs["value"]))
+            # real gateways serve missing observations as JSON null;
+            # the reader schema is nullable — propagate, don't crash
+            v = obs["value"]
+            yield (series_code, obs["period"], None if v is None else float(v))
     else:
         raise ValueError(
             f"unknown transport {transport!r}: expected 'synthetic' or 'http'"

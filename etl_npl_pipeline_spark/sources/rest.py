@@ -29,7 +29,10 @@ Fetcher = Callable[[str, dict], str]
 
 
 def http_fetcher(
-    headers: dict[str, str] | None = None, timeout: float = 30.0
+    headers: dict[str, str] | None = None,
+    timeout: float = 30.0,
+    retries: int = 2,
+    backoff_s: float = 0.1,
 ) -> Fetcher:
     """A real-socket Fetcher (stdlib urllib GET with query params and
     auth headers — parity with the reference's requests.get calls,
@@ -37,15 +40,39 @@ def http_fetcher(
     fetch_observations to run the month-chunk pagination loop over
     live HTTP; tests point it at sources.http_fixture's loopback
     server so the socket path is exercised without leaving the
-    host."""
+    host.
+
+    Fault contract (a real gateway flakes): transient failures —
+    5xx statuses, connection resets, timeouts — retry up to
+    ``retries`` times with deterministic exponential backoff
+    (``backoff_s * 2**attempt``); client errors (4xx) raise
+    immediately (retrying a 401 is pointless and hides a config
+    bug). Exhausted retries re-raise the last error for the caller's
+    quarantine policy (fetch_observations)."""
+    import time as _time
+    import urllib.error
     import urllib.parse
     import urllib.request
 
     def fetch(url: str, params: dict) -> str:
         qs = urllib.parse.urlencode(params)
-        req = urllib.request.Request(f"{url}?{qs}", headers=headers or {})
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return resp.read().decode("utf-8")
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                _time.sleep(backoff_s * (2 ** (attempt - 1)))
+            try:
+                req = urllib.request.Request(
+                    f"{url}?{qs}", headers=headers or {}
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return resp.read().decode("utf-8")
+            except urllib.error.HTTPError as exc:
+                if exc.code < 500:
+                    raise  # client error: not transient
+                last = exc
+            except (urllib.error.URLError, ConnectionError, TimeoutError) as exc:
+                last = exc
+        raise last  # type: ignore[misc]
 
     return fetch
 
@@ -73,26 +100,54 @@ def fetch_observations(
     start: date,
     end: date,
     record_path: Sequence[str] = ("result", "series", 0, "observations"),
+    dead_letters: list[dict] | None = None,
+    parse_retries: int = 1,
 ) -> DataFrame:
     """Fetch a series month-by-month and return one DataFrame.
 
     ``record_path`` walks the JSON envelope to the record list
     (ref: data_dict['result']['series'][0]['observations']).
+
+    ``dead_letters``: the quarantine convention for a feed that
+    stays broken after the fetcher's own retries. When a list is
+    passed, a month whose fetch raises or whose body fails to parse
+    (truncated page, malformed envelope) appends a dead-letter
+    record ``{series_code, start_period, end_period, error}`` and
+    the load CONTINUES — the caller decides whether partial data
+    plus the dead-letter manifest is acceptable (same shape as the
+    corrupt-JSONL quarantine, sources/files.py). Default (None):
+    raise, a partial series silently succeeding is worse than a
+    failed load.
     """
     records: list[dict] = []
     for lo, hi in month_chunks(start, end):
-        body = fetcher(
-            url,
-            {
-                "series_code": series_code,
-                "start_period": lo.isoformat(),
-                "end_period": hi.isoformat(),
-            },
-        )
-        node = json.loads(body)
-        for step in record_path:
-            node = node[step]
-        records.extend(node)
+        params = {
+            "series_code": series_code,
+            "start_period": lo.isoformat(),
+            "end_period": hi.isoformat(),
+        }
+        month_records = None
+        last_exc: Exception | None = None
+        # a truncated/malformed page arrives with HTTP 200, so the
+        # transport-level retry in http_fetcher never sees it — the
+        # fetch+parse pair retries as a unit here
+        for _ in range(parse_retries + 1):
+            try:
+                node = json.loads(fetcher(url, params))
+                for step in record_path:
+                    node = node[step]
+                month_records = list(node)
+                break
+            except Exception as exc:
+                last_exc = exc
+        if month_records is None:
+            if dead_letters is None:
+                raise last_exc  # type: ignore[misc]
+            dead_letters.append(
+                {**params, "error": f"{type(last_exc).__name__}: {last_exc}"}
+            )
+            continue
+        records.extend(month_records)
     if not records:
         raise ValueError(f"no records for {series_code} in [{start}, {end})")
     return spark.createDataFrame(records)

@@ -303,9 +303,19 @@ def stream_user_totals(
 DRAIN_PROGRESS: dict[str, dict] = {}
 
 
+# recentProgress is a ring buffer capped by
+# spark.sql.streaming.numRecentProgressUpdates (default 100); a drain
+# longer than the cap would silently under-count batches and could
+# miss the true state_rows_max peak. The drain harnesses raise the
+# cap to this value for the query's lifetime, and _progress_summary
+# records a truncation flag if a drain ever hits it anyway.
+PROGRESS_BUFFER = 10_000
+
+
 def _progress_summary(q, output_mode: str) -> dict:
     import json as _json
 
+    progress = list(q.recentProgress)
     summary = {
         "output_mode": output_mode,
         "batches": 0,
@@ -314,7 +324,9 @@ def _progress_summary(q, output_mode: str) -> dict:
         "state_rows_max": 0,
         "state_rows_last": 0,
     }
-    for p in q.recentProgress:
+    if len(progress) >= PROGRESS_BUFFER:  # pragma: no cover - guard
+        summary["progress_truncated"] = True
+    for p in progress:
         d = _json.loads(p.json) if hasattr(p, "json") else p
         summary["batches"] += 1
         summary["input_rows"] += int(d.get("numInputRows") or 0)
@@ -365,9 +377,14 @@ def run_stream_to_memory(
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    prev_pb = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
     name = f"mem_{uuid.uuid4().hex[:12]}"
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates",
+            str(PROGRESS_BUFFER),
+        )
         # A bounded drain runs each micro-batch plan ONCE — janino
         # whole-stage compilation never amortizes and dominates the
         # wall-clock (measured at sf0.1: ~1.25 s interpreted vs
@@ -386,7 +403,13 @@ def run_stream_to_memory(
         DRAIN_PROGRESS[label or name] = _progress_summary(q, output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
+        )
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
+        )
     return spark.table(name)
 
 
@@ -420,6 +443,7 @@ def run_stream_to_dir(
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    prev_pb = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if fail_at_batch is not None and batch_id == fail_at_batch:
@@ -433,6 +457,10 @@ def run_stream_to_dir(
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates",
+            str(PROGRESS_BUFFER),
+        )
         q = (
             sdf.writeStream.foreachBatch(_sink)
             .outputMode(output_mode)
@@ -448,7 +476,13 @@ def run_stream_to_dir(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
+        )
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
+        )
 
 
 # Version stride reserved per stream epoch: every (re)started stream
@@ -518,6 +552,7 @@ def stream_upsert_mor(
 
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_pb = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
     root = path.rstrip("/")
     checkpoint = f"{root}/_checkpoint"
 
@@ -559,6 +594,10 @@ def stream_upsert_mor(
 
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates",
+            str(PROGRESS_BUFFER),
+        )
         q = (
             sdf.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", checkpoint)
@@ -573,3 +612,6 @@ def stream_upsert_mor(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
+        )

@@ -96,3 +96,90 @@ def test_http_transport_requires_url():
         list(_fetch_month("http", "NPL", date(2024, 1, 1), date(2024, 1, 2)))
     with pytest.raises(ValueError, match="unknown transport"):
         list(_fetch_month("ftp", "NPL", date(2024, 1, 1), date(2024, 1, 2)))
+
+
+def test_retries_recover_transient_500s(spark):
+    """First 2 attempts of every request 500; the retrying fetcher
+    must land the complete series anyway."""
+    with serve_observations(fail_first=2) as base:
+        df = fetch_observations(
+            spark,
+            http_fetcher(retries=2, backoff_s=0.01),
+            f"{base}/obs",
+            "NPL",
+            date(2024, 1, 1),
+            date(2024, 3, 1),
+        )
+        rows = {r["period"]: r["value"] for r in df.collect()}
+    assert len(rows) == 60
+    assert rows["2024-01-07"] == _synthetic_value("NPL", "2024-01-07")
+
+
+def test_4xx_never_retries(spark):
+    """A client error is a config bug, not a flake — surface it on
+    the first attempt (retrying a 401 only hides it)."""
+    with serve_observations(api_key="secret") as base:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            http_fetcher(retries=5, backoff_s=0.01)(
+                f"{base}/obs",
+                {
+                    "series_code": "NPL",
+                    "start_period": "2024-01-01",
+                    "end_period": "2024-01-31",
+                },
+            )
+        assert exc.value.code == 401
+
+
+def test_exhausted_retries_raise_without_quarantine(spark):
+    """Default policy: a month broken beyond the retry budget fails
+    the load — partial data must be opt-in."""
+    with serve_observations(fail_first=99) as base:
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_observations(
+                spark,
+                http_fetcher(retries=1, backoff_s=0.01),
+                f"{base}/obs",
+                "NPL",
+                date(2024, 1, 1),
+                date(2024, 2, 1),
+            )
+
+
+def test_truncated_pages_dead_letter_and_load_continues(spark):
+    """Quarantine policy: truncated JSON pages arrive with HTTP 200,
+    so only the month-level fetch+parse retry (parse_retries) can
+    recover them. Permanently broken → dead-letter manifest records
+    each month and the load continues; transiently broken → the
+    parse retry refetches and the series lands complete."""
+    # permanently-broken feed, quarantine on: all months dead-letter,
+    # loader raises only because NOTHING landed
+    with serve_observations(fail_first=99, failure_mode="truncate") as base:
+        dead: list[dict] = []
+        with pytest.raises(ValueError, match="no records"):
+            fetch_observations(
+                spark,
+                http_fetcher(retries=0, backoff_s=0.01),
+                f"{base}/obs",
+                "NPL",
+                date(2024, 1, 1),
+                date(2024, 3, 1),
+                dead_letters=dead,
+            )
+        assert len(dead) == 2  # both months quarantined, not raised
+        assert all("start_period" in d and "error" in d for d in dead)
+
+    # transiently-broken feed: retries clear the truncation, the
+    # quarantine stays empty and the series lands complete
+    with serve_observations(fail_first=1, failure_mode="truncate") as base:
+        dead = []
+        df = fetch_observations(
+            spark,
+            http_fetcher(retries=1, backoff_s=0.01),
+            f"{base}/obs",
+            "NPL",
+            date(2024, 1, 1),
+            date(2024, 3, 1),
+            dead_letters=dead,
+        )
+        assert df.count() == 60 and dead == []
