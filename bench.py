@@ -90,6 +90,10 @@ HEADLINE = [
     "text_repetition",
     "text_lm_score",
     "text_winnow",
+    # index build runs FIRST so its one-time train/materialize cost
+    # lands on the build query; the ann trio then measures SEARCH
+    # (the lifecycle split the persisted index exists to create)
+    "ann_index_build",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
@@ -133,6 +137,8 @@ HEADLINE = [
     "src_rest_pages",
     "src_rest_live",
     "join_bucketed",
+    # r7 addition: flaky-gateway retry contract
+    "src_rest_flaky",
     "stream_upsert_read",
     "src_pyds_backfill",
     "src_jsonl_quarantine",
@@ -168,6 +174,82 @@ def _compact(v: float) -> float:
     ends; the whole line must fit). Sub-second queries keep 2 decimals;
     longer ones round to 1 (<=10% error, fine for grading)."""
     return round(v, 2 if v < 1 else 1)
+
+
+PLANT_BASE = 5_000_000
+
+
+def _dedup_quality(spark, sf_dir: str) -> dict:
+    """Planted-pair precision/recall for dedup_simhash and
+    dedup_semantic (the rows-only dedup family): deterministic
+    near-duplicates planted into the sf corpus, scored against the
+    operators' emitted pairs. Planted shapes mirror the real use
+    case — one appended token for simhash (light textual edit), one
+    nudged dimension for semantic (cosine ≈ 0.999)."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark.operators import dedup as D
+    from etl_npl_pipeline_spark.operators import similarity as S
+    from etl_npl_pipeline_spark.plans.llmdata import SEMDEDUP_CLUSTERS, _emb
+    from etl_npl_pipeline_spark.sources.tables import load_table
+
+    def score(pairs: set, planted: set) -> dict:
+        hits = {(a, b) for a, b in pairs if (a, b) in planted or (b, a) in planted}
+        touching = {
+            (a, b) for a, b in pairs if a >= PLANT_BASE or b >= PLANT_BASE
+        }
+        return {
+            "recall_planted": round(len(hits) / max(len(planted), 1), 4),
+            "precision_planted": round(
+                len(hits) / max(len(touching), 1), 4
+            ),
+            "n_planted": len(planted),
+            "n_emitted_touching": len(touching),
+        }
+
+    out = {}
+    # --- simhash: every 11th doc gets a copy with one extra token
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    origs = docs.where(F.col("doc_id") % 11 == 0)
+    copies = origs.select(
+        (F.col("doc_id") + PLANT_BASE).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("plantedtok")).alias("text"),
+    )
+    planted_sim = {
+        (i, i + PLANT_BASE)
+        for (i,) in origs.select("doc_id").collect()
+    }
+    sigs = D.simhash_signatures(docs.unionByName(copies), "text", "doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_candidates(sigs, max_hamming=3).collect()
+    }
+    out["dedup_simhash"] = score(got, planted_sim)
+
+    # --- semantic: every 9th vector gets a copy with dim-0 nudged
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    orig_v = emb.where(F.col("vec_id") % 9 == 0)
+    copies_v = orig_v.select(
+        (F.col("vec_id") + PLANT_BASE).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    planted_sem = {
+        (i, i + PLANT_BASE)
+        for (i,) in orig_v.select("vec_id").collect()
+    }
+    got_v = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_near_dups(
+            emb.unionByName(copies_v),
+            n_clusters=SEMDEDUP_CLUSTERS,
+            threshold=0.99,
+        ).collect()
+    }
+    out["dedup_semantic"] = score(got_v, planted_sem)
+    return out
 
 
 def main() -> None:
@@ -276,6 +358,15 @@ def main() -> None:
         for name in ("ann_lsh", "ann_ivf", "ann_pq")
     }
 
+    # Planted-pair precision/recall for the two rows-only dedup ops
+    # (simhash, semantic): plant deterministic near-duplicates into
+    # the sf corpus, run the REAL operators, and score how many
+    # planted pairs come back (recall) and how many of the emitted
+    # pairs that touch a planted id are the true (orig, copy) pair
+    # (precision). A measured quality number per round, not just a
+    # pass/fail test boolean.
+    dedup_quality = _dedup_quality(spark, sf_dir)
+
     # The knobs behind the approximate numbers, so recall/time are
     # interpretable (and tunable) without reading the source. Values
     # come from the SAME constants the queries use — no drift.
@@ -308,6 +399,7 @@ def main() -> None:
     pq_sweep = _load_sweep("pq_sweep.json")
     skew_probe = _load_sweep("skew_probe.json")
     sf1_top10 = _load_sweep("sf1_top10.json")
+    sf1_top30 = _load_sweep("sf1_top30.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
 
     # StreamingQueryProgress summaries captured by every drain this
@@ -329,6 +421,7 @@ def main() -> None:
         "cold_first_run": cold,
         "cold_total": round(sum(cold.values()), 3),
         "recall_at_5": recall,
+        "dedup_quality": dedup_quality,
         "knobs": knobs,
         "calibration": calibration,
         "sf": sf_val,
@@ -341,6 +434,8 @@ def main() -> None:
         detail["skew_probe"] = skew_probe
     if sf1_top10 is not None:
         detail["sf1_top10"] = sf1_top10
+    if sf1_top30 is not None:
+        detail["sf1_top30"] = sf1_top30
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
     detail["streaming_progress"] = dict(DRAIN_PROGRESS)
@@ -366,6 +461,12 @@ def main() -> None:
             "cold_total": round(sum(cold.values()), 2),
             "queries": qmap,
             "recall_at_5": recall,
+            "dedup_q": {
+                k.removeprefix("dedup_"): [
+                    v["recall_planted"], v["precision_planted"]
+                ]
+                for k, v in dedup_quality.items()
+            },
             "cal": calibration["shuffle_sec"],
             "sf": sf_val,
         }

@@ -264,19 +264,44 @@ def profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     users and quantile-sketch medians. At 100 TB exact countDistinct
     shuffles every key and exact percentiles sort every group —
     sketches are mergeable map-side summaries with fixed memory, the
-    only viable profile at that scale. rows-only (sketch outputs are
-    engine-specific); accuracy vs the exact profile is pinned by
-    test instead."""
+    only viable profile at that scale.
+
+    Oracle contract (r7, upgraded from rows-only): the raw sketch
+    outputs are engine-specific, so the query emits the accuracy
+    ASSERTION instead — one exact-side pass in the SAME aggregation
+    computes exact distincts and exact p45/p55 bracket quantiles,
+    and the output carries ``users_ok`` (|HLL − exact| within
+    max(5%, ±2)) and ``p50_ok`` (sketch median inside the exact
+    p45–p55 bracket) booleans plus the exact row count. DuckDB
+    replays (event_type, n, true, true) — any sketch drifting out
+    of bound breaks the hash match. All-null groups assert true
+    (no defined quantile to violate)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.approx_percentile("value", 0.5, 10_000).alias("approx_p50"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.count_distinct("user_id").alias("eu"),
+        F.approx_percentile("value", 0.5, 10_000).alias("ap50"),
+        F.expr("percentile(value, 0.45D)").alias("p45"),
+        F.expr("percentile(value, 0.55D)").alias("p55"),
+        F.count(F.lit(1)).alias("n"),
     )
+    users_ok = F.abs(F.col("au") - F.col("eu")) <= F.greatest(
+        F.ceil(F.col("eu") * 0.05), F.lit(2)
+    )
+    p50_ok = F.col("ap50").between(F.col("p45"), F.col("p55"))
+    return agg.select(
+        "event_type",
+        "n",
+        F.coalesce(users_ok, F.lit(True)).alias("users_ok"),
+        F.coalesce(p50_ok, F.lit(True)).alias("p50_ok"),
+    ).orderBy("event_type")
+
+
+PROFILE_SKETCHES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       true AS users_ok, true AS p50_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 # --- A39: declarative data-quality suite ---------------------------

@@ -29,7 +29,7 @@ def test_every_oracle_has_a_query_and_vice_versa_is_explicit():
     # every rows-only omission is one of the six declared ones
     declared = {
         "dedup_simhash", "dedup_semantic", "ann_lsh", "ann_ivf",
-        "ann_pq", "profile_sketches",
+        "ann_pq",
     }
     assert {k for k in QUERIES if k not in ORACLES} == declared
 

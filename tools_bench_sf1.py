@@ -30,7 +30,8 @@ from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 SF1_DIR = "/root/repo/.tmp/sf1"
 SF01_DIR = "/root/testdata/sf0.1"
 
-# r5 steady-state top-10 at sf0.1 (BENCH_r05 ranking)
+# r5 steady-state top-10 at sf0.1 (BENCH_r05 ranking) — kept first
+# so the r6 sf1_top10 numbers stay comparable round over round
 TOP10 = [
     "pipeline_full_read",
     "corpus_curation",
@@ -43,6 +44,43 @@ TOP10 = [
     "sql_udtf_sessionize",
     "ann_ivf",
 ]
+
+# r7 breadth (VERDICT r6 item #4): the dedup, text, streaming and
+# ANN tiers get a measured sf1 point too — 38 queries total, every
+# family with a non-trivial scale story covered.
+TIER_DEDUP = [
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_semantic",
+    "dedup_incremental",
+    "dedup_decontaminate",
+    "dedup_cross_source",
+    "dedup_chunks",
+]
+TIER_TEXT = [
+    "text_tfidf",
+    "search_bm25",
+    "text_normalize",
+    "text_gopher_rules",
+    "text_lang_id",
+    "vocab_bpe_pairs",
+    "text_winnow",
+]
+TIER_STREAM = [
+    "stream_events_window",
+    "stream_sessionize",
+    "stream_user_totals",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_windowed_topk",
+    "stream_anomaly_alerts",
+]
+TIER_ANN = ["ann_index_build", "ann_lsh", "ann_pq", "ann_topk"]
+
+ALL_QUERIES = TOP10 + TIER_DEDUP + TIER_TEXT + TIER_STREAM + TIER_ANN
 
 
 def _plan(df) -> str:
@@ -61,7 +99,7 @@ def main() -> None:
     spark.range(10).select(_pudf(lambda s: s, "long")("id")).count()
 
     out: dict[str, dict] = {}
-    for name in TOP10:
+    for name in ALL_QUERIES:
         fn = queries[name]
         # sf0.1 reference timing in THIS process/host (steady = 2nd)
         for _ in range(2):
@@ -138,9 +176,16 @@ def main() -> None:
             v["exchanges_sf1"] > v["exchanges_sf01"] for v in out.values()
         ),
     }
+    doc["tiers"] = {
+        "top10_r5_ranking": TOP10,
+        "dedup": TIER_DEDUP,
+        "text": TIER_TEXT,
+        "stream": TIER_STREAM,
+        "ann": TIER_ANN,
+    }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "sf1_top10.json"), "w",
+                     "sf1_top30.json"), "w",
     ) as fh:
         json.dump(doc, fh, indent=1)
     print(json.dumps({k: doc[k] for k in
