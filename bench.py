@@ -400,6 +400,7 @@ def main() -> None:
     skew_probe = _load_sweep("skew_probe.json")
     sf1_top10 = _load_sweep("sf1_top10.json")
     sf1_top30 = _load_sweep("sf1_top30.json")
+    drift = _load_sweep("drift_adjudication.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
 
     # StreamingQueryProgress summaries captured by every drain this
@@ -436,6 +437,8 @@ def main() -> None:
         detail["sf1_top10"] = sf1_top10
     if sf1_top30 is not None:
         detail["sf1_top30"] = sf1_top30
+    if drift is not None:
+        detail["drift_adjudication"] = drift
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
     detail["streaming_progress"] = dict(DRAIN_PROGRESS)
