@@ -534,16 +534,18 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+        F.struct(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        ).alias("s")
     )
     types = ev.select("event_type").distinct()
     spine = (
-        types.join(F.broadcast(bounds))
+        types.withColumn("b", bounds.scalar())
         .select(
             "event_type",
             F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                F.sequence("b.h0", "b.h1", F.expr("INTERVAL 1 HOUR"))
             ).alias("hour"),
         )
     )

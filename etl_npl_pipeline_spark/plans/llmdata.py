@@ -1734,9 +1734,17 @@ def corpus_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == kprime)
             .select(F.col("score").alias("ts"), F.col("doc_id").alias("td"))
         )
-        kept = parts.crossJoin(F.broadcast(thr)).where(
-            (F.col("score") > F.col("ts"))
-            | ((F.col("score") == F.col("ts")) & (F.col("doc_id") > F.col("td")))
+        thr_s = thr.select(F.struct("ts", "td").alias("s"))
+        kept = (
+            parts.withColumn("ts", thr_s.scalar().getField("ts"))
+            .withColumn("td", thr_s.scalar().getField("td"))
+            .where(
+                (F.col("score") > F.col("ts"))
+                | (
+                    (F.col("score") == F.col("ts"))
+                    & (F.col("doc_id") > F.col("td"))
+                )
+            )
         )
     else:
         kept = parts
@@ -1795,9 +1803,12 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the token explode filters to the query terms IMMEDIATELY
       (where t IN query, a literal in-list) so the exploded relation
       is |docs that mention a query term|, not |tokens|;
-    - tf is one (doc, term) groupBy; df and the corpus stats (N,
-      avgdl) are tiny aggregates — both broadcast back, so the only
-      real shuffle is the tf groupBy;
+    - tf is one (doc, term) groupBy; df is a tiny aggregate
+      broadcast back, and the corpus stats (N, avgdl) attach as a
+      SCALAR SUBQUERY (one struct-valued subquery stage folded into
+      the projection as a literal — no join node at all, so the plan
+      stays BroadcastNestedLoopJoin-free); the only real shuffle is
+      the tf groupBy;
     - top-N by score executes as TakeOrderedAndProject (map-side
       partial top-N), no global sort.
     Float determinism: idf/score arithmetic is written identically
@@ -1810,7 +1821,7 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dld.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    ).select(F.struct("n_docs", "avgdl").alias("s"))
     hits = (
         docs.select("doc_id", F.explode(toks).alias("t"))
         .where(F.col("t").isin(BM25_QUERY))
@@ -1821,7 +1832,8 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         hits.join(F.broadcast(dfreq), "t")
         .join(dld, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n_docs", stats.scalar().getField("n_docs"))
+        .withColumn("avgdl", stats.scalar().getField("avgdl"))
         .select(
             "doc_id",
             (
@@ -1901,7 +1913,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency comes from a count-over-window on the SAME term
     partitioning (no separate vocab aggregate + join, and — the L15
     lesson — no broadcast of an unbounded vocabulary); corpus size N
-    is a 1-row broadcast crossJoin; top-k per doc is a row_number
+    is a SCALAR SUBQUERY (folded into the projection as a literal,
+    no join node, keeping the plan BNLJ-free); top-k per doc is a
+    row_number
     window partitioned by doc_id, never a global sort. Ranking
     compares the 6-dp ROUNDED score (identical arithmetic in both
     engines) with the term string as total-order tie-break, so the
@@ -1920,7 +1934,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn(
             "df_", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
-        .crossJoin(F.broadcast(n_docs))
+        .withColumn("n_docs", n_docs.scalar())
         .withColumn(
             "tfidf",
             F.round(
@@ -2076,7 +2090,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in VOCAB_COVERAGE_KS
         ]
     )
-    return covered.crossJoin(F.broadcast(total)).select(
+    return covered.withColumn("total_tokens", total.scalar()).select(
         *[
             F.round(F.col(f"cov_{k}") / F.col("total_tokens"), 6).alias(
                 f"coverage_{k}"
@@ -2248,7 +2262,7 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cands.join(cv, "doc_id")
-        .crossJoin(F.broadcast(qv))
+        .withColumn("qv", qv.scalar())
         .select(
             "doc_id",
             "score",
@@ -3118,7 +3132,7 @@ def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("total_tokens")
     )
     return (
-        per_src.crossJoin(F.broadcast(total))
+        per_src.withColumn("total_tokens", total.scalar())
         .select(
             "source",
             "src_tokens",
@@ -3347,21 +3361,25 @@ def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("trigram", " ").alias("ws"), "trigram")
     )
     phrase = tri.select(
-        F.col("ws")[0].alias("w1"),
-        F.col("ws")[1].alias("w2"),
-        F.col("ws")[2].alias("w3"),
-        "trigram",
+        F.struct(
+            F.col("ws")[0].alias("w1"),
+            F.col("ws")[1].alias("w2"),
+            F.col("ws")[2].alias("w3"),
+            "trigram",
+        ).alias("s")
     )
-    p = toks.crossJoin(F.broadcast(phrase))
-    p1 = p.where(F.col("term") == F.col("w1")).select(
-        "doc_id", F.col("pos").alias("pos1"), "trigram"
+    p = toks.withColumn("ph", phrase.scalar())
+    p1 = p.where(F.col("term") == F.col("ph.w1")).select(
+        "doc_id",
+        F.col("pos").alias("pos1"),
+        F.col("ph.trigram").alias("trigram"),
     )
-    p2 = toks.crossJoin(F.broadcast(phrase)).where(
-        F.col("term") == F.col("w2")
-    ).select("doc_id", F.col("pos").alias("pos2"))
-    p3 = toks.crossJoin(F.broadcast(phrase)).where(
-        F.col("term") == F.col("w3")
-    ).select("doc_id", F.col("pos").alias("pos3"))
+    p2 = p.where(F.col("term") == F.col("ph.w2")).select(
+        "doc_id", F.col("pos").alias("pos2")
+    )
+    p3 = p.where(F.col("term") == F.col("ph.w3")).select(
+        "doc_id", F.col("pos").alias("pos3")
+    )
     hits = (
         p1.join(p2, "doc_id")
         .where(F.col("pos2") == F.col("pos1") + 1)

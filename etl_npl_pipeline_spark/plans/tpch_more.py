@@ -292,7 +292,7 @@ FROM j WHERE l_quantity < 0.5 * avg_qty
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Well-funded customers with NO orders (anti join), grouped by
     a derived key — plus the avg-balance filter as a scalar
-    broadcast."""
+    SUBQUERY (folded to a literal by Catalyst, no join node)."""
     cust = load_table(spark, sf_dir, "customer")
     # restrict to early orders so the anti-join is selective (every
     # customer has SOME order in this synthetic data)
@@ -302,7 +302,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         (F.sum(money("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("ab")
     )
-    rich = cust.join(F.broadcast(avg_bal)).where(
+    rich = cust.withColumn("ab", avg_bal.scalar()).where(
         F.col("c_acctbal") > F.col("ab")
     )
     inactive = rich.join(

@@ -107,8 +107,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose shipped value from NATION_5 suppliers exceeds
     0.1% of that nation's total shipped value.
 
-    The scalar ``(SELECT SUM(...) * fraction)`` subquery becomes a
-    1-row broadcast cross join; both the per-part values and the
+    The scalar ``(SELECT SUM(...) * fraction)`` subquery stays a
+    scalar SUBQUERY (Catalyst folds the 1-row aggregate into the
+    filter as a literal — no join node); both the per-part values and the
     threshold are exact decimal sums, and the > compare runs on the
     decimals directly (value*1000 > total), so no float threshold
     wobble at the boundary.
@@ -129,7 +130,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = per_part.agg(F.sum("value_dec").alias("total_dec"))
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn("total_dec", total.scalar())
         .where(F.col("value_dec") * 1000 > F.col("total_dec"))
         .select(
             F.col("l_partkey").alias("p_partkey"),

@@ -443,3 +443,40 @@ def test_emb_quantize_map_only(spark, sf_dir):
     plan = _formatted(ld.emb_quantize_int8(spark, sf_dir))
     assert "hashpartitioning" not in plan  # rangepartitioning sort only
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+# --- whole-contract BNLJ sweep ------------------------------------
+
+# Queries whose callable EXECUTES work when invoked (streaming
+# drains, lakehouse writes, pipeline runs) — their plan shape is
+# pinned by their own dedicated tests; building them here would turn
+# a plan scan into a full run.
+_EAGER_PREFIXES = (
+    "stream_",
+    "pipeline_",
+    "sink_",
+    "merge_",
+    "mor_",
+)
+
+
+def test_no_bnlj_or_cartesian_anywhere(spark, sf_dir):
+    """EVERY batch contract query plans without a
+    BroadcastNestedLoopJoin or CartesianProduct — the two physical
+    operators that turn into |left|x|right| work at 100 TB. The
+    former used to appear as harmless 1-row scalar crossJoins
+    (tfidf / bm25 / rag / phrase-search / vocab-coverage /
+    token-budget / corpus-prune); those now attach their scalars as
+    scalar SUBQUERIES (ScalarSubquery folds to a literal, no join
+    node), so the invariant can be pinned corpus-wide."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        if name.startswith(_EAGER_PREFIXES):
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], f"BNLJ/cartesian in: {offenders}"

@@ -13,6 +13,8 @@ anywhere, and the Exchange count must not exceed the sf0.1 plan's
 100-TB red flag).
 
 Run: python tools_make_sf1.py && python tools_bench_sf1.py
+Subset re-measure (merges into the existing sf1_top30.json):
+python tools_bench_sf1.py text_tfidf search_bm25
 """
 
 from __future__ import annotations
@@ -90,6 +92,8 @@ def _plan(df) -> str:
 def main() -> None:
     if not os.path.isdir(SF1_DIR):
         sys.exit("run tools_make_sf1.py first")
+    subset = [a for a in sys.argv[1:] if a in ALL_QUERIES]
+    run_queries = subset or ALL_QUERIES
     spark = get_spark("bench-sf1")
     queries = entrymod.queries()
     # warm session + Arrow workers once (same as bench.py)
@@ -98,8 +102,14 @@ def main() -> None:
 
     spark.range(10).select(_pudf(lambda s: s, "long")("id")).count()
 
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "sf1_top30.json"
+    )
     out: dict[str, dict] = {}
-    for name in ALL_QUERIES:
+    if subset and os.path.exists(out_path):
+        with open(out_path) as fh:
+            out = json.load(fh)["queries"]
+    for name in run_queries:
         fn = queries[name]
         # sf0.1 reference timing in THIS process/host (steady = 2nd)
         for _ in range(2):
@@ -183,10 +193,7 @@ def main() -> None:
         "stream": TIER_STREAM,
         "ann": TIER_ANN,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "sf1_top30.json"), "w",
-    ) as fh:
+    with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(json.dumps({k: doc[k] for k in
                       ("total_sf1_steady_sec", "any_bnlj",
