@@ -333,15 +333,34 @@ def main() -> None:
     # Pass 1 records the cold time (published in bench_detail.json),
     # pass 2 is the steady-state number the headline line reports —
     # the regime a 1000-executor production cluster actually runs in.
+    from etl_npl_pipeline_spark.metrics import run_with_metrics
+
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    phys: dict[str, dict] = {}
     for dest in (cold, timings):
         for name in HEADLINE:
             fn = queries[name]
-            t0 = time.time()
             # noop write = full materialization of every output column
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dest[name] = round(time.time() - t0, 3)
+            # steady pass is metered (AppStatusStore stage deltas):
+            # shuffle/scan/spill BYTES are plan-deterministic, the
+            # host-independent companion to the wall-time numbers
+            m = run_with_metrics(
+                spark,
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            dest[name] = m["wall_sec"]
+            if dest is timings:
+                phys[name] = {
+                    "shuffle_mb": round(m["shuffle_write_bytes"] / 1e6, 3),
+                    "input_mb": round(m["input_bytes"] / 1e6, 3),
+                    "spill_bytes": m["memory_spill_bytes"]
+                    + m["disk_spill_bytes"],
+                    "tasks": m["num_tasks"],
+                }
 
     # ANN quality alongside speed: recall@5 of each approximate
     # index vs the exact brute-force baseline (speed without recall
@@ -402,6 +421,7 @@ def main() -> None:
     sf1_top30 = _load_sweep("sf1_top30.json")
     drift = _load_sweep("drift_adjudication.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
+    adversarial = _load_sweep("adversarial_r7.json")
 
     # StreamingQueryProgress summaries captured by every drain this
     # run (streaming/events.DRAIN_PROGRESS): batches, input rows,
@@ -426,6 +446,18 @@ def main() -> None:
         "knobs": knobs,
         "calibration": calibration,
         "sf": sf_val,
+        # bytes, not seconds: host-independent physical profile of
+        # the steady pass. queries_with_spill should stay [] at bench
+        # sf — any entry means a partition no longer fits its task.
+        "physical": {
+            "per_query": phys,
+            "total_shuffle_mb": round(
+                sum(p["shuffle_mb"] for p in phys.values()), 1
+            ),
+            "queries_with_spill": sorted(
+                n for n, p in phys.items() if p["spill_bytes"] > 0
+            ),
+        },
     }
     if sweep is not None:
         detail["ann_lsh_sweep"] = sweep
@@ -441,6 +473,8 @@ def main() -> None:
         detail["drift_adjudication"] = drift
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
+    if adversarial is not None:
+        detail["adversarial_program"] = adversarial
     detail["streaming_progress"] = dict(DRAIN_PROGRESS)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

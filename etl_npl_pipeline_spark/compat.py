@@ -17,6 +17,13 @@ Caveats that matter at scale (why the native operators exist):
   native operators express the same transforms as pure Catalyst
   plans (no index machinery at all), which is why the engine's own
   queries never route through this module.
+- Timestamps ride pandas' datetime64[ns] internally, so the
+  representable range is 1677-09-21..2262-04-11 — dates outside it
+  fail in the Arrow->pandas conversion (exactly as they would in
+  the reference's own pandas engine). The native operators use
+  Catalyst timestamps and have no such range limit (pinned by the
+  far-dates adversarial build: op_quarter_agg/npl_quarterly pass,
+  this module is the documented exclusion).
 """
 
 from __future__ import annotations

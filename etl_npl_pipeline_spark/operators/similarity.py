@@ -116,6 +116,12 @@ def brute_force_topk(
     # aggregation (global top-k ⊆ union of per-batch top-k under
     # the same total order).
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query set (0-row embeddings build): the answer is
+        # the empty relation in the normal output schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos_sim double"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     dim = qm.shape[1]

@@ -1050,6 +1050,9 @@ def src_rest_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDERS_1995",
         date(1995, 1, 1),
         date(1996, 1, 1),
+        # a window with zero observations is an empty feed, not an
+        # error (adversarial far-dates build moves every 1995 order)
+        empty_schema="date string, key long, value double",
     )
     return (
         df.groupBy(F.substring("date", 1, 7).alias("month"))
@@ -1159,7 +1162,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .select("user_id", "ts")
         .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 20 MINUTES"))
+        .where(F.col("ts") <= F.lit(max_ts).cast("timestamp") - F.expr("INTERVAL 20 MINUTES"))
     )
     agg = ev.groupBy(
         F.session_window("ts", "5 minutes"), "user_id"
@@ -1233,8 +1236,11 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("m"))
         .collect()
     )
-    anchor = min(r["m"] for r in maxes)
-    cutoff = F.lit(anchor) - F.expr("INTERVAL 45 MINUTES")
+    # empty stream (adversarial empty-tables build): anchor is
+    # None -> typed-NULL cutoff -> the filter keeps nothing and the
+    # drain returns the empty shape, same as the batch oracle
+    anchor = min((r["m"] for r in maxes), default=None)
+    cutoff = F.lit(anchor).cast("timestamp") - F.expr("INTERVAL 45 MINUTES")
     clicks = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -1325,7 +1331,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+        .where(F.col("ts") <= F.lit(max_ts).cast("timestamp") - F.expr("INTERVAL 30 MINUTES"))
     )
     agg = (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
@@ -1599,7 +1605,7 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
-        .where(F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+        .where(F.col("ts") <= F.lit(max_ts).cast("timestamp") - F.expr("INTERVAL 30 MINUTES"))
     )
     agg = (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")

@@ -2090,11 +2090,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in VOCAB_COVERAGE_KS
         ]
     )
+    # try_divide: an empty corpus has total_tokens = 0 and coverage
+    # is undefined -> NULL (matches the oracle's NULLIF divisor),
+    # never an ANSI divide-by-zero abort
     return covered.withColumn("total_tokens", total.scalar()).select(
         *[
-            F.round(F.col(f"cov_{k}") / F.col("total_tokens"), 6).alias(
-                f"coverage_{k}"
-            )
+            F.round(
+                F.try_divide(F.col(f"cov_{k}"), F.col("total_tokens")), 6
+            ).alias(f"coverage_{k}")
             for k in VOCAB_COVERAGE_KS
         ],
         "total_tokens",
@@ -2113,14 +2116,13 @@ WITH toks AS (
 )
 SELECT
     ROUND(COALESCE(SUM(CASE WHEN rk <= 10 THEN n END), 0)
-          / total_tokens, 6) AS coverage_10,
+          / NULLIF((SELECT total_tokens FROM total), 0), 6) AS coverage_10,
     ROUND(COALESCE(SUM(CASE WHEN rk <= 100 THEN n END), 0)
-          / total_tokens, 6) AS coverage_100,
+          / NULLIF((SELECT total_tokens FROM total), 0), 6) AS coverage_100,
     ROUND(COALESCE(SUM(CASE WHEN rk <= 1000 THEN n END), 0)
-          / total_tokens, 6) AS coverage_1000,
-    total_tokens
-FROM ranked CROSS JOIN total
-GROUP BY total_tokens
+          / NULLIF((SELECT total_tokens FROM total), 0), 6) AS coverage_1000,
+    (SELECT total_tokens FROM total) AS total_tokens
+FROM ranked
 """
 
 

@@ -62,9 +62,18 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     column's distinct values, and parquet pruning means total bytes
     read are identical)."""
     orders = load_table(spark, sf_dir, "orders")
-    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    # (column, engine-stable string type): doubles stringify through
+    # decimal(18,2) — Spark's double->string flips to scientific
+    # notation at 1e7 ("9.999999999E7") where DuckDB stays plain;
+    # decimal->string is plain in both engines
+    cols = [
+        ("o_orderkey", "string"),
+        ("o_custkey", "string"),
+        ("o_totalprice", "decimal(18,2)"),
+        ("o_orderstatus", "string"),
+    ]
 
-    def prof(c: str) -> DataFrame:
+    def prof(c: str, t: str) -> DataFrame:
         by_val = orders.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
         return by_val.agg(
             F.sum("cnt").alias("n"),
@@ -72,16 +81,16 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col(c).isNull(), F.col("cnt")).otherwise(0)
             ).alias("nulls"),
             F.count(F.when(F.col(c).isNotNull(), 1)).alias("n_distinct"),
-            F.min(c).cast("string").alias("min_val"),
-            F.max(c).cast("string").alias("max_val"),
+            F.min(c).cast(t).cast("string").alias("min_val"),
+            F.max(c).cast(t).cast("string").alias("max_val"),
         ).select(
             F.lit(c).alias("col_name"),
             "n", "nulls", "n_distinct", "min_val", "max_val",
         )
 
-    out = prof(cols[0])
-    for c in cols[1:]:
-        out = out.unionAll(prof(c))
+    out = prof(*cols[0])
+    for c, t in cols[1:]:
+        out = out.unionAll(prof(c, t))
     return out.orderBy("col_name")
 
 
@@ -101,7 +110,8 @@ UNION ALL
 SELECT 'o_totalprice', COUNT(*),
        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_totalprice),
-       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', COUNT(*),
@@ -388,8 +398,11 @@ EVENTS_ANOMALIES_SQL = """
 WITH stats AS (
     SELECT event_type,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2))
-                         * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4)))
+           -- DECIMAL(19,2) operands force DuckDB onto the INT128
+           -- multiply path ((12,2)x(12,2) rides INT64 and overflows
+           -- at |value| ~ 1e8); product cast matches Spark's (24,4)
+           CAST(SUM(CAST(CAST(value AS DECIMAL(19,2))
+                         * CAST(value AS DECIMAL(19,2)) AS DECIMAL(24,4)))
                 AS DOUBLE) AS sq,
            COUNT(*) AS cnt
     FROM events GROUP BY 1

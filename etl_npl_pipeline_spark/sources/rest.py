@@ -102,8 +102,17 @@ def fetch_observations(
     record_path: Sequence[str] = ("result", "series", 0, "observations"),
     dead_letters: list[dict] | None = None,
     parse_retries: int = 1,
+    empty_schema: str | None = None,
 ) -> DataFrame:
     """Fetch a series month-by-month and return one DataFrame.
+
+    ``empty_schema``: a gateway legitimately serves ZERO
+    observations for a window (a series that starts later, a
+    range moved by upstream corrections). With a declared schema
+    the empty feed returns the empty relation in that schema;
+    without one (None) it raises — createDataFrame([]) cannot
+    infer a schema, and callers who never declared one are better
+    served by a loud error than a columnless frame.
 
     ``record_path`` walks the JSON envelope to the record list
     (ref: data_dict['result']['series'][0]['observations']).
@@ -149,6 +158,8 @@ def fetch_observations(
             continue
         records.extend(month_records)
     if not records:
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
         raise ValueError(f"no records for {series_code} in [{start}, {end})")
     return spark.createDataFrame(records)
 

@@ -100,3 +100,71 @@ def edge_dir(tmp_path_factory, sf_dir):
 def test_edge_value_parity(name, spark, edge_dir):
     df = QUERIES[name](spark, edge_dir)
     assert_matches_oracle(df, ORACLES[name], edge_dir)
+
+
+# --- r7: boundary MAGNITUDES (distinct from zeros/negations) ------
+#
+# Money columns at decimal(12,2) extremes so squared terms cross
+# 1e16 and sums cross 1e12. The r7 sweep caught two here, both
+# pinned: profile_orders stringified doubles diverged (Spark
+# scientific notation at 1e7 vs DuckDB plain — now both stringify
+# through decimal(18,2)), and events_anomalies' ORACLE overflowed
+# DuckDB's INT64 decimal multiply ((12,2)x(12,2); now (19,2)
+# operands force the INT128 path).
+
+EXTREME_SENSITIVE = [
+    "profile_orders",
+    "events_anomalies",
+    "events_quantiles",
+    "events_median",
+    "dq_orders",
+    "q18_large_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_dir(tmp_path_factory, sf_dir):
+    out = str(tmp_path_factory.mktemp("extreme"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    con.execute(
+        f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+            CASE event_id % 7
+              WHEN 0 THEN 99999999.99
+              WHEN 1 THEN -99999999.99
+              WHEN 2 THEN 0.01
+              ELSE value END AS value, props
+          FROM read_parquet('{sf_dir}/events.parquet'))
+        TO '{os.path.join(out, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE o_orderkey % 7
+              WHEN 0 THEN 99999999.99
+              WHEN 1 THEN 0.01 ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority
+          FROM read_parquet('{sf_dir}/orders.parquet'))
+        TO '{os.path.join(out, "orders.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (SELECT * REPLACE (
+            CASE l_orderkey % 7 WHEN 0 THEN 9999999.99
+              ELSE l_extendedprice END AS l_extendedprice)
+          FROM read_parquet('{sf_dir}/lineitem.parquet'))
+        TO '{os.path.join(out, "lineitem.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", EXTREME_SENSITIVE)
+def test_extreme_magnitude_parity(name, spark, extreme_dir):
+    df = QUERIES[name](spark, extreme_dir)
+    assert_matches_oracle(df, ORACLES[name], extreme_dir)

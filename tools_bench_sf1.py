@@ -10,7 +10,10 @@ time from the same process for an in-host scaling ratio, and two
 plan re-checks on the sf1 plan — no BroadcastNestedLoopJoin
 anywhere, and the Exchange count must not exceed the sf0.1 plan's
 (a plan that grows extra shuffles with data size would be the
-100-TB red flag).
+100-TB red flag). Each steady run is also METERED via
+etl_npl_pipeline_spark.metrics (AppStatusStore stage deltas):
+shuffle bytes at sf0.1 vs sf1 give a host-independent linearity
+gate (superlinear_shuffle), and sf1 spill bytes are recorded.
 
 Run: python tools_make_sf1.py && python tools_bench_sf1.py
 Subset re-measure (merges into the existing sf1_top30.json):
@@ -27,6 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from etl_npl_pipeline_spark.metrics import run_with_metrics  # noqa: E402
 from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF1_DIR = "/root/repo/.tmp/sf1"
@@ -111,27 +115,30 @@ def main() -> None:
             out = json.load(fh)["queries"]
     for name in run_queries:
         fn = queries[name]
-        # sf0.1 reference timing in THIS process/host (steady = 2nd)
-        for _ in range(2):
-            t0 = time.time()
-            df01 = fn(spark, SF01_DIR)
-            df01.write.format("noop").mode("overwrite").save()
-            ref_sec = time.time() - t0
+
+        def _noop(d):
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+
+        # sf0.1 reference timing in THIS process/host (steady = 2nd;
+        # the 2nd run is metered — bytes are plan-deterministic, so
+        # any steady run reads the same)
+        _noop(SF01_DIR)
+        m01 = run_with_metrics(spark, lambda: _noop(SF01_DIR))
+        ref_sec = m01["wall_sec"]
         plan01 = _plan(fn(spark, SF01_DIR))
         # sf1: cold, then steady = min of 2 (single-shot steady
         # measured a 2x transient on corpus_curation; min-of-2 is the
         # honest per-plan cost, same convention as the gate)
         t0 = time.time()
-        fn(spark, SF1_DIR).write.format("noop").mode("overwrite").save()
+        _noop(SF1_DIR)
         cold = time.time() - t0
-        steady = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, SF1_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            steady = min(steady, time.time() - t0)
+        t0 = time.time()
+        _noop(SF1_DIR)
+        steady = time.time() - t0
+        m1 = run_with_metrics(spark, lambda: _noop(SF1_DIR))
+        steady = min(steady, m1["wall_sec"])
         plan1 = _plan(fn(spark, SF1_DIR))
+        sw01, sw1 = m01["shuffle_write_bytes"], m1["shuffle_write_bytes"]
         out[name] = {
             "sf1_cold_sec": round(cold, 3),
             "sf1_steady_sec": round(steady, 3),
@@ -140,6 +147,16 @@ def main() -> None:
             "bnlj_in_sf1_plan": "BroadcastNestedLoop" in plan1,
             "exchanges_sf1": plan1.count("Exchange "),
             "exchanges_sf01": plan01.count("Exchange "),
+            # host-independent scale gate: bytes shuffled must grow
+            # at most ~linearly with data (10x + margin). Wall-time
+            # drifts with the host; bytes cannot.
+            "shuffle_mb_sf01": round(sw01 / 1e6, 3),
+            "shuffle_mb_sf1": round(sw1 / 1e6, 3),
+            "shuffle_byte_ratio_x10": (
+                round(sw1 / sw01, 2) if sw01 > 0 else None
+            ),
+            "spill_bytes_sf1": m1["memory_spill_bytes"]
+            + m1["disk_spill_bytes"],
         }
         print(name, json.dumps(out[name]), flush=True)
 
@@ -177,6 +194,19 @@ def main() -> None:
             "ratio ~10 = linear scan-bound scaling, <10 = sublinear "
             "(fixed floors amortize), >10 needs a look"
         ),
+        "outlier_notes": {
+            "dedup_decontaminate": (
+                "ratio ~8.7 is inherent to the synthetic contract, "
+                "not plan growth: the 'benchmark' side is doc_id%10 "
+                "== 0, so its broadcast gram set scales WITH the "
+                "corpus (10x data = 10x bench grams + 10x corpus "
+                "grams). A production benchmark is fixed-size, "
+                "making the broadcast constant; when the eval suite "
+                "itself is large, dedup_bloom is the documented "
+                "scale path (constant 128KB bit array). Exchange "
+                "count unchanged 0.1->1."
+            ),
+        },
         "queries": out,
         "total_sf1_steady_sec": round(
             sum(v["sf1_steady_sec"] for v in out.values()), 2
@@ -184,6 +214,16 @@ def main() -> None:
         "any_bnlj": any(v["bnlj_in_sf1_plan"] for v in out.values()),
         "any_exchange_growth": any(
             v["exchanges_sf1"] > v["exchanges_sf01"] for v in out.values()
+        ),
+        # >13x shuffle-byte growth at 10x data (with a 5 MB floor to
+        # ignore noise-scale plans) = superlinear shuffle — the
+        # quadratic-blowup red flag wall-time noise can't fake
+        "superlinear_shuffle": sorted(
+            n
+            for n, v in out.items()
+            if v.get("shuffle_byte_ratio_x10") is not None
+            and v["shuffle_byte_ratio_x10"] > 13
+            and v["shuffle_mb_sf1"] > 5
         ),
     }
     doc["tiers"] = {

@@ -32,71 +32,63 @@ from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF1_DIR = "/root/repo/.tmp/sf1"
 
-CHECK = [
-    # TPC-H joins/aggs — all 22 analogs + rollup/cube/set-ops/top-k
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "q_rollup_region",
-    "q_cube_status_priority",
-    "q_set_ops",
-    "q_top_parts_per_brand",
-    # events analytics: sessions, windows, as-of, funnel, retention
-    "events_sessionize",
-    "events_window_agg",
-    "events_median",
-    "events_hopping_window",
-    "events_asof_join",
-    "events_range_join",
-    "events_gapfill",
-    "events_funnel",
-    "events_retention",
-    "events_anomalies",
-    "dq_orders",
-    # NPL pipeline + window functions
-    "npl_quarterly",
-    "op_rolling_avg",
-    "op_yoy_growth",
-    # LLM-data map-only + dedup + splits
-    "text_quality",
-    "text_fingerprint",
-    "text_scrub",
-    "text_repetition",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_chunks",
-    "data_split",
-    "data_mixture",
-    "data_cap_domains",
-    "vocab_top_ngrams",
-    "doc_length_hist",
-    "join_bucketed",
-]
-# Excluded on purpose: dedup_components / corpus_curation (the
-# DuckDB oracle replays a recursive CTE — minutes at sf1; their
-# Spark-side scale behavior is covered by tools_bench_sf1.py),
-# streaming queries (oracle replays the same batch logic), and
-# fixture-rebuild queries (excel/REST/MOR — they re-manufacture
-# their own inputs, so sf has no effect).
+# r7: the checked slice is now EVERYTHING oracle-backed minus the
+# documented exclusions below — "correct at sf1" is a whole-contract
+# claim, not a sampled one.
+EXCLUDE = {
+    # recursive-CTE oracles: DuckDB replays connected components /
+    # the full curation composition as a recursive CTE — minutes at
+    # sf1; Spark-side scale behavior is covered by tools_bench_sf1
+    "dedup_components",
+    "dedup_components_star",
+    "corpus_curation",
+    # streaming drains: the oracle replays the same batch logic the
+    # batch twin already checks; sf1 drain timing/plan behavior is
+    # covered by tools_bench_sf1's stream tier
+    "stream_events_window",
+    "stream_sessionize",
+    "stream_dedup_events",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_user_totals",
+    "stream_session_window",
+    "stream_windowed_topk",
+    "stream_anomaly_alerts",
+    "stream_upsert_read",
+    # fixture-rebuild queries: they manufacture their own inputs
+    # (excel/CSV/REST loopback, MOR/CoW/SCD2 warehouse builds, the
+    # zorder rewrite, full-pipeline segmented writes) — sf_dir only
+    # parameterizes a fixed-size fixture, so sf1 adds no coverage
+    "src_csv_roundtrip",
+    "src_excel_roundtrip",
+    "src_rest_pages",
+    "src_rest_live",
+    "src_json_props",
+    "src_orc_roundtrip",
+    "src_jsonl_roundtrip",
+    "src_jsonl_quarantine",
+    "src_pyds_backfill",
+    "sink_partition_upsert",
+    "merge_cow_read",
+    "mor_snapshot_asof",
+    "mor_compacted_read",
+    "scd2_history",
+    "data_zorder",
+    "pipeline_full_read",
+    "npl_assemble",
+    "compat_pandas_quarterly",
+    "fn_quarter_reformat",
+    "fn_quarter_of_date",
+    "fn_strip_suffix",
+    "fn_parse_number",
+    "op_ffill",
+    "op_melt",
+    "op_unpivot_native",
+    "op_pivot",
+    "op_segment",
+    "npl_by_segment",
+}
 
 
 def _norm(v):
@@ -124,8 +116,10 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'"
         )
+    check = sorted(n for n in oracles if n not in EXCLUDE)
+    print(f"checking {len(check)} of {len(oracles)} oracle-backed queries")
     out: dict[str, dict] = {}
-    for name in CHECK:
+    for name in check:
         t0 = time.time()
         sdf = queries[name](spark, SF1_DIR)
         scols = sdf.columns
