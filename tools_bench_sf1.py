@@ -195,16 +195,25 @@ def main() -> None:
             "(fixed floors amortize), >10 needs a look"
         ),
         "outlier_notes": {
+            "wall_vs_bytes": (
+                "every wall-clock ratio above ~4x (ngram_jaccard, "
+                "bloom, decontaminate, lang_id, simhash) pairs with "
+                "a shuffle-BYTE ratio of ~10x-or-less and zero "
+                "spill — i.e. the plans stay exactly linear in data "
+                "and the extra wall time is compute over linear "
+                "bytes (Arrow UDF batches, gram explode width), "
+                "not a shuffle/plan blowup"
+            ),
             "dedup_decontaminate": (
-                "ratio ~8.7 is inherent to the synthetic contract, "
-                "not plan growth: the 'benchmark' side is doc_id%10 "
-                "== 0, so its broadcast gram set scales WITH the "
-                "corpus (10x data = 10x bench grams + 10x corpus "
-                "grams). A production benchmark is fixed-size, "
-                "making the broadcast constant; when the eval suite "
-                "itself is large, dedup_bloom is the documented "
-                "scale path (constant 128KB bit array). Exchange "
-                "count unchanged 0.1->1."
+                "wall ratio ~6-9x is inherent to the synthetic "
+                "contract, not plan growth (shuffle bytes 9.88x = "
+                "linear): the 'benchmark' side is doc_id%10 == 0, "
+                "so its broadcast gram set scales WITH the corpus. "
+                "A production benchmark is fixed-size, making the "
+                "broadcast constant; when the eval suite itself is "
+                "large, dedup_bloom is the documented scale path "
+                "(constant 128KB bit array; same contract, byte "
+                "ratio 9.82x). Exchange count unchanged 0.1->1."
             ),
         },
         "queries": out,
