@@ -938,11 +938,21 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EMBEDDING_SQL = f"""
-WITH nrm AS ({_SQL_NORMED})
+WITH nrm AS ({_SQL_NORMED}),
+-- the hub-block quarantine IS the contract (operators/similarity
+-- DEFAULT_MAX_BLOCK): a block past the cap would degenerate toward
+-- all-pairs, so it emits zero pairs and routes to minhash/LSH.
+-- The oracle replays the cap; found at sf1, where ~5k-vector
+-- label blocks crossed it while every smaller sf stayed under
+ok_blocks AS (
+    SELECT label FROM nrm GROUP BY label
+    HAVING COUNT(*) <= {S.DEFAULT_MAX_BLOCK}
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_SQL_NDOT.format(a="a.nv", b="b.nv")} AS cos_sim
 FROM nrm a
 JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id
+JOIN ok_blocks ob ON a.label = ob.label
 WHERE {_SQL_NDOT.format(a="a.nv", b="b.nv")} >= {EMB_THRESHOLD}
 ORDER BY id_a, id_b
 """

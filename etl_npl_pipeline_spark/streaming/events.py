@@ -339,6 +339,14 @@ def _progress_summary(q, output_mode: str) -> dict:
         )
         summary["state_rows_max"] = max(summary["state_rows_max"], state_total)
         summary["state_rows_last"] = state_total
+    # drain throughput: rows ingested per second of trigger
+    # execution — the streaming tier's per-round perf number
+    # (whole-drain wall time also includes plan/setup; this is the
+    # steady ingest rate a capacity plan would use)
+    if summary["duration_ms"] > 0:
+        summary["rows_per_sec"] = round(
+            summary["input_rows"] / (summary["duration_ms"] / 1000.0), 1
+        )
     return summary
 
 

@@ -58,7 +58,12 @@ def test_progress_summary_shape():
     # at least one drain ran in this session by now
     assert DRAIN_PROGRESS
     for label, p in DRAIN_PROGRESS.items():
-        assert set(p) == {
+        assert set(p) >= {
             "output_mode", "batches", "input_rows", "duration_ms",
             "state_rows_max", "state_rows_last",
         }, label
+        # throughput derives whenever trigger time was recorded
+        if p["duration_ms"] > 0:
+            assert p["rows_per_sec"] == round(
+                p["input_rows"] / (p["duration_ms"] / 1000.0), 1
+            ), label

@@ -117,8 +117,19 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'"
         )
     check = sorted(n for n in oracles if n not in EXCLUDE)
-    print(f"checking {len(check)} of {len(oracles)} oracle-backed queries")
+    subset = [a for a in sys.argv[1:] if a in oracles]
     out: dict[str, dict] = {}
+    if subset:
+        # re-measure a few queries and merge into the existing doc
+        check = subset
+        out_p = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "sf1_correctness.json",
+        )
+        if os.path.exists(out_p):
+            with open(out_p) as fh:
+                out = json.load(fh)["queries"]
+    print(f"checking {len(check)} of {len(oracles)} oracle-backed queries")
     for name in check:
         t0 = time.time()
         sdf = queries[name](spark, SF1_DIR)
