@@ -823,12 +823,13 @@ def mor_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOR_SNAPSHOT_ASOF_SQL = """
 WITH base AS (
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders WHERE o_orderkey < 1000
 ),
 v1 AS (
     SELECT o_orderkey, o_custkey,
-           o_totalprice + 100000.0 AS o_totalprice,
+           CAST(o_totalprice AS DOUBLE) + 100000.0 AS o_totalprice,
            (o_orderkey % 10 = 0) AS del
     FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
 )
@@ -1535,17 +1536,19 @@ def mor_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOR_COMPACTED_READ_SQL = """
 WITH base AS (
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
     FROM orders WHERE o_orderkey < 1000
 ),
 v1 AS (
     SELECT o_orderkey, o_custkey,
-           o_totalprice + 100000.0 AS o_totalprice,
+           CAST(o_totalprice AS DOUBLE) + 100000.0 AS o_totalprice,
            (o_orderkey % 10 = 0) AS del
     FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
 ),
 v2 AS (
-    SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) * 2 AS o_totalprice
     FROM orders WHERE o_orderkey < 300
 ),
 -- table state after v2 = what compaction folds into the new base

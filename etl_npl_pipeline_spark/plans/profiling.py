@@ -38,9 +38,9 @@ def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_QUANTILES_SQL = """
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99
+       quantile_cont(CAST(value AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(value AS DOUBLE), 0.95) AS p95,
+       quantile_cont(CAST(value AS DOUBLE), 0.99) AS p99
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

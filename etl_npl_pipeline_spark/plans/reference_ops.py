@@ -244,7 +244,7 @@ def events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_MEDIAN_SQL = """
-SELECT event_type, median(value) AS med, COUNT(*) AS n
+SELECT event_type, median(CAST(value AS DOUBLE)) AS med, COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
 

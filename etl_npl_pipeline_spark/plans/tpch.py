@@ -251,7 +251,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q10_SQL = f"""
-SELECT c_custkey, c_name, c_acctbal, n_name,
+SELECT c_custkey, c_name,
+       -- canonical money is DOUBLE regardless of the file's physical
+       -- type (decimal-physical vintages; schema-drift build)
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name,
        CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -303,7 +306,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = """
-SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
 FROM orders
 JOIN (
     SELECT l_orderkey,

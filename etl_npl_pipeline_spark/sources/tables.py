@@ -35,6 +35,91 @@ TABLES = (
 _PINNED: dict[tuple[str, str], DataFrame] = {}
 
 
+# Canonical logical schema per table — the catalog contract every
+# query plans against. A 100 TB lake is written by many producers
+# over years: key columns arrive as int32 in one vintage and int64
+# in another, money as double or decimal-physical, floats at
+# either width, columns reordered, stray producer columns appended.
+# load_table normalizes all of that AT THE SCAN (schema-on-read):
+# casts differing physical types up to the canonical type, restores
+# canonical column order, and drops unknown columns — so every
+# downstream plan sees ONE schema regardless of file vintage.
+# Numeric widening (int32→int64, float32→float64 promotion,
+# decimal(≤12,2)→double for the money columns) is value-preserving,
+# which keeps the DuckDB oracle exact: both engines promote the
+# same stored value to the same double.
+CANONICAL: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
 def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Pin one table in executor memory (spill-to-disk) and register
     it so subsequent load_table calls reuse the materialized scan —
@@ -85,6 +170,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col_name, col_type in df.dtypes:
         if col_type == "timestamp_ntz":
             df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    # schema-on-read normalization against the catalog contract (see
+    # CANONICAL): no-op when the file already matches — the common
+    # case stays a bare scan with full pushdown; a drifted vintage
+    # pays one value-preserving Project. int32→bigint compares are
+    # still pushed to parquet (UnwrapCastInBinaryComparison).
+    canon = CANONICAL[name]
+    if df.dtypes != canon:
+        have = dict(df.dtypes)
+        missing = [c for c, _ in canon if c not in have]
+        if missing:
+            raise ValueError(
+                f"{name}: file is missing catalog columns {missing}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(t).alias(c) if have[c] != t else F.col(c)
+                for c, t in canon
+            ]
+        )
     return df
 
 

@@ -162,11 +162,82 @@ def build_extreme_numerics(out: str) -> None:
     _copy_rest(out, {"events", "orders", "lineitem"})
 
 
+def build_schema_drift(out: str) -> None:
+    """Producer heterogeneity: the same VALUES under drifted
+    physical schemas — int32 keys, float32 measures, decimal-
+    physical money, reordered columns, stray producer columns.
+    load_table's CANONICAL normalization must make every query
+    blind to the vintage; DuckDB reads the same raw files, so the
+    oracle doubles as a check that the widening casts are
+    value-preserving."""
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT
+              CAST(o_custkey AS INTEGER) AS o_custkey,
+              o_orderpriority,
+              CAST(o_orderkey AS INTEGER) AS o_orderkey,
+              CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+              o_orderdate, o_orderstatus,
+              CAST(7 AS INTEGER) AS _ingest_batch
+            FROM read_parquet('{SRC}/orders.parquet'))
+            TO '{out}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT
+              l_returnflag, l_linestatus, l_shipdate,
+              CAST(l_orderkey AS INTEGER) AS l_orderkey,
+              CAST(l_partkey AS INTEGER) AS l_partkey,
+              CAST(l_suppkey AS INTEGER) AS l_suppkey,
+              CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+              CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+              l_discount, l_tax
+            FROM read_parquet('{SRC}/lineitem.parquet'))
+            TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT
+              event_type, CAST(value AS REAL) AS value, props,
+              CAST(event_id AS INTEGER) AS event_id, ts,
+              CAST(user_id AS INTEGER) AS user_id,
+              'crawler-7' AS _producer
+            FROM read_parquet('{SRC}/events.parquet'))
+            TO '{out}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT
+              lang, source, text,
+              CAST(doc_id AS INTEGER) AS doc_id,
+              CAST(n_chars AS INTEGER) AS n_chars,
+              CAST(0 AS BIGINT) AS _shard
+            FROM read_parquet('{SRC}/documents.parquet'))
+            TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT
+              CAST(label AS BIGINT) AS label, embedding,
+              CAST(vec_id AS INTEGER) AS vec_id
+            FROM read_parquet('{SRC}/embeddings.parquet'))
+            TO '{out}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT c_mktsegment, c_name,
+              CAST(c_custkey AS INTEGER) AS c_custkey,
+              CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+              c_nationkey
+            FROM read_parquet('{SRC}/customer.parquet'))
+            TO '{out}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    _copy_rest(out, {"orders", "lineitem", "events", "documents",
+                     "embeddings", "customer"})
+
+
 BUILDERS = {
     "empty_slices": build_empty_slices,
     "empty_tables": build_empty_tables,
     "far_dates": build_far_dates,
     "extreme_numerics": build_extreme_numerics,
+    "schema_drift": build_schema_drift,
 }
 
 # structurally-invalid combos, not bugs:
@@ -190,6 +261,7 @@ EXCLUDE = {
     "far_dates": {"compat_pandas_quarterly"},
     "empty_slices": set(),
     "extreme_numerics": set(),
+    "schema_drift": set(),
 }
 
 
