@@ -143,6 +143,81 @@ def uncache_tables() -> None:
     _PINNED.clear()
 
 
+def _adapt_timestamps(name: str, df: DataFrame) -> DataFrame:
+    """Per-vintage timestamp physical adaptations, applied before
+    the canonical cast."""
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is TIMESTAMP(NANOS) on disk, read as a nanos long via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros
+        # (same as DuckDB's ns→us handling) and restore the type.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ; the
+    # session tz is pinned UTC, so casting to TIMESTAMP is value-identical
+    # and keeps every downstream plan (and the driver's schema compare) on
+    # the single timestamp type this engine has always produced.
+    for col_name, col_type in df.dtypes:
+        if col_type == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Cast/reorder/prune one homogeneous frame to the catalog
+    contract (no-op when it already matches)."""
+    canon = CANONICAL[name]
+    if df.dtypes == canon:
+        return df
+    have = dict(df.dtypes)
+    missing = [c for c, _ in canon if c not in have]
+    if missing:
+        raise ValueError(
+            f"{name}: file is missing catalog columns {missing}"
+        )
+    return df.select(
+        *[
+            F.col(c).cast(t).alias(c) if have[c] != t else F.col(c)
+            for c, t in canon
+        ]
+    )
+
+
+def _read_mixed_vintage(
+    spark: SparkSession, name: str, path: str
+) -> DataFrame | None:
+    """Directory tables written by several producers over time can
+    hold parquet files with DIFFERENT physical schemas — and Spark
+    can neither mergeSchema int32/int64 footers nor scan a
+    decimal-physical file through a double read schema. Group the
+    part files by footer schema, normalize each homogeneous group
+    to the catalog contract, and union.
+
+    Returns None when the directory is schema-homogeneous (the
+    common case — one footer read per file, driver-side, then the
+    ordinary single-scan path). A production lake at 100 TB should
+    carry schema in table-format metadata (Delta/Iceberg) instead
+    of footers; this path is the plain-parquet fallback."""
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if len(files) < 2:
+        return None
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(spark.read.parquet(f).dtypes)
+        groups.setdefault(key, []).append(f)
+    if len(groups) < 2:
+        return None
+    from functools import reduce
+
+    parts = [
+        _normalize(name, _adapt_timestamps(name, spark.read.parquet(*fs)))
+        for fs in groups.values()
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. No cache, no collect — a pure plan
     (unless the table was explicitly pinned via cache_table)."""
@@ -157,39 +232,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # assume UTC. Both confs are runtime-settable, so pin them at read time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts is TIMESTAMP(NANOS) on disk, read as a nanos long via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros
-        # (same as DuckDB's ns→us handling) and restore the type.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    # timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ; the
-    # session tz is pinned UTC, so casting to TIMESTAMP is value-identical
-    # and keeps every downstream plan (and the driver's schema compare) on
-    # the single timestamp type this engine has always produced.
-    for col_name, col_type in df.dtypes:
-        if col_type == "timestamp_ntz":
-            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        mixed = _read_mixed_vintage(spark, name, path)
+        if mixed is not None:
+            return mixed
     # schema-on-read normalization against the catalog contract (see
     # CANONICAL): no-op when the file already matches — the common
     # case stays a bare scan with full pushdown; a drifted vintage
     # pays one value-preserving Project. int32→bigint compares are
     # still pushed to parquet (UnwrapCastInBinaryComparison).
-    canon = CANONICAL[name]
-    if df.dtypes != canon:
-        have = dict(df.dtypes)
-        missing = [c for c, _ in canon if c not in have]
-        if missing:
-            raise ValueError(
-                f"{name}: file is missing catalog columns {missing}"
-            )
-        df = df.select(
-            *[
-                F.col(c).cast(t).alias(c) if have[c] != t else F.col(c)
-                for c, t in canon
-            ]
-        )
-    return df
+    return _normalize(name, _adapt_timestamps(name, spark.read.parquet(path)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -13,11 +13,23 @@ from etl_npl_pipeline_spark.sources.tables import TABLES
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # mixed-vintage directory table: union_by_name unifies
+            # drifted part-file schemas the same way load_table's
+            # canonical normalization does (widening promotion)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet', union_by_name=true)"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}'"
+            )
     return con
 
 

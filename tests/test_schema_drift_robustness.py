@@ -176,3 +176,83 @@ def test_missing_catalog_column_is_loud(spark, tmp_path, sf_dir):
 
     with pytest.raises(ValueError, match="region.*r_name"):
         load_table(spark, out, "region")
+
+
+# --- mixed-vintage DIRECTORY tables -------------------------------
+#
+# The harder real case: ONE table directory whose part files come
+# from different producer vintages (canonical bigint/double part +
+# int32/decimal-physical part). Spark can neither mergeSchema the
+# int32/int64 footers nor scan the decimal-physical file through a
+# double read schema, so load_table groups part files by footer
+# schema, normalizes each homogeneous group, and unions
+# (_read_mixed_vintage). The DuckDB oracle reads the same directory
+# with union_by_name — an independent implementation of the same
+# promotion — so parity also checks the widening is value-exact.
+
+MIXED_SENSITIVE = [
+    "q4_order_priority",
+    "q13_order_distribution",
+    "q22_global_sales",
+    "events_window_agg",
+    "events_median",
+    "profile_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def mixed_dir(tmp_path_factory, sf_dir):
+    out = str(tmp_path_factory.mktemp("mixed"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    import os
+
+    os.makedirs(f"{out}/orders.parquet")
+    con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+             WHERE o_orderkey < 1000)
+            TO '{out}/orders.parquet/part-a.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT
+              CAST(o_orderkey AS INTEGER) AS o_orderkey,
+              CAST(o_custkey AS INTEGER) AS o_custkey,
+              o_orderstatus,
+              CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+              o_orderdate, o_orderpriority, 7 AS _b
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE o_orderkey >= 1000)
+            TO '{out}/orders.parquet/part-b.parquet' (FORMAT PARQUET)"""
+    )
+    os.makedirs(f"{out}/events.parquet")
+    con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet')
+             WHERE event_id % 2 = 0)
+            TO '{out}/events.parquet/part-a.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT event_id, ts, user_id, event_type,
+              CAST(value AS REAL) AS value, props
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_id % 2 = 1)
+            TO '{out}/events.parquet/part-b.parquet' (FORMAT PARQUET)"""
+    )
+    return out
+
+
+def test_mixed_vintage_canonical_schema(spark, mixed_dir):
+    from etl_npl_pipeline_spark.sources.tables import CANONICAL, load_table
+
+    for t in ("orders", "events"):
+        df = load_table(spark, mixed_dir, t)
+        assert df.dtypes == CANONICAL[t], t
+    # nothing lost in the union
+    assert load_table(spark, mixed_dir, "orders").count() == 1500
+
+
+@pytest.mark.parametrize("name", MIXED_SENSITIVE)
+def test_mixed_vintage_parity(name, spark, mixed_dir):
+    df = QUERIES[name](spark, mixed_dir)
+    assert_matches_oracle(df, ORACLES[name], mixed_dir)
