@@ -85,8 +85,22 @@ TIER_STREAM = [
     "stream_anomaly_alerts",
 ]
 TIER_ANN = ["ann_index_build", "ann_lsh", "ann_pq", "ann_topk"]
+# the Arrow-media path: stdlib codecs inside mapInPandas. These
+# queries bound their input by contract (doc_id < 50-100 payload
+# fixtures), so their ratios pin plan stability and the codec
+# path's fixed cost — not data scaling
+TIER_MEDIA = [
+    "mm_decode_meta",
+    "mm_decode_jpeg",
+    "mm_audio_features",
+    "mm_video_sample",
+    "mm_resize",
+    "mm_frame_sample",
+]
 
-ALL_QUERIES = TOP10 + TIER_DEDUP + TIER_TEXT + TIER_STREAM + TIER_ANN
+ALL_QUERIES = (
+    TOP10 + TIER_DEDUP + TIER_TEXT + TIER_STREAM + TIER_ANN + TIER_MEDIA
+)
 
 
 def _plan(df) -> str:
@@ -241,6 +255,7 @@ def main() -> None:
         "text": TIER_TEXT,
         "stream": TIER_STREAM,
         "ann": TIER_ANN,
+        "media": TIER_MEDIA,
     }
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
