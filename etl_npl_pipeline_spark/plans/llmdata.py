@@ -1025,6 +1025,79 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_stats(spark, _ann_index(spark, sf_dir))
 
 
+def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60 (r8): incremental index refresh — build the ANN index on
+    the BASE slice of the corpus (vec_id % 5 != 4), then append the
+    remaining 20% with ``refresh_ann_index`` (frozen quantizers,
+    O(|batch|) work, exactly-once by batch key). Output: per-artifact
+    total and appended row counts plus the manifest version — every
+    number a pure function of |embeddings| and the knobs, so the
+    DuckDB oracle asserts the append landed exactly once (n_appended
+    doubles if refresh re-runs; version must be exactly 2).
+
+    Result-quality equivalence to a from-scratch rebuild is pinned
+    where it is provable: tests/test_ann_index.py shows full-probe
+    IVF over the refreshed index equals brute force over the union
+    corpus, and bounds the appended batch's quantization drift."""
+    import os as _os
+
+    from etl_npl_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        read_manifest,
+        refresh_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    batch = emb.where(F.col("vec_id") % 5 == 4)
+    idx = build_ann_index(
+        spark,
+        base,
+        _os.path.realpath(sf_dir.rstrip("/")) + "#base-mod5",
+        n_clusters=IVF_KNOBS["n_clusters"],
+        pq_m=PQ_KNOBS["m_subspaces"],
+        pq_k=PQ_KNOBS["k_codes"],
+        lsh_planes=LSH_KNOBS["n_planes"],
+        lsh_tables=LSH_KNOBS["n_tables"],
+    )
+    refresh_ann_index(spark, idx, batch, batch_key="mod5==4")
+    version = read_manifest(idx)["version"]
+    parts = []
+    for name in ("lsh_buckets", "pq_codes", "vectors"):
+        df = spark.read.parquet(_os.path.join(idx, name))
+        parts.append(
+            df.groupBy(F.lit(name).alias("artifact")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("neighbor_id") % 5 == 4, 1).otherwise(0)
+                ).alias("n_appended"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("version", F.lit(version)).orderBy("artifact")
+
+
+ANN_INDEX_REFRESH_SQL = f"""
+WITH c AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS a
+    FROM embeddings
+)
+SELECT 'lsh_buckets' AS artifact,
+       CAST(n * {LSH_KNOBS["n_tables"]} AS BIGINT) AS n_rows,
+       CAST(a * {LSH_KNOBS["n_tables"]} AS BIGINT) AS n_appended,
+       2 AS version
+FROM c
+UNION ALL
+SELECT 'pq_codes', CAST(n AS BIGINT), CAST(a AS BIGINT), 2 FROM c
+UNION ALL
+SELECT 'vectors', CAST(n AS BIGINT), CAST(a AS BIGINT), 2 FROM c
+ORDER BY artifact
+"""
+
+
 ANN_INDEX_BUILD_SQL = f"""
 SELECT 'ivf_centroids' AS artifact,
        CAST({IVF_KNOBS["n_clusters"]} AS BIGINT) AS n_rows

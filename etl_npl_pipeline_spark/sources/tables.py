@@ -173,6 +173,11 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
         raise ValueError(
             f"{name}: file is missing catalog columns {missing}"
         )
+    # Narrowing casts (a vintage that wrote bigint where the catalog
+    # says int) are safe here because the engine runs Spark 4's
+    # default ANSI mode: an out-of-range value raises CAST_OVERFLOW
+    # at scan time instead of silently wrapping. Widening casts are
+    # value-preserving by construction.
     return df.select(
         *[
             F.col(c).cast(t).alias(c) if have[c] != t else F.col(c)

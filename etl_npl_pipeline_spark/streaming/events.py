@@ -415,9 +415,6 @@ def run_stream_to_memory(
             "spark.sql.streaming.numRecentProgressUpdates", prev_pb
         )
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
-        spark.conf.set(
-            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
-        )
     return spark.table(name)
 
 
@@ -488,9 +485,6 @@ def run_stream_to_dir(
             "spark.sql.streaming.numRecentProgressUpdates", prev_pb
         )
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
-        spark.conf.set(
-            "spark.sql.streaming.numRecentProgressUpdates", prev_pb
-        )
 
 
 # Version stride reserved per stream epoch: every (re)started stream

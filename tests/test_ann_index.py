@@ -65,6 +65,155 @@ def test_index_served_results_match_retrain_path(spark, sf_dir):
         assert got == want
 
 
+def test_refresh_appends_once_and_serves_exact_results(spark, sf_dir):
+    """r8 lifecycle: build on the 80% base slice, append the rest via
+    refresh_ann_index (frozen quantizers). Proofs:
+    - exactly-once: a repeated refresh with the same batch_key is a
+      no-op (counts unchanged, version unchanged);
+    - correctness: full-probe IVF over the REFRESHED index equals
+      brute force over the UNION corpus — candidate routing cannot
+      lose anything when every cell is probed, and scoring is exact,
+      so the frozen-centroid staleness only ever affects pruned
+      probes, never the scored math."""
+    import pyspark.sql.functions as F2
+
+    from etl_npl_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = L._emb(spark, sf_dir)
+    base = emb.where(F2.col("vec_id") % 5 != 4)
+    batch = emb.where(F2.col("vec_id") % 5 == 4)
+    key = os.path.realpath(sf_dir) + "#base-mod5"
+    idx = AI.build_ann_index(
+        spark, base, key,
+        n_clusters=L.IVF_KNOBS["n_clusters"],
+        pq_m=L.PQ_KNOBS["m_subspaces"],
+        pq_k=L.PQ_KNOBS["k_codes"],
+        lsh_planes=L.LSH_KNOBS["n_planes"],
+        lsh_tables=L.LSH_KNOBS["n_tables"],
+    )
+    AI.refresh_ann_index(spark, idx, batch, batch_key="mod5==4")
+    stats1 = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    AI.refresh_ann_index(spark, idx, batch, batch_key="mod5==4")
+    stats2 = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    assert stats1 == stats2, "same-key refresh must be exactly-once"
+    man = AI.read_manifest(idx)
+    assert man["version"] == 2 and len(man["appends"]) == 1
+    n = emb.count()
+    assert stats1["vectors"] == n and stats1["pq_codes"] == n
+    assert stats1["lsh_buckets"] == n * L.LSH_KNOBS["n_tables"]
+
+    queries = emb.where(F2.col("vec_id") < L.ANN_N_QUERIES)
+    got = [
+        tuple(r)
+        for r in AI.ivf_query(
+            spark, idx, queries, k=L.ANN_K,
+            n_probe=L.IVF_KNOBS["n_clusters"],
+        ).orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in brute_force_topk(queries, emb, k=L.ANN_K)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_refresh_drift_is_bounded(spark, sf_dir):
+    """Staleness bound for the frozen coarse quantizer: the appended
+    batch's mean quantization error (squared distance to its assigned
+    frozen centroid) must stay within 1.5x the base corpus's. On this
+    corpus the batch is drawn from the same distribution, so a blowup
+    would mean the refresh mis-assigned cells; a real deployment
+    watches exactly this ratio to schedule full rebuilds."""
+    import numpy as np
+    import pyspark.sql.functions as F2
+
+    from etl_npl_pipeline_spark.operators.ivf import _sq_dists
+    from etl_npl_pipeline_spark.operators.pq import _norm_rows
+
+    emb = L._emb(spark, sf_dir)
+    base = emb.where(F2.col("vec_id") % 5 != 4)
+    key = os.path.realpath(sf_dir) + "#base-mod5"
+    idx = AI.build_ann_index(
+        spark, base, key,
+        n_clusters=L.IVF_KNOBS["n_clusters"],
+        pq_m=L.PQ_KNOBS["m_subspaces"],
+        pq_k=L.PQ_KNOBS["k_codes"],
+        lsh_planes=L.LSH_KNOBS["n_planes"],
+        lsh_tables=L.LSH_KNOBS["n_tables"],
+    )
+    cents = np.array(
+        sorted(
+            (
+                r["centroid"]
+                for r in spark.read.parquet(
+                    os.path.join(idx, "ivf_centroids")
+                ).collect()
+            ),
+        ),
+        dtype=np.float64,
+    )
+
+    def mean_err(df):
+        import pandas as pd
+
+        vs = pd.Series([r["embedding"] for r in df.select("embedding").collect()])
+        d = _sq_dists(_norm_rows(vs), cents)
+        return float(d.min(axis=1).mean())
+
+    err_base = mean_err(base)
+    err_batch = mean_err(emb.where(F2.col("vec_id") % 5 == 4))
+    assert err_batch <= 1.5 * err_base, (err_batch, err_base)
+
+
+def test_lsh_query_knob_mismatch_raises(spark, sf_dir):
+    import pyspark.sql.functions as F2
+    import pytest
+
+    emb = L._emb(spark, sf_dir)
+    idx = L._ann_index(spark, sf_dir)
+    queries = emb.where(F2.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="different knobs"):
+        AI.lsh_query(
+            spark, idx, queries,
+            n_planes=L.LSH_KNOBS["n_planes"],
+            n_tables=L.LSH_KNOBS["n_tables"] + 2,
+        )
+
+
+def test_empty_query_sets_return_empty_relation(spark, sf_dir):
+    import pyspark.sql.functions as F2
+
+    emb = L._emb(spark, sf_dir)
+    idx = L._ann_index(spark, sf_dir)
+    none = emb.where(F2.col("vec_id") < 0)
+    for fn, kw in [
+        (AI.ivf_query, {"n_probe": 2}),
+        (AI.pq_query, {}),
+        (AI.lsh_query, dict(n_planes=L.LSH_KNOBS["n_planes"],
+                            n_tables=L.LSH_KNOBS["n_tables"])),
+    ]:
+        out = fn(spark, idx, none, **kw)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "rank", "neighbor_id", "cos_sim",
+        ]
+
+
+def test_content_change_rebuilds(spark, sf_dir, tmp_path):
+    """Same path + same knobs but regenerated bytes → a different
+    index dir (the content fingerprint is part of the identity)."""
+    emb = L._emb(spark, sf_dir).limit(50)
+    p = str(tmp_path / "corpus")
+    emb.write.mode("overwrite").parquet(p)
+    a = AI.build_ann_index(spark, emb, p, n_clusters=3, lsh_tables=2)
+    # regenerate with different content (and therefore size/mtime)
+    emb.limit(40).write.mode("overwrite").parquet(p)
+    b = AI.build_ann_index(spark, emb, p, n_clusters=3, lsh_tables=2)
+    assert a != b
+
+
 def test_knob_change_rebuilds_distinct_index(spark, sf_dir):
     emb = L._emb(spark, sf_dir)
     key = os.path.realpath(sf_dir)

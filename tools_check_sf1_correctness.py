@@ -25,8 +25,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import duckdb  # noqa: E402
-
 import __spark_entry__ as entrymod  # noqa: E402
 from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -108,14 +106,13 @@ def main() -> None:
     spark = get_spark("sf1-correctness")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF1_DIR}/{t}.parquet'"
-        )
+    # ONE view-creation path repo-wide: tests.oracle.duck_con handles
+    # mixed-vintage directory tables (union_by_name) exactly like the
+    # test suite's oracle, so this harness can never silently diverge
+    # from it (r7 ADVICE).
+    from tests.oracle import duck_con
+
+    con = duck_con(SF1_DIR)
     check = sorted(n for n in oracles if n not in EXCLUDE)
     subset = [a for a in sys.argv[1:] if a in oracles]
     out: dict[str, dict] = {}
