@@ -26,10 +26,10 @@ def test_window_holds_all_rows_only_queries():
 
 def test_every_oracle_has_a_query_and_vice_versa_is_explicit():
     assert set(ORACLES) <= set(QUERIES)
-    # every rows-only omission is one of the six declared ones
+    # every rows-only omission is one of the declared ones
+    # (dedup_simhash graduated to a full equality oracle in r8)
     declared = {
-        "dedup_simhash", "dedup_semantic", "ann_lsh", "ann_ivf",
-        "ann_pq",
+        "dedup_semantic", "ann_lsh", "ann_ivf", "ann_pq",
     }
     assert {k for k in QUERIES if k not in ORACLES} == declared
 
