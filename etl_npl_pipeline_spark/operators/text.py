@@ -26,6 +26,55 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "et", "les", "des"),
 }
 
+# Script-class codepoint ranges (all BMP) for identifying languages a
+# stopword lexicon cannot reach: unsegmented scripts (Thai, Chinese,
+# Japanese) have no whitespace token boundaries at all — the reference
+# is a THAI banking pipeline (src/ETL-NPL-Pipeline.py:5), and the old
+# whitespace-stopword heuristic mapped its own domain to 'und'. The
+# ranges are written as Java-regex character classes; the DuckDB
+# oracles rebuild the identical classes with RE2 \\x{...} escapes —
+# two independent constructions of the same codepoint sets.
+SCRIPT_THAI = "\u0E00-\u0E7F"
+SCRIPT_HAN = "\u4E00-\u9FFF"  # CJK Unified Ideographs (BMP block)
+SCRIPT_KANA = "\u3040-\u30FF"  # Hiragana + Katakana (incl. U+30FC)
+SCRIPT_HANGUL = "\uAC00-\uD7AF"
+SCRIPT_CYRILLIC = "\u0400-\u04FF"
+SCRIPT_ARABIC = "\u0600-\u06FF"
+# Thai combining marks (above/below vowel signs, tone marks) — they
+# attach to a base consonant and must not count as characters of
+# their own when a char count stands in for a token count.
+THAI_COMBINING = "\u0E31\u0E34-\u0E3A\u0E47-\u0E4E"
+# Scripts written WITHOUT inter-word spaces: token counting must fall
+# back to per-character accounting for these. (Hangul is segmented —
+# Korean uses spaces — so it is NOT in this class.)
+UNSEGMENTED = SCRIPT_THAI + SCRIPT_HAN + SCRIPT_KANA
+# Explicit ASCII whitespace class: Java's \s and RE2's \s disagree on
+# U+000B, so both engines spell the class out.
+WS_CLASS = " \\t\\n\\x0B\\f\\r"
+
+
+def _class_count(col: Column | str, ranges: str) -> Column:
+    """Count of characters inside a codepoint-range class — a
+    codegen regexp_replace+length pair, the same shape
+    text_script_profile uses (plans/llmdata.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, f"[^{ranges}]", ""))
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts plus the non-whitespace total —
+    the inputs of the script-dominance stage of lang_id."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "thai": _class_count(c, SCRIPT_THAI),
+        "han": _class_count(c, SCRIPT_HAN),
+        "kana": _class_count(c, SCRIPT_KANA),
+        "hangul": _class_count(c, SCRIPT_HANGUL),
+        "cyrillic": _class_count(c, SCRIPT_CYRILLIC),
+        "arabic": _class_count(c, SCRIPT_ARABIC),
+        "nonspace": F.length(F.regexp_replace(c, f"[{WS_CLASS}]", "")),
+    }
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of a text column."""
@@ -59,24 +108,89 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def lang_id(col: Column | str) -> Column:
-    """Argmax language by stopword hits; 'und' when no hits.
+    """Two-stage language ID: script-class dominance first, stopword
+    argmax as the Latin-script fallback.
 
-    Ties break by the (fixed) iteration order of LANG_STOPWORDS, so
-    the result is deterministic.
+    Stage 1 (script): count characters per script class; take the
+    sequential strict-greater argmax over (th, cjk, ko, ru, ar). If
+    the winning script covers at least HALF the non-whitespace
+    characters, the script decides: th/ko/ru/ar directly; the cjk
+    group splits ja-vs-zh by kana share (kana ≥ 20% of the han+kana
+    mass → 'ja' — Japanese prose is ~30-40% kana, Chinese has none).
+    This is what identifies the reference's own domain (Thai NPL
+    reports) and other unsegmented scripts, which have no whitespace
+    tokens for a stopword lexicon to hit.
+
+    Stage 2 (fallback): the original stopword argmax over
+    LANG_STOPWORDS; 'und' when no hits. A Latin document that merely
+    QUOTES a Thai phrase stays on this path (the quoted script is
+    below dominance), which is the behavior a corpus filter wants.
+
+    All counts are codegen regexp_replace+length integers; ties
+    break by fixed iteration order, so the result is deterministic
+    and exactly replicable in the DuckDB oracles.
     """
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores.items():
-        take = score > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, score).otherwise(best_score)
-    return best_lang
+    # Flat greatest()-form of the sequential strict-greater argmax:
+    # entry k wins iff strictly greater than every EARLIER entry
+    # (identical tie semantics to the fold form, but each count
+    # expression appears O(k) times instead of O(2^k) — the fold
+    # form's nested whens blow past janino's 64KB codegen method
+    # limit and knock the whole stage out of whole-stage codegen).
+    sc = script_counts(col)
+    th, ko = sc["thai"], sc["hangul"]
+    ru, ar = sc["cyrillic"], sc["arabic"]
+    cjk = sc["han"] + sc["kana"]
+    zero = F.lit(0)
+    ja_or_zh = F.when(sc["kana"] * 5 >= cjk, F.lit("ja")).otherwise(F.lit("zh"))
+    script_label = (
+        F.when(ar > F.greatest(th, cjk, ko, ru, zero), F.lit("ar"))
+        .when(ru > F.greatest(th, cjk, ko, zero), F.lit("ru"))
+        .when(ko > F.greatest(th, cjk, zero), F.lit("ko"))
+        .when(cjk > F.greatest(th, zero), ja_or_zh)
+        .otherwise(F.lit("th"))
+    )
+    smax = F.greatest(th, cjk, ko, ru, ar)
+    script_dominant = (smax > 0) & (smax * 2 >= sc["nonspace"])
+
+    s = lang_scores(col)
+    stop_label = (
+        F.when(s["fr"] > F.greatest(s["en"], s["es"], s["de"], zero), F.lit("fr"))
+        .when(s["de"] > F.greatest(s["en"], s["es"], zero), F.lit("de"))
+        .when(s["es"] > F.greatest(s["en"], zero), F.lit("es"))
+        .when(s["en"] > zero, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return F.when(script_dominant, script_label).otherwise(stop_label)
 
 
 def token_count_ws(col: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col))
+
+
+def token_count_mixed(col: Column | str) -> Column:
+    """Script-aware token count: whitespace tokens for segmented
+    text PLUS one token per base character of unsegmented-script
+    runs (Thai/han/kana — scripts with no inter-word spaces, where
+    whitespace counting reports ~1 "token" per paragraph and every
+    downstream length/quality gate misfires).
+
+    Grapheme-safe: Thai combining marks (vowel signs above/below,
+    tone marks) attach to a base consonant and are excluded from the
+    per-character count, so ``นี้`` (base + vowel + tone) counts as
+    one, not three. Han/kana blocks contain no combining marks.
+
+    Construction (all codegen, map-only): replace unsegmented-script
+    chars with spaces and count the surviving whitespace tokens, then
+    add (unsegmented chars − Thai combining marks). Exact integers —
+    oracle-replicable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_unseg = _class_count(c, UNSEGMENTED)
+    n_comb = _class_count(c, THAI_COMBINING)
+    seg = F.trim(F.regexp_replace(c, f"[{UNSEGMENTED}]", " "))
+    n_seg = F.when(seg == "", F.lit(0)).otherwise(F.size(F.split(seg, r"\s+")))
+    return n_seg + n_unseg - n_comb
 
 
 def token_count_regex(col: Column | str, pattern: str = "[a-z0-9]+") -> Column:

@@ -27,6 +27,16 @@ from etl_npl_pipeline_spark.streaming import (
     stream_windowed_counts,
 )
 
+# Media-tier document slice: `doc_id % MEDIA_REPLICA_MOD < bound`
+# instead of `doc_id < bound`. The sf1/sf10 replication tools shift
+# each replica's doc ids by i * 1_000_000, so this picks the same
+# `bound` documents FROM EVERY REPLICA — payload count scales
+# linearly with sf (the r7 verdict's media-tier gap: a fixed slice
+# pinned plan shape only). At the driver scales (sf <= 0.1, ids
+# 0..4999) the modulus is the identity, so contract results are
+# bit-unchanged. The DuckDB oracles spell the same predicate.
+MEDIA_REPLICA_MOD = 1_000_000
+
 
 # --- ST1: streaming windowed agg ----------------------------------
 
@@ -196,7 +206,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct → mapInPandas decode (STUB
     codec, real plumbing). Deterministic fake features mean the
     oracle can verify the full Arrow round-trip."""
-    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 100) & F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") % MEDIA_REPLICA_MOD < 100) & F.col("text").isNotNull())
     media = build_media_frame(docs, "text", "doc_id")
     return decode_media(media).orderBy("doc_id")
 
@@ -209,7 +219,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 100 AND text IS NOT NULL
 )
 SELECT doc_id, 'image/fake' AS kind,
        nb AS n_bytes,
@@ -239,7 +249,7 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 100) & F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") % MEDIA_REPLICA_MOD < 100) & F.col("text").isNotNull())
     media = build_real_media_frame(docs, "text", "doc_id")
     return decode_media(media, codec="sniff").orderBy("doc_id")
 
@@ -271,7 +281,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 100 AND text IS NOT NULL
 ), d AS (
     SELECT *, nb % 640 + 1 AS pw,
            (nb + nb % 640) // (nb % 640 + 1) AS ph
@@ -300,7 +310,7 @@ FROM d ORDER BY doc_id
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: explode every-4th frame index per
     payload, count sampled frames per doc."""
-    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 50) & F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") % MEDIA_REPLICA_MOD < 50) & F.col("text").isNotNull())
     media = build_media_frame(docs, "text", "doc_id")
     return (
         frame_sample(media, every_nth=4)
@@ -313,7 +323,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_FRAME_SAMPLE_SQL = """
 SELECT doc_id,
        ((octet_length(encode(text)) % 16 + 1) - 1) // 4 + 1 AS n_sampled
-FROM documents WHERE doc_id < 50 AND text IS NOT NULL ORDER BY doc_id
+FROM documents WHERE doc_id % 1000000 < 50 AND text IS NOT NULL ORDER BY doc_id
 """
 
 
@@ -330,7 +340,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 100)
+        (F.col("doc_id") % MEDIA_REPLICA_MOD < 100)
         & (F.col("doc_id") % 3 == 2)
         & F.col("text").isNotNull()
     )
@@ -346,7 +356,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 100 AND doc_id % 3 = 2 AND text IS NOT NULL
 ), d AS (
     SELECT *, nb % 640 + 1 AS pw,
            (nb + nb % 640) // (nb % 640 + 1) AS ph
@@ -860,7 +870,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 60) & F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") % MEDIA_REPLICA_MOD < 60) & F.col("text").isNotNull())
     media = build_jpeg_media_frame(docs, "text", "doc_id")
     return decode_media(media, codec="sniff").orderBy("doc_id")
 
@@ -876,7 +886,7 @@ WITH b AS (
            greatest(octet_length(encode(text)), 1) AS nb,
            CASE WHEN octet_length(encode(text)) = 0
                 THEN '00' ELSE hex(encode(text)) END AS hx
-    FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 60 AND text IS NOT NULL
 )
 SELECT doc_id, 'image/jpeg' AS kind,
        CAST(64 * nb AS INT) AS n_bytes,
@@ -912,7 +922,7 @@ def mm_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 60) & (F.col("n_chars") > 0) & F.col("text").isNotNull()
+        (F.col("doc_id") % MEDIA_REPLICA_MOD < 60) & (F.col("n_chars") > 0) & F.col("text").isNotNull()
     )
     media = build_mp4_media_frame(docs, "text", "doc_id")
     return decode_media(media, codec="sniff").orderBy("doc_id")
@@ -923,7 +933,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 60 AND n_chars > 0 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 60 AND n_chars > 0 AND text IS NOT NULL
 )
 SELECT doc_id, 'video/mp4v' AS kind,
        CAST(nb AS INT) AS n_bytes,
@@ -1391,7 +1401,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_wav_frame,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") < 100) & F.col("text").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").where((F.col("doc_id") % MEDIA_REPLICA_MOD < 100) & F.col("text").isNotNull())
     return audio_features(build_wav_frame(docs, "text", "doc_id")).orderBy(
         "doc_id"
     )
@@ -1402,7 +1412,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 100 AND text IS NOT NULL
 ), s AS (
     SELECT doc_id, nb // 2 AS ns,
            list_transform(range(0, nb // 2), i ->
@@ -1447,7 +1457,7 @@ def mm_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") < 60) & (F.col("n_chars") > 0) & F.col("text").isNotNull()
+        (F.col("doc_id") % MEDIA_REPLICA_MOD < 60) & (F.col("n_chars") > 0) & F.col("text").isNotNull()
     )
     media = build_mp4_media_frame(docs, "text", "doc_id")
     return video_frame_sample(media, every_nth=4).orderBy("doc_id")
@@ -1458,7 +1468,7 @@ WITH b AS (
     SELECT doc_id,
            octet_length(encode(text)) AS nb,
            hex(encode(text)) AS hx
-    FROM documents WHERE doc_id < 60 AND n_chars > 0 AND text IS NOT NULL
+    FROM documents WHERE doc_id % 1000000 < 60 AND n_chars > 0 AND text IS NOT NULL
 ), f AS (
     SELECT doc_id, nb, hx, (nb + 63) // 64 AS n FROM b
 ), s AS (

@@ -26,10 +26,76 @@ _STOP_EN = "['the','a','of','and','to','in']"
 _STOP_ES = "['el','la','de','que','y','en']"
 _STOP_DE = "['der','die','und','das','nicht']"
 _STOP_FR = "['le','la','et','les','des']"
+
 # Mirror of operators.text.tokens(): Spark splits on the \s+ regexp,
 # so the oracle must too — string_split(' ') agrees only on corpora
 # with no runs of whitespace.
 _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# RE2 spellings of operators.text's script character classes (the
+# Spark side uses Java-regex literal ranges; \x{...} here keeps the
+# construction independent while pinning the same codepoint sets).
+_RE_TH = r"\x{0E00}-\x{0E7F}"
+_RE_HAN = r"\x{4E00}-\x{9FFF}"
+_RE_KANA = r"\x{3040}-\x{30FF}"
+_RE_KO = r"\x{AC00}-\x{D7AF}"
+_RE_RU = r"\x{0400}-\x{04FF}"
+_RE_AR = r"\x{0600}-\x{06FF}"
+_RE_THCOMB = r"\x{0E31}\x{0E34}-\x{0E3A}\x{0E47}-\x{0E4E}"
+_RE_UNSEG = _RE_TH + _RE_HAN + _RE_KANA
+_RE_WS = r" \t\n\x0B\f\r"
+
+# Column list every lang-id oracle selects: the four stopword scores
+# plus the script-class char counts of lang_id's dominance stage.
+_LANG_SCORES_SQL = f"""
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr,
+           len(regexp_replace(text, '[^{_RE_TH}]', '', 'g')) AS c_th,
+           len(regexp_replace(text, '[^{_RE_HAN}{_RE_KANA}]', '', 'g')) AS c_cjk,
+           len(regexp_replace(text, '[^{_RE_KANA}]', '', 'g')) AS c_kana,
+           len(regexp_replace(text, '[^{_RE_KO}]', '', 'g')) AS c_ko,
+           len(regexp_replace(text, '[^{_RE_RU}]', '', 'g')) AS c_ru,
+           len(regexp_replace(text, '[^{_RE_AR}]', '', 'g')) AS c_ar,
+           len(regexp_replace(text, '[{_RE_WS}]', '', 'g')) AS n_nonspace
+""".strip()
+
+# lang_id's two-stage decision as one SQL expression over the
+# _LANG_SCORES_SQL columns: script-dominance argmax (sequential
+# strict-greater order th, cjk, ko, ru, ar; cjk splits ja/zh by
+# kana share) when the winning script covers >= half the
+# non-whitespace chars, else the original stopword argmax.
+_LANGID_CASE_SQL = """
+    CASE WHEN greatest(c_th, c_cjk, c_ko, c_ru, c_ar) > 0
+          AND greatest(c_th, c_cjk, c_ko, c_ru, c_ar) * 2 >= n_nonspace
+         THEN CASE WHEN c_ar > greatest(c_th, c_cjk, c_ko, c_ru, 0) THEN 'ar'
+                   WHEN c_ru > greatest(c_th, c_cjk, c_ko, 0) THEN 'ru'
+                   WHEN c_ko > greatest(c_th, c_cjk, 0) THEN 'ko'
+                   WHEN c_cjk > greatest(c_th, 0)
+                     THEN (CASE WHEN c_kana * 5 >= c_cjk
+                                THEN 'ja' ELSE 'zh' END)
+                   ELSE 'th' END
+         ELSE CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0) THEN 'fr'
+                   WHEN s_de > greatest(s_en, s_es, 0) THEN 'de'
+                   WHEN s_es > greatest(s_en, 0) THEN 'es'
+                   WHEN s_en > 0 THEN 'en'
+                   ELSE 'und' END
+    END
+""".strip()
+
+# token_count_mixed as one SQL expression (see operators/text.py):
+# whitespace tokens of the text with unsegmented-script chars
+# blanked, plus unsegmented chars minus Thai combining marks.
+_TOK_MIXED_SQL = f"""
+    (CASE WHEN trim(regexp_replace(text, '[{_RE_UNSEG}]', ' ', 'g')) = ''
+          THEN 0
+          ELSE len(regexp_split_to_array(
+                 trim(regexp_replace(text, '[{_RE_UNSEG}]', ' ', 'g')),
+                 '\\s+')) END
+     + len(regexp_replace(text, '[^{_RE_UNSEG}]', '', 'g'))
+     - len(regexp_replace(text, '[^{_RE_THCOMB}]', '', 'g')))
+""".strip()
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,22 +124,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_LANG_ID_SQL = f"""
 WITH scores AS (
-    SELECT len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr
+    SELECT {_LANG_SCORES_SQL}
     FROM documents
 ), step AS (
-    -- replicate the sequential argmax (later lang wins only if
-    -- strictly greater), order: en, es, de, fr
-    SELECT CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0)
-                THEN 'fr'
-                WHEN s_de > greatest(s_en, s_es, 0)
-                THEN 'de'
-                WHEN s_es > greatest(s_en, 0)
-                THEN 'es'
-                WHEN s_en > 0 THEN 'en'
-                ELSE 'und' END AS predicted
+    SELECT {_LANGID_CASE_SQL} AS predicted
     FROM scores
 )
 SELECT predicted, COUNT(*) AS n FROM step GROUP BY 1 ORDER BY 1
@@ -312,28 +366,42 @@ FROM dirty WHERE doc_id < 100 ORDER BY doc_id
 # --- L22: benchmark decontamination --------------------------------
 
 DECON_N = 5  # n-gram width for contamination matching
+# The stand-in benchmark is a FIXED-SIZE set (50 docs: every 10th id
+# below 500), not a corpus fraction — eval suites do not grow with
+# the training corpus, and a benchmark side that scaled with sf made
+# the broadcast (and the sf-harness wall ratio) superlinear for no
+# modeled reason (r7 verdict). All sf tiers ≥0.001 contain ids 0-499
+# (replication shifts replica keys above 1M), so the benchmark is
+# the same 50 documents at every measured scale.
+DECON_BENCH_MAX_ID = 500
 
 
-def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-corpus decontamination: flag corpus documents that
-    share any word 5-gram with a held-out benchmark set (docs with
-    doc_id % 10 == 0 stand in for the benchmark).
-
-    Plan shape at 100 TB: benchmark n-grams are a SMALL distinct set
-    (eval suites are tiny next to a corpus) → broadcast to a
-    map-side semi-join of the corpus's exploded n-grams; one
-    aggregation per contaminated doc. No corpus self-join, no
-    shuffle of the corpus text."""
+def _decon_sides(spark: SparkSession, sf_dir: str):
+    """(benchmark grams, corpus grams) of the decontamination
+    contract — shared by L22 (broadcast grams) and L44 (Bloom)."""
     from etl_npl_pipeline_spark.operators.dedup import word_shingles
 
     docs = _docs(spark, sf_dir)
     grams = docs.select(
         "doc_id", F.explode(word_shingles("text", DECON_N)).alias("g")
     )
-    bench = (
-        grams.where(F.col("doc_id") % 10 == 0).select("g").distinct()
+    is_bench = (F.col("doc_id") % 10 == 0) & (
+        F.col("doc_id") < DECON_BENCH_MAX_ID
     )
-    corpus = grams.where(F.col("doc_id") % 10 != 0)
+    return grams.where(is_bench).select("g").distinct(), grams.where(~is_bench)
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag corpus documents that
+    share any word 5-gram with a held-out benchmark set (the fixed
+    50-doc set above stands in for the benchmark).
+
+    Plan shape at 100 TB: benchmark n-grams are a SMALL distinct
+    CONSTANT-SIZE set (eval suites are tiny next to a corpus and do
+    not grow with it) → broadcast to a map-side semi-join of the
+    corpus's exploded n-grams; one aggregation per contaminated doc.
+    No corpus self-join, no shuffle of the corpus text."""
+    bench, corpus = _decon_sides(spark, sf_dir)
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
@@ -353,10 +421,11 @@ _SQL_GRAMS_5 = f"""
 
 DEDUP_DECONTAMINATE_SQL = f"""
 WITH grams AS ({_SQL_GRAMS_5}),
-bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+bench AS (SELECT DISTINCT g FROM grams
+          WHERE doc_id % 10 = 0 AND doc_id < {DECON_BENCH_MAX_ID})
 SELECT doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
 FROM grams JOIN bench USING (g)
-WHERE doc_id % 10 != 0
+WHERE NOT (doc_id % 10 = 0 AND doc_id < {DECON_BENCH_MAX_ID})
 GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -379,14 +448,8 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_maybe_member,
         build_bloom_bits,
     )
-    from etl_npl_pipeline_spark.operators.dedup import word_shingles
 
-    docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(word_shingles("text", DECON_N)).alias("g")
-    )
-    bench = grams.where(F.col("doc_id") % 10 == 0).select("g").distinct()
-    corpus = grams.where(F.col("doc_id") % 10 != 0)
+    bench, corpus = _decon_sides(spark, sf_dir)
     bits = build_bloom_bits(bench)
     survivors = bloom_maybe_member(corpus, bits).where(F.col("maybe"))
     return (
@@ -2316,31 +2379,132 @@ FROM ranked
 """
 
 
-# --- L36: SemDeDup semantic dedup (rows-only) ---------------------
+# --- L36: SemDeDup semantic dedup (oracle-backed as of r8) --------
 
 SEMDEDUP_CLUSTERS = 8
+SEMDEDUP_TARGET_CELL = 256  # scale n_clusters to hold ~this per cell
+SEMDEDUP_PLANTED_N = 10
+SEMDEDUP_PLANTED_OFFSET = 9_000_000
+
+
+def semantic_pairs(
+    spark: SparkSession, sf_dir: str, extra: DataFrame | None = None
+) -> DataFrame:
+    """Raw SemDeDup pair stream (id_a, id_b, cos_sim) over the
+    corpus embeddings (optionally union ``extra`` vectors) — the
+    L36 pipeline itself; tests/test_semantic_dedup.py pins its
+    recall/false-positive/determinism properties on this form.
+
+    n_clusters scales with the corpus (ceil(n / SEMDEDUP_TARGET_CELL),
+    floor SEMDEDUP_CLUSTERS) — the docstring doctrine of
+    semantic_near_dups made executable: cells stay well under the
+    max_block quarantine at every sf instead of only at the contract
+    scale. The count() is one cheap scan-count job."""
+    emb = _emb(spark, sf_dir)
+    if extra is not None:
+        emb = emb.unionByName(extra)
+    n = emb.count()
+    n_clusters = max(SEMDEDUP_CLUSTERS, -(-n // SEMDEDUP_TARGET_CELL))
+    return S.semantic_near_dups(
+        emb, n_clusters=n_clusters, threshold=EMB_THRESHOLD
+    )
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cells as the blocking
     key, exact pairwise cosine within each cell (see
     operators.similarity.semantic_near_dups for the scale doctrine).
-    Rows-only driver check — the k-means quantizer is not
-    SQL-expressible; quality is pinned by
-    tests/test_semantic_dedup.py's recall-vs-exact-all-pairs bound.
-    """
+
+    Oracle-backed as of r8 (the profile_sketches pattern, r6
+    directive #5): the k-means quantizer itself is not
+    SQL-expressible, so the query emits in-query ASSERTIONS the
+    oracle can replay as constants —
+
+    - plants SEMDEDUP_PLANTED_N exact-copy vectors (vec_id + offset)
+      and emits ``planted_found`` per planted pair: identical
+      vectors land in the same cell deterministically, so a missing
+      pair is a pipeline bug, not an approximation artifact;
+    - recomputes EVERY emitted pair's cosine through the independent
+      JVM path (codegen l2-normalize + ordered zip_with dot — the
+      dedup_embedding construction, bit-identical by the dim-ordered
+      accumulation contract) and emits ``fp_free`` = no emitted pair
+      fell below threshold on recheck. This catches an Arrow/numpy
+      divergence, which a vacuous replay of the emitted cos_sim
+      could not.
+
+    DuckDB's side is the fixed expected relation (every planted pair
+    found, zero false positives), so any quality regression is an
+    oracle MISMATCH in the driver gate, not just a test failure."""
     emb = _emb(spark, sf_dir)
-    return (
-        S.semantic_near_dups(
-            emb,
-            n_clusters=SEMDEDUP_CLUSTERS,
-            threshold=EMB_THRESHOLD,
-        )
-        .select(
-            "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
-        )
-        .orderBy("id_a", "id_b")
+    planted_src = emb.where(F.col("vec_id") < SEMDEDUP_PLANTED_N)
+    planted = planted_src.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(SEMDEDUP_PLANTED_OFFSET)
     )
+    pairs = semantic_pairs(spark, sf_dir, extra=planted)
+
+    # independent JVM-side recheck of every emitted pair
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(sq)
+    nv = F.transform(
+        F.col("embedding"),
+        lambda x: x / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
+    )
+    u = emb.unionByName(planted).select("vec_id", nv.alias("nv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("nv_a"), F.col("nv_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rechecked = (
+        pairs.join(
+            u.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("nv_a")),
+            "id_a",
+        )
+        .join(
+            u.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("nv_b")),
+            "id_b",
+        )
+        .select(dot.alias("jvm_cos"))
+    )
+    fp = rechecked.agg(
+        F.sum((F.col("jvm_cos") < EMB_THRESHOLD).cast("long")).alias("n_fp")
+    ).withColumn("k", F.lit(1))
+
+    expected = planted_src.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + SEMDEDUP_PLANTED_OFFSET).alias("id_b"),
+    )
+    found = expected.join(
+        pairs.select("id_a", "id_b", F.lit(True).alias("hit")),
+        ["id_a", "id_b"],
+        "left",
+    ).select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("hit"), F.lit(False)).alias("planted_found"),
+    )
+    return (
+        found.withColumn("k", F.lit(1))
+        .join(fp, "k")
+        .select(
+            "id_a", "id_b", "planted_found", (F.col("n_fp") == 0).alias("fp_free")
+        )
+        .orderBy("id_a")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+SELECT vec_id AS id_a,
+       vec_id + {SEMDEDUP_PLANTED_OFFSET} AS id_b,
+       TRUE AS planted_found,
+       TRUE AS fp_free
+FROM embeddings WHERE vec_id < {SEMDEDUP_PLANTED_N}
+ORDER BY id_a
+"""
 
 
 # --- L37: per-group embedding centroids ---------------------------
@@ -2545,10 +2709,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_FILTER_FUNNEL_SQL = f"""
 WITH sig AS (
     SELECT len({_TOKS}) AS n_tok,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr,
+           {_LANG_SCORES_SQL},
            greatest(len({_TOKS}) - 2, 0) AS n_trigrams,
            len(list_distinct(list_transform(
                range(1, len({_TOKS}) - 1),
@@ -2557,11 +2718,7 @@ WITH sig AS (
     FROM documents
 ), flags AS (
     SELECT n_tok >= {FUNNEL_MIN_TOKENS} AS len_ok,
-           (CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0) THEN 'fr'
-                 WHEN s_de > greatest(s_en, s_es, 0) THEN 'de'
-                 WHEN s_es > greatest(s_en, 0) THEN 'es'
-                 WHEN s_en > 0 THEN 'en'
-                 ELSE 'und' END) = 'en' AS lang_ok,
+           ({_LANGID_CASE_SQL}) = 'en' AS lang_ok,
            (CAST(s_en AS DOUBLE) / n_tok) >= {FUNNEL_STOP_RATIO} AS q_ok,
            (CASE WHEN n_trigrams > 0
                  THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams
@@ -3020,7 +3177,16 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only codegen — token array built once per row,
     every rule is a HOF over it, no shuffle. Integer/ratio
     arithmetic is exact except mean word length, which both engines
-    compute as int/int division in double and round to 6 dp."""
+    compute as int/int division in double and round to 6 dp.
+
+    Unsegmented-script caveat: these rules are defined over
+    WHITESPACE tokens (as in the Gopher paper, which is English-
+    only). On Thai/CJK text a whole sentence is one "word", so
+    word-count and mean-word-length gates misfire; route such
+    documents by lang_id (which now identifies them via script
+    dominance) and gate them on token_count_mixed /
+    text_script_profile signals instead — the standard practice
+    (Dolma, FineWeb-2) of per-language thresholds."""
     docs = _docs(spark, sf_dir)
     toks = T.tokens("text")
     n_words = F.size(toks)
@@ -3373,21 +3539,108 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_LANGID_CONFUSION_SQL = f"""
 WITH scores AS (
     SELECT lang,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t))) AS s_en,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_ES}, t))) AS s_es,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_DE}, t))) AS s_de,
-           len(list_filter({_TOKS}, t -> list_contains({_STOP_FR}, t))) AS s_fr
+           {_LANG_SCORES_SQL}
     FROM documents
 ), step AS (
     SELECT lang,
-           CASE WHEN s_fr > greatest(s_en, s_es, s_de, 0) THEN 'fr'
-                WHEN s_de > greatest(s_en, s_es, 0) THEN 'de'
-                WHEN s_es > greatest(s_en, 0) THEN 'es'
-                WHEN s_en > 0 THEN 'en'
-                ELSE 'und' END AS predicted
+           {_LANGID_CASE_SQL} AS predicted
     FROM scores
 )
 SELECT lang, predicted, COUNT(*) AS n
+FROM step GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- L60: multiscript lang-id + script-aware token counting --------
+
+# Planted multiscript documents — label is the EXPECTED lang_id
+# answer. The corpus (TESTDATA.md) is Latin-script only, so the
+# script-dominance stage of lang_id (the path that identifies the
+# reference's own Thai domain, src/ETL-NPL-Pipeline.py:5) needs
+# planted inputs to be exercised at all. Texts avoid apostrophes so
+# one literal serves both the Spark DataFrame and the SQL VALUES.
+PLANTED_LANG_DOCS: list[tuple[str, str]] = [
+    ("th", "ธนาคารแห่งประเทศไทยรายงานสัดส่วนหนี้เสียของไตรมาสนี้ลดลงเล็กน้อย"),
+    ("th", "สินเชื่อด้อยคุณภาพในระบบธนาคารพาณิชย์ยังคงทรงตัวจากไตรมาสก่อน"),
+    ("zh", "中国人民银行发布最新不良贷款数据报告显示风险可控"),
+    ("zh", "商业银行资产质量保持稳定监管机构持续关注信贷风险"),
+    ("ja", "日本銀行は不良債権のデータを発表しました金融システムは安定しています"),
+    ("ja", "銀行の貸出残高は増加しましたが不良債権比率は低下しました"),
+    ("ko", "한국은행이 부실채권 비율에 대한 분기 보고서를 발표했다"),
+    ("ko", "시중은행의 대출 연체율은 전분기보다 소폭 하락했다"),
+    ("ru", "Центральный банк опубликовал отчет о просроченных кредитах за квартал"),
+    ("ar", "نشر البنك المركزي تقريرا عن القروض المتعثرة لهذا الربع"),
+    ("en", "the central bank published a report of bad loans and the ratio fell in the quarter"),
+    ("es", "el banco central publicó la proporción de préstamos morosos y la cifra bajó en el trimestre"),
+    ("fr", "le rapport de la banque centrale sur les créances douteuses et les chiffres des prêts"),
+    ("de", "der bericht der zentralbank über notleidende kredite und die quote ist nicht gestiegen"),
+    # Latin-dominant with a quoted Thai phrase: the quote is below
+    # script dominance, so the stopword path must keep it 'en'.
+    ("en", "the bank reported that อัตราหนี้เสีย improved again in the quarter"),
+]
+
+
+def text_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: multiscript language ID + script-aware token counting —
+    the corpus slice (Latin, exercises the stopword fallback) union
+    planted Thai/zh/ja/ko/ru/ar documents (exercise the
+    script-dominance stage), aggregated as a (label, predicted)
+    confusion with the summed token_count_mixed per cell. A planted
+    row off its (lang, lang) diagonal is a visible lang_id bug; the
+    token sum pins grapheme-safe counting (Thai combining marks do
+    not count) in the same oracle.
+
+    Scale shape: identical to L8/L52 — map-only codegen scoring,
+    one bounded groupBy; the planted side is a constant-size local
+    relation unioned into the scan, not a join."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select("lang", "text")
+    )
+    planted = spark.createDataFrame(
+        PLANTED_LANG_DOCS, schema="lang string, text string"
+    )
+    return (
+        docs.unionByName(planted)
+        .select(
+            "lang",
+            T.lang_id("text").alias("predicted"),
+            T.token_count_mixed("text").alias("tok"),
+        )
+        .groupBy("lang", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tok").alias("sum_tokens_mixed"),
+        )
+        .orderBy("lang", "predicted")
+    )
+
+
+def _planted_values_sql() -> str:
+    return ",\n           ".join(
+        f"('{lang}', '{text}')" for lang, text in PLANTED_LANG_DOCS
+    )
+
+
+TEXT_LANG_ID_CJK_SQL = f"""
+WITH unioned AS (
+    SELECT lang, text FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT * FROM (VALUES {_planted_values_sql()}) AS p(lang, text)
+), scores AS (
+    SELECT lang,
+           {_LANG_SCORES_SQL},
+           {_TOK_MIXED_SQL} AS tok
+    FROM unioned
+), step AS (
+    SELECT lang,
+           {_LANGID_CASE_SQL} AS predicted,
+           tok
+    FROM scores
+)
+SELECT lang, predicted, COUNT(*) AS n,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens_mixed
 FROM step GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -27,10 +27,9 @@ def test_window_holds_all_rows_only_queries():
 def test_every_oracle_has_a_query_and_vice_versa_is_explicit():
     assert set(ORACLES) <= set(QUERIES)
     # every rows-only omission is one of the declared ones
-    # (dedup_simhash graduated to a full equality oracle in r8)
-    declared = {
-        "dedup_semantic", "ann_lsh", "ann_ivf", "ann_pq",
-    }
+    # (dedup_simhash graduated to a full equality oracle in r8;
+    # dedup_semantic followed via in-query assertion booleans)
+    declared = {"ann_lsh", "ann_ivf", "ann_pq"}
     assert {k for k in QUERIES if k not in ORACLES} == declared
 
 

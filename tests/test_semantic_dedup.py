@@ -18,6 +18,7 @@ from etl_npl_pipeline_spark.plans.llmdata import (
     EMB_THRESHOLD,
     _emb,
     dedup_semantic,
+    semantic_pairs,
 )
 
 
@@ -56,14 +57,23 @@ def test_semantic_no_false_positives(spark, sf_dir):
             max_block=1_000_000,
         )
     )
-    got = _pairs(dedup_semantic(spark, sf_dir))
+    got = _pairs(semantic_pairs(spark, sf_dir))
     assert got <= exact
 
 
 def test_semantic_deterministic(spark, sf_dir):
-    a = _pairs(dedup_semantic(spark, sf_dir))
-    b = _pairs(dedup_semantic(spark, sf_dir))
+    a = _pairs(semantic_pairs(spark, sf_dir))
+    b = _pairs(semantic_pairs(spark, sf_dir))
     assert a == b
+
+
+def test_semantic_oracle_form_booleans(spark, sf_dir):
+    """The r8 oracle-backed form: every planted exact-copy pair is
+    found and the JVM-side recheck clears every emitted pair."""
+    rows = dedup_semantic(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["planted_found"] for r in rows)
+    assert all(r["fp_free"] for r in rows)
 
 
 def test_semantic_degenerate_quantizer_quarantines(spark, sf_dir):

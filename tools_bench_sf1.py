@@ -85,10 +85,11 @@ TIER_STREAM = [
     "stream_anomaly_alerts",
 ]
 TIER_ANN = ["ann_index_build", "ann_lsh", "ann_pq", "ann_topk"]
-# the Arrow-media path: stdlib codecs inside mapInPandas. These
-# queries bound their input by contract (doc_id < 50-100 payload
-# fixtures), so their ratios pin plan stability and the codec
-# path's fixed cost — not data scaling
+# the Arrow-media path: stdlib codecs inside mapInPandas. As of r8
+# the slices are doc_id % 1_000_000 < 50-100 — the same payload set
+# per REPLICA — so payload count scales linearly with sf (10x docs
+# at sf1, identical inputs at driver scales) and these ratios now
+# measure real codec-path data scaling, not just plan stability.
 TIER_MEDIA = [
     "mm_decode_meta",
     "mm_decode_jpeg",
@@ -219,15 +220,14 @@ def main() -> None:
                 "not a shuffle/plan blowup"
             ),
             "dedup_decontaminate": (
-                "wall ratio ~6-9x is inherent to the synthetic "
-                "contract, not plan growth (shuffle bytes 9.88x = "
-                "linear): the 'benchmark' side is doc_id%10 == 0, "
-                "so its broadcast gram set scales WITH the corpus. "
-                "A production benchmark is fixed-size, making the "
-                "broadcast constant; when the eval suite itself is "
-                "large, dedup_bloom is the documented scale path "
-                "(constant 128KB bit array; same contract, byte "
-                "ratio 9.82x). Exchange count unchanged 0.1->1."
+                "r8: the benchmark side is now FIXED-SIZE (50 docs, "
+                "doc_id%10==0 AND doc_id<500 — the same documents "
+                "at every sf), so the broadcast gram set is "
+                "sf-independent like a real eval suite; the r7 "
+                "superlinear-broadcast caveat no longer applies. "
+                "dedup_bloom remains the alternative transport for "
+                "when the eval suite itself is large (constant "
+                "128KB bit array; same contract/oracle)."
             ),
         },
         "queries": out,
