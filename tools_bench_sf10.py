@@ -122,6 +122,16 @@ def main() -> None:
             "BNLJ, no spill. Wall times are context (single metered "
             "run; see module docstring)."
         ),
+        "outlier_notes": {
+            "q21_waiting_suppliers": (
+                "bytes ratio ~30x is a broadcast->SMJ phase change "
+                "at the 64MB threshold (orders stops being "
+                "broadcastable above sf1), not superlinear work; "
+                "with autoBroadcastJoinThreshold=-1 at both scales "
+                "the ratio is x9.86 (see q21_smj_probe) — linear "
+                "within the SMJ regime"
+            ),
+        },
         "queries": out,
         "total_sf10_sec": round(
             sum(v["sf10_sec"] for v in out.values()), 2
