@@ -2470,9 +2470,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(dot.alias("jvm_cos"))
     )
+    # scalar SUBQUERY, not a 1-row literal-key join — the latter
+    # folds its equi-condition to TRUE and plans a BNLJ (the exact
+    # shape the r6 corpus-wide rewrite banned; test_plan_quality
+    # caught this construction doing it again)
     fp = rechecked.agg(
         F.sum((F.col("jvm_cos") < EMB_THRESHOLD).cast("long")).alias("n_fp")
-    ).withColumn("k", F.lit(1))
+    )
 
     expected = planted_src.select(
         F.col("vec_id").alias("id_a"),
@@ -2488,11 +2492,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("hit"), F.lit(False)).alias("planted_found"),
     )
     return (
-        found.withColumn("k", F.lit(1))
-        .join(fp, "k")
-        .select(
-            "id_a", "id_b", "planted_found", (F.col("n_fp") == 0).alias("fp_free")
-        )
+        found.withColumn("fp_free", fp.scalar() == 0)
+        .select("id_a", "id_b", "planted_found", "fp_free")
         .orderBy("id_a")
     )
 
