@@ -2384,7 +2384,12 @@ FROM ranked
 SEMDEDUP_CLUSTERS = 8
 SEMDEDUP_TARGET_CELL = 256  # scale n_clusters to hold ~this per cell
 SEMDEDUP_PLANTED_N = 10
-SEMDEDUP_PLANTED_OFFSET = 9_000_000
+# Above every replica id range: the sf1/sf10 generators shift
+# replica i's vec_ids by i * 1_000_000 (i <= 99), so anything under
+# 100M can collide with a replica's ids — a 9M offset met replica 9
+# at sf1 and duplicated every planted pair (caught by the sf1
+# oracle check).
+SEMDEDUP_PLANTED_OFFSET = 1_000_000_000
 
 
 def semantic_pairs(
