@@ -94,6 +94,7 @@ HEADLINE = [
     # lands on the build query; the ann trio then measures SEARCH
     # (the lifecycle split the persisted index exists to create)
     "ann_index_build",
+    "ann_index_refresh",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
@@ -156,6 +157,7 @@ HEADLINE = [
     "events_windowed_topk",
     "data_token_budget",
     "text_langid_confusion",
+    "text_lang_id_cjk",
     "stream_windowed_topk",
     "mm_audio_features",
     "mm_video_sample",
