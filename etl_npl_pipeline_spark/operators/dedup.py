@@ -441,6 +441,21 @@ def simhash_candidates(
     Manku-et-al space-for-determinism trade; at 100 TB the posting
     shuffle is 64 x 10-byte rows per doc, still far below the
     document text itself.
+
+    SCALE LIMIT of the fixed 16-bit key (measured, r8): a masked
+    key has only 2^16 values per chunk, so expected bucket size
+    grows linearly with corpus size and CANDIDATE PAIRS grow
+    quadratically once buckets exceed ~a few postings — the sf
+    harnesses show the regime crossing (shuffle bytes x46.8 at
+    sf0.1->sf1) and then the max_bucket_size cap binding (x9.4 at
+    sf1->sf10, linear again, but capped buckets are DROPPED, so
+    recall decays silently past ~10^6 docs). The production answer
+    at that scale is key-bits ~ log2(corpus): Manku et al. (2007)
+    probe multiple permuted signature PREFIXES of 20+ bits instead
+    of fixed disjoint chunks. This repo's doctrine for >10^6-doc
+    corpora is minhash-LSH (dedup_minhash): its banding keys are
+    full 64-bit hashes — no birthday regime, measured x10.1 and
+    x10.3 across both decades.
     """
     if max_hamming > 7:
         raise ValueError(

@@ -219,6 +219,14 @@ def main() -> None:
                 "bytes (Arrow UDF batches, gram explode width), "
                 "not a shuffle/plan blowup"
             ),
+            "dedup_simhash": (
+                "r8: bytes ratio ~x47 at sf0.1->sf1 is the 16-bit "
+                "blocking key's birthday regime (pairs quadratic "
+                "until the bucket cap binds; sf1->sf10 is x9.4 at "
+                "the cap, recall decaying past ~1e6 docs). See "
+                "simhash_candidates docstring for the measured "
+                "analysis and the minhash/permuted-prefix doctrine."
+            ),
             "dedup_decontaminate": (
                 "r8: the benchmark side is now FIXED-SIZE (50 docs, "
                 "doc_id%10==0 AND doc_id<500 — the same documents "
