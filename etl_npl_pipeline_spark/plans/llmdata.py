@@ -2458,7 +2458,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: x / F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm),
     )
-    u = emb.unionByName(planted).select("vec_id", nv.alias("nv"))
+    # Normalize ONLY the vectors that appear in an emitted pair:
+    # the Catalyst lambda HOFs here evaluate per element
+    # (interpreted — the dedup.py lesson), so a semi-join prune on
+    # the pair ids keeps the recheck at O(pairs * dim) instead of
+    # O(corpus * dim). No explicit broadcast hints: pair count is
+    # data-dependent (small at contract scale, potentially large on
+    # a dup-heavy crawl), so AQE picks the strategy at runtime.
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    u = (
+        emb.unionByName(planted)
+        .join(pair_ids, "vec_id", "left_semi")
+        .select("vec_id", nv.alias("nv"))
+    )
     dot = F.aggregate(
         F.zip_with(F.col("nv_a"), F.col("nv_b"), lambda x, y: x * y),
         F.lit(0.0),
