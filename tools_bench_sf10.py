@@ -49,6 +49,12 @@ TIER = [
     "stream_stream_join",
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
+    # r8: the media tier's per-replica slices scale payload count
+    # 100x at sf10 — the second measured decade for the Arrow codec
+    # path (sf1 measured x3.2-5.6 bytes at 10x payloads)
+    "mm_decode_jpeg",
+    "mm_decode_meta",
+    "mm_audio_features",
 ]
 
 
