@@ -111,6 +111,33 @@ def read_manifest(index_dir: str) -> dict:
         return json.load(fh)
 
 
+def _artifact_paths(index_dir: str, name: str) -> list[str]:
+    """Resolve an artifact to its manifest-listed segment dirs.
+
+    The base build writes one dir per artifact; each committed
+    refresh ADDS a ``<name>_v<N>`` segment dir. Readers consume the
+    union of listed segments, so a staged-but-uncommitted refresh
+    (crash before the manifest write) is invisible by construction —
+    the manifest is the single commit point. Pre-segment manifests
+    (version-1 layout) default to the bare artifact dir."""
+    segs = read_manifest(index_dir).get("segments", {}).get(name, [name])
+    return [os.path.join(index_dir, s) for s in segs]
+
+
+def _read_artifact(
+    spark: SparkSession, index_dir: str, name: str
+) -> DataFrame:
+    # one read per segment, unioned: multi-root partition discovery
+    # rejects mixed roots (CONFLICTING_DIRECTORY_STRUCTURES), and a
+    # per-segment read keeps cell-partition pruning working inside
+    # each union branch.
+    dfs = [spark.read.parquet(p) for p in _artifact_paths(index_dir, name)]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _write_manifest(index_dir: str, manifest: dict) -> None:
     tmp = os.path.join(index_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
@@ -263,6 +290,7 @@ def build_ann_index(
             "seed": seed,
             "version": 1,
             "appends": [],
+            "segments": {name: [name] for name in ARTIFACTS},
         },
     )
     # publish: one atomic rename. If another process won the race
@@ -305,21 +333,31 @@ def refresh_ann_index(
     ``batch_key`` makes the append exactly-once: a refresh whose key
     is already in the manifest lineage is a no-op (the contract
     query and bench re-invoke queries; re-appending the same crawl
-    batch would silently double the corpus). A crash between the
-    artifact appends and the manifest write can leave a partial
-    append — production would stage the files and publish them with
-    the manifest atomically; at contract scale the documented rule
-    is: a refresh that did not return rebuilds from the base index.
+    batch would silently double the corpus).
+
+    CRASH ATOMICITY (r9, VERDICT r8 #2): the three appended
+    artifacts are written as NEW segment directories
+    (``vectors_v<N>`` etc.) that no reader resolves until the
+    manifest lists them — the manifest write (os.replace, atomic on
+    POSIX) is the single commit point, the same discipline as the
+    build path's atomic rename. A crash after the segment writes but
+    before the manifest commit leaves orphan dirs that are invisible
+    to readers and reclaimed (mode="overwrite") by the re-issued
+    refresh, which then lands exactly once via batch_key.
     """
     man = read_manifest(index_dir)
     if batch_key is not None and any(
         a.get("batch_key") == batch_key for a in man["appends"]
     ):
         return index_dir
+    if "segments" not in man:  # version-1 layout: adopt in-place
+        man["segments"] = {name: [name] for name in ARTIFACTS}
     knobs = man["knobs"]
+    new_version = man["version"] + 1
+    suffix = f"_v{new_version}"
 
     crows = sorted(
-        spark.read.parquet(os.path.join(index_dir, "ivf_centroids")).collect(),
+        _read_artifact(spark, index_dir, "ivf_centroids").collect(),
         key=lambda r: r["cell"],
     )
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
@@ -336,19 +374,22 @@ def refresh_ann_index(
         l2_normalize(F.col(vec_col)).alias("cv"),
         assign_cell(F.col(vec_col)).alias("cell"),
     )
-    vectors.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors")
+    # stage: fresh segment dirs, invisible until the manifest commit.
+    # overwrite (not append) makes a re-issued refresh reclaim any
+    # partial segment a crashed attempt left behind.
+    vectors.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors" + suffix)
     )
 
-    brows = spark.read.parquet(os.path.join(index_dir, "pq_codebooks")).collect()
+    brows = _read_artifact(spark, index_dir, "pq_codebooks").collect()
     m_sub = 1 + max(r["subspace"] for r in brows)
     k_codes = 1 + max(r["code"] for r in brows)
     d_sub = len(brows[0]["centroid"])
     books = np.empty((m_sub, k_codes, d_sub))
     for r in brows:
         books[r["subspace"], r["code"]] = r["centroid"]
-    pq_encode(batch, books, id_col, vec_col).write.mode("append").parquet(
-        os.path.join(index_dir, "pq_codes")
+    pq_encode(batch, books, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "pq_codes" + suffix)
     )
 
     sig_udf = _lsh_table_signatures(knobs["lsh_planes"], knobs["lsh_tables"])
@@ -358,14 +399,18 @@ def refresh_ann_index(
             sig_udf(F.col(vec_col)).alias("sigs"),
         )
         .select("neighbor_id", F.posexplode("sigs").alias("t", "sig"))
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "lsh_buckets"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "lsh_buckets" + suffix))
     )
 
     n_appended = batch.count()
-    man["version"] += 1
+    # commit: one atomic manifest replace publishes all three
+    # segments together with the lineage bump
+    man["version"] = new_version
+    for name in ("vectors", "pq_codes", "lsh_buckets"):
+        man["segments"][name] = man["segments"][name] + [name + suffix]
     man["appends"].append(
-        {"version": man["version"], "rows": n_appended, "batch_key": batch_key}
+        {"version": new_version, "rows": n_appended, "batch_key": batch_key}
     )
     _write_manifest(index_dir, man)
     return index_dir
@@ -373,7 +418,7 @@ def refresh_ann_index(
 
 def _vectors(spark: SparkSession, index_dir: str) -> DataFrame:
     # partition-column inference may narrow `cell`; pin it back
-    return spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+    return _read_artifact(spark, index_dir, "vectors").select(
         "neighbor_id", "cv", F.col("cell").cast("long").alias("cell")
     )
 
@@ -405,7 +450,7 @@ def ivf_query(
     if queries.isEmpty():
         return _empty_result(spark)
     crows = sorted(
-        spark.read.parquet(os.path.join(index_dir, "ivf_centroids")).collect(),
+        _read_artifact(spark, index_dir, "ivf_centroids").collect(),
         key=lambda r: r["cell"],
     )
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
@@ -448,7 +493,7 @@ def pq_query(
     against the persisted normalized vectors. The codebook tensor
     (m x k x d/m doubles) and the bounded query set are the only
     driver-side loads."""
-    brows = spark.read.parquet(os.path.join(index_dir, "pq_codebooks")).collect()
+    brows = _read_artifact(spark, index_dir, "pq_codebooks").collect()
     m_sub = 1 + max(r["subspace"] for r in brows)
     k_codes = 1 + max(r["code"] for r in brows)
     d_sub = len(brows[0]["centroid"])
@@ -491,7 +536,7 @@ def pq_query(
                 }
             )
 
-    codes = spark.read.parquet(os.path.join(index_dir, "pq_codes"))
+    codes = _read_artifact(spark, index_dir, "pq_codes")
     partials = codes.mapInPandas(
         partial_topk, schema="query_id long, neighbor_id long, adc double"
     ).where(F.col("query_id") != F.col("neighbor_id"))
@@ -552,7 +597,7 @@ def lsh_query(
     q_idx = q_sig.select(
         "query_id", "t", F.explode(F.array(*probes)).alias("sig")
     )
-    buckets = spark.read.parquet(os.path.join(index_dir, "lsh_buckets"))
+    buckets = _read_artifact(spark, index_dir, "lsh_buckets")
     cand = (
         q_idx.join(buckets, ["t", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -579,7 +624,7 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     oracle-checkable surface of the build (each count is derivable
     from |embeddings| and the knobs)."""
     parts = [
-        spark.read.parquet(os.path.join(index_dir, name))
+        _read_artifact(spark, index_dir, name)
         .groupBy(F.lit(name).alias("artifact"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
         for name in ARTIFACTS

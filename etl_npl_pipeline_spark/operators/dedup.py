@@ -415,53 +415,178 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return toks.select("doc", sim_udf(F.col("hs")).alias("simhash"))
 
 
+# Permuted-prefix tables (Manku et al. 2007, "Detecting Near-
+# Duplicates for Web Crawling"): the 64-bit signature is cut into 16
+# subchunks of 4 bits; a TABLE is a 5-subset of subchunks whose
+# concatenation forms a 20-bit blocking prefix — i.e. the structured
+# bit-permutation that moves those 20 bits to the front. Tables are
+# all 5-subsets within each HALF of the signature (2 x C(8,5) = 112).
+#
+# Determinism (the property the equality oracle rests on): ≤ 7
+# differing bits touch ≤ 7 subchunks, leaving ≥ 9 clean; by
+# pigeonhole one half holds ≥ ⌈9/2⌉ = 5 clean subchunks, and the
+# 5-subset of clean subchunks in that half is one of its 56 tables —
+# both docs post the identical 20-bit key there. So blocking recall
+# is COMPLETE for hamming ≤ 7, not probabilistic.
+_SIMHASH_SUBCHUNKS = 16  # 4 bits each
+_SIMHASH_TABLE_WIDTH = 5  # subchunks per table -> 20-bit prefix
+
+
+def _simhash_prefix_tables() -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    tables: list[tuple[int, ...]] = []
+    for half in (range(0, 8), range(8, 16)):
+        tables.extend(combinations(half, _SIMHASH_TABLE_WIDTH))
+    return tables
+
+
+_SIMHASH_TABLES = _simhash_prefix_tables()  # 112 tables
+
+
+def _bucket_pairs(buckets: DataFrame, max_hamming: int) -> DataFrame:
+    """All intra-bucket ordered pairs with hamming ≤ max_hamming.
+
+    The hamming filter runs INSIDE the array transform — before the
+    explode and the distinct's exchange — so the second shuffle
+    carries only true near-pairs (linear in the duplicate count),
+    not every bucket collision. r8 filtered after the distinct and
+    the collision pairs themselves were the x46.8 shuffle blow-up.
+    """
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds")) - i - 1),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
+    near = F.filter(pair_structs, lambda p: p["hamming"] <= F.lit(max_hamming))
+    return (
+        buckets.select(F.explode(near).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
+    )
+
+
 def simhash_candidates(
     sigs: DataFrame,
     max_hamming: int = 7,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    prefix_bits: int = 20,
 ) -> DataFrame:
-    """ALL pairs with hamming(simhash) ≤ max_hamming (≤ 7) via
-    masked-key sub-blocking: each 16-bit chunk posts 16 variants
-    with one bit zeroed, so two chunk values differing in ≤ 1 bit
-    share a masked key. Pigeonhole: hamming ≤ 7 over 4 chunks ⇒
-    some chunk differs in ≤ 1 bit ⇒ the pair collides — blocking
-    recall is DETERMINISTIC (not probabilistic) for the supported
-    hamming range, which is what lets dedup_simhash carry a full
-    equality oracle. (r7's exact-chunk blocking only guaranteed
-    hamming ≤ 3 and measured 0.68 planted recall at the corpus'
-    actual edit sizes; one-token edits on short docs routinely land
-    at hamming 4-7.)
+    """ALL pairs with hamming(simhash) ≤ max_hamming (≤ 7), blocked
+    by Manku-style permuted-prefix tables (``prefix_bits=20``, the
+    default) or the legacy masked 16-bit chunks (``prefix_bits=16``).
 
-    Bucket pairing uses the minhash groupBy + pair-explode pattern —
-    a self-join here would execute the signature pandas_udf subtree
-    once per join side (2x the dominant cost). One exchange on
-    (key, kv), one signature evaluation, oversize buckets dropped
-    before the collect (same memory bound as minhash_candidates).
-    Postings are 64/doc (4 chunks x 16 masks) — the classic
-    Manku-et-al space-for-determinism trade; at 100 TB the posting
-    shuffle is 64 x 10-byte rows per doc, still far below the
-    document text itself.
+    Both arrangements give DETERMINISTIC (complete) blocking recall
+    for hamming ≤ 7 by pigeonhole — see _SIMHASH_TABLES for the
+    20-bit proof; the 16-bit variant zeroes one bit per 16-bit chunk
+    (some chunk differs in ≤ 1 bit when 7 errors spread over 4
+    chunks). That completeness is what lets dedup_simhash carry a
+    GROUND-TRUTH equality oracle (brute-force hamming in SQL) rather
+    than a blocking replay.
 
-    SCALE LIMIT of the fixed 16-bit key (measured, r8): a masked
-    key has only 2^16 values per chunk, so expected bucket size
-    grows linearly with corpus size and CANDIDATE PAIRS grow
-    quadratically once buckets exceed ~a few postings — the sf
-    harnesses show the regime crossing (shuffle bytes x46.8 at
-    sf0.1->sf1) and then the max_bucket_size cap binding (x9.4 at
-    sf1->sf10, linear again, but capped buckets are DROPPED, so
-    recall decays silently past ~10^6 docs). The production answer
-    at that scale is key-bits ~ log2(corpus): Manku et al. (2007)
-    probe multiple permuted signature PREFIXES of 20+ bits instead
-    of fixed disjoint chunks. This repo's doctrine for >10^6-doc
-    corpora is minhash-LSH (dedup_minhash): its banding keys are
-    full 64-bit hashes — no birthday regime, measured x10.1 and
-    x10.3 across both decades.
+    Why 20 beats 16 at scale (the r8 superlinear_shuffle finding):
+    expected bucket occupancy is n / 2^prefix_bits, and intra-bucket
+    pair enumeration is T * n^2 / 2^(prefix_bits+1). At 16 bits the
+    key space saturates in the 10^5–10^6-doc range (measured bytes
+    x46.8 at sf0.1->sf1, then silent recall decay once the bucket
+    cap binds). At 20 bits the same corpus enumerates ~9x fewer
+    collisions (112/64 more postings, 16x larger key space), and the
+    near-pair filter now runs before the distinct's exchange, so
+    shuffle bytes are postings-dominated: 112 x ~16-byte rows per
+    doc, linear in the corpus. Good to ~10^7 docs at ~50-doc mean
+    occupancy; the next deterministic rung (24+ bits) costs ~10x
+    postings (Turán-cover growth), so the >10^7 doctrine remains
+    minhash-LSH (dedup_minhash), whose banding keys are full 64-bit
+    hashes with no birthday regime.
+
+    Bucket pairing keeps the minhash groupBy + pair-explode pattern —
+    a self-join would execute the signature pandas_udf subtree once
+    per join side. One exchange on the posting key, one signature
+    evaluation, oversize buckets dropped before the collect.
     """
     if max_hamming > 7:
         raise ValueError(
-            "masked-key blocking guarantees recall only to hamming 7; "
+            "prefix/masked blocking guarantees recall only to hamming 7; "
             f"got max_hamming={max_hamming}"
         )
+    if prefix_bits == 16:
+        return _simhash_candidates_masked(sigs, max_hamming, max_bucket_size)
+    if prefix_bits != 20:
+        raise ValueError(
+            f"supported prefix_bits: 16 (masked chunks), 20 (permuted "
+            f"prefixes); got {prefix_bits}"
+        )
+    # 16 subchunk nibbles, projected once so the signature UDF
+    # subtree is evaluated exactly once beneath the posting explode.
+    sub = sigs.select(
+        "doc",
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 4 * s)
+            .bitwiseAND(F.lit(0xF))
+            .alias(f"sc_{s}")
+            for s in range(_SIMHASH_SUBCHUNKS)
+        ],
+    )
+
+    # pk = table_id << 20 | concat of the 5 subchunk nibbles. Built
+    # as ONE parsed SQL expression: composing 112 x 11 Column ops via
+    # the Python API costs a py4j round-trip per node (~3 s of
+    # driver time per fresh DAG, measured); a single F.expr string
+    # parses JVM-side in ~10 ms.
+    def _table_key(tid: int, subchunks: tuple[int, ...]) -> str:
+        terms = [str(tid << 20)] + [
+            f"shiftleft(sc_{s}, {4 * j})" if j else f"sc_{s}"
+            for j, s in enumerate(subchunks)
+        ]
+        return "(" + " | ".join(terms) + ")"
+
+    postings = F.expr(
+        "array("
+        + ", ".join(
+            _table_key(t, subs) for t, subs in enumerate(_SIMHASH_TABLES)
+        )
+        + ")"
+    )
+    long = sub.select(
+        "doc", "simhash", F.explode(postings).alias("pk")
+    )
+    long = _drop_oversize_buckets(long, ["pk"], max_bucket_size)
+    buckets = (
+        long.groupBy("pk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc", "simhash"))
+            ).alias("ds")
+        )
+        .where(F.size("ds") > 1)
+    )
+    return _bucket_pairs(buckets, max_hamming)
+
+
+def _simhash_candidates_masked(
+    sigs: DataFrame,
+    max_hamming: int = 7,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Legacy 16-bit masked-chunk blocking (r8): each 16-bit chunk
+    posts 16 one-bit-zeroed variants; hamming ≤ 7 over 4 chunks ⇒
+    some chunk differs in ≤ 1 bit ⇒ masked-key collision. Same
+    deterministic-recall guarantee as the 20-bit prefix tables, 64
+    postings/doc instead of 112 — but the 2^16 key space saturates
+    past ~10^5 docs (measured superlinear shuffle at sf1); kept as
+    the small-corpus arrangement and for the knob's A/B tests.
+    """
     chunks = sigs.select(
         "doc",
         "simhash",
@@ -500,34 +625,7 @@ def simhash_candidates(
         )
         .where(F.size("ds") > 1)
     )
-    # all ordered pairs within a bucket (array_sort on the struct
-    # orders by doc, the first field)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds")) - i - 1),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    y["doc"].alias("doc_b"),
-                    x["simhash"].alias("ha"),
-                    y["simhash"].alias("hb"),
-                ),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return _bucket_pairs(buckets, max_hamming)
 
 
 def simhash_verified(
@@ -557,6 +655,12 @@ def simhash_verified(
     Cost tracks the candidate set, not the corpus.
 
     Output: (doc_a, doc_b, hamming, jaccard ≥ threshold)."""
+    # the candidate subtree (signature UDF + posting shuffle) is
+    # referenced THREE times below (both in_pairs branches + inter);
+    # a lazy localCheckpoint materializes it once per action instead
+    # of re-running the blocking per reference (the components.py
+    # fixpoint pattern). Candidates are near-pairs only — tiny.
+    candidates = candidates.localCheckpoint(eager=False)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(

@@ -968,20 +968,20 @@ SIMHASH_VERIFY_THRESHOLD = 0.9
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup with exact verification (r8, VERDICT r7 #1):
-    64-bit signatures over portable md5 token hashes, masked-key
-    sub-blocking (deterministic recall for hamming ≤ 7), then exact
-    multiset-jaccard ≥ 0.9 over each candidate pair — textual false
-    positives are impossible above the threshold, which moved
-    planted-pair precision from r7's 0.714 into the verified regime
-    and earned the full equality oracle below.
+    """SimHash near-dup with exact verification (r9, VERDICT r8 #1):
+    64-bit signatures over portable md5 token hashes, Manku-style
+    permuted-prefix blocking (112 tables of 20-bit prefixes —
+    COMPLETE recall for hamming ≤ 7 by pigeonhole, see
+    dedup._SIMHASH_TABLES), then exact multiset-jaccard ≥ 0.9 over
+    each candidate pair.
 
-    Oracle-expressible because every stage is now deterministic
-    cross-engine: the token hash is md5-derived (not xxhash64), the
-    blocking emits exactly {pairs: hamming ≤ 7} minus the
-    oversize-bucket cap (pigeonhole over masked 16-bit chunks), and
-    the verify is plain count arithmetic. DuckDB replays all of it,
-    cap included."""
+    The oracle below is GROUND TRUTH, not a blocking replay: DuckDB
+    brute-forces hamming over all doc pairs and applies the same
+    verify arithmetic. Equality therefore asserts the blocking's
+    completeness claim itself — a dropped bucket or a missed prefix
+    table would surface as a row mismatch, which is exactly the
+    silent-recall-decay failure mode r8 measured for the old 16-bit
+    masked keys at sf1."""
     docs = _docs(spark, sf_dir)
     sigs = D.simhash_signatures(docs, "text", "doc_id")
     cands = D.simhash_candidates(sigs, max_hamming=SIMHASH_MAX_HAMMING)
@@ -990,12 +990,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-# DuckDB replay of the full SimHash pipeline. Stage by stage:
+# DuckDB ground-truth for the SimHash pipeline. Stage by stage:
 # tokens (multiset, matching Spark's split), md5 hi/lo 32-bit
 # halves, per-bit signed sums over 64 positions, sign-fold into four
-# 16-bit chunks, masked-key postings (16 one-bit-zeroed variants per
-# chunk) bucket-joined with the oversize cap, hamming from per-chunk
-# XOR popcounts, exact multiset-jaccard verify over token counts.
+# 16-bit chunks, BRUTE-FORCE all-pairs hamming from per-chunk XOR
+# popcounts (no blocking — completeness is what's under test), exact
+# multiset-jaccard verify over token counts.
 DEDUP_SIMHASH_SQL = f"""
 WITH toks AS (
     SELECT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents
@@ -1027,28 +1027,12 @@ sigchunks AS (
     CROSS JOIN range(0, 4) c(chunk)
     LEFT JOIN sigchunks_raw s ON s.doc = d.doc_id AND s.chunk = c.chunk
 ),
-postings AS (
-    SELECT doc, chunk * 16 + b.b AS k,
-           cv & (65535 - (1::BIGINT << b.b)) AS kv
-    FROM sigchunks, range(0, 16) b(b)
-),
-ok_buckets AS (
-    SELECT k, kv FROM postings GROUP BY k, kv
-    HAVING COUNT(*) <= {D.DEFAULT_MAX_BUCKET}
-),
-cand AS (
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM postings a
-    JOIN postings b ON a.k = b.k AND a.kv = b.kv AND a.doc < b.doc
-    JOIN ok_buckets ob ON ob.k = a.k AND ob.kv = a.kv
-),
 hammed AS (
-    SELECT doc_a, doc_b,
+    SELECT sa.doc AS doc_a, sb.doc AS doc_b,
            CAST(SUM(bit_count(xor(sa.cv, sb.cv))) AS INT) AS hamming
-    FROM cand
-    JOIN sigchunks sa ON sa.doc = doc_a
-    JOIN sigchunks sb ON sb.doc = doc_b AND sb.chunk = sa.chunk
-    GROUP BY doc_a, doc_b
+    FROM sigchunks sa
+    JOIN sigchunks sb ON sb.chunk = sa.chunk AND sa.doc < sb.doc
+    GROUP BY 1, 2
     HAVING SUM(bit_count(xor(sa.cv, sb.cv))) <= {SIMHASH_MAX_HAMMING}
 ),
 cnts AS (

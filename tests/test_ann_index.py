@@ -225,3 +225,57 @@ def test_knob_change_rebuilds_distinct_index(spark, sf_dir):
     }
     assert stats_a["ivf_centroids"] == 4
     assert stats_a["lsh_buckets"] == emb.count() * 2
+
+
+def test_refresh_crash_before_manifest_commit_is_invisible(
+    spark, sf_dir, monkeypatch
+):
+    """r9 atomicity proof (VERDICT r8 #2): a refresh that dies after
+    staging its segment dirs but BEFORE the manifest commit leaves
+    the index exactly as it was — readers resolve artifacts through
+    the manifest's segment list, so uncommitted dirs are invisible.
+    The re-issued refresh then lands exactly once (batch_key), and a
+    further same-key refresh is a no-op."""
+    import pyspark.sql.functions as F2
+    import pytest
+
+    emb = L._emb(spark, sf_dir)
+    base = emb.where(F2.col("vec_id") % 7 != 6)
+    batch = emb.where(F2.col("vec_id") % 7 == 6)
+    key = os.path.realpath(sf_dir) + "#crash-inject"
+    idx = AI.build_ann_index(
+        spark, base, key, n_clusters=4, pq_m=8, pq_k=16,
+        lsh_planes=4, lsh_tables=3,
+    )
+    stats0 = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    man0 = AI.read_manifest(idx)
+
+    real_write = AI._write_manifest
+
+    def boom(index_dir, manifest):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(AI, "_write_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AI.refresh_ann_index(spark, idx, batch, batch_key="crash-batch")
+    monkeypatch.setattr(AI, "_write_manifest", real_write)
+
+    # reader view unchanged: the staged-but-uncommitted segments are
+    # invisible through every query/stat surface
+    stats_after_crash = {
+        r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()
+    }
+    assert stats_after_crash == stats0
+    man = AI.read_manifest(idx)
+    assert man["version"] == man0["version"] and man["appends"] == []
+
+    # re-issued refresh lands exactly once
+    AI.refresh_ann_index(spark, idx, batch, batch_key="crash-batch")
+    stats1 = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    n = emb.count()
+    assert stats1["vectors"] == n and stats1["pq_codes"] == n
+    assert stats1["lsh_buckets"] == n * 3
+    AI.refresh_ann_index(spark, idx, batch, batch_key="crash-batch")
+    man2 = AI.read_manifest(idx)
+    assert man2["version"] == man0["version"] + 1
+    assert len(man2["appends"]) == 1
