@@ -34,6 +34,15 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 # ranges are written as Java-regex character classes; the DuckDB
 # oracles rebuild the identical classes with RE2 \\x{...} escapes —
 # two independent constructions of the same codepoint sets.
+# Known exclusions, deliberate and engine-consistent (r8 ADVICE):
+# each class is a single BMP block, so halfwidth katakana
+# (U+FF66-FF9F) and CJK Extension A (U+3400-4DBF) fall OUTSIDE the
+# kana/han classes, and ideographic space U+3000 counts as a
+# non-whitespace char \u2014 real-world CJK text leaning on those can
+# miss the dominance gate and fall back to 'und'. Both engines
+# build the same sets, so oracles agree; widening the classes means
+# touching the Java AND RE2 constructions plus every *_SQL twin
+# together.
 SCRIPT_THAI = "\u0E00-\u0E7F"
 SCRIPT_HAN = "\u4E00-\u9FFF"  # CJK Unified Ideographs (BMP block)
 SCRIPT_KANA = "\u3040-\u30FF"  # Hiragana + Katakana (incl. U+30FC)
@@ -48,6 +57,13 @@ THAI_COMBINING = "\u0E31\u0E34-\u0E3A\u0E47-\u0E4E"
 # back to per-character accounting for these. (Hangul is segmented —
 # Korean uses spaces — so it is NOT in this class.)
 UNSEGMENTED = SCRIPT_THAI + SCRIPT_HAN + SCRIPT_KANA
+# Union of every script class the dominance stage looks at — one
+# regexp over this class decides "any non-Latin script char at all?"
+# before the six per-class counts run (see lang_id).
+ALL_SCRIPTS = (
+    SCRIPT_THAI + SCRIPT_HAN + SCRIPT_KANA
+    + SCRIPT_HANGUL + SCRIPT_CYRILLIC + SCRIPT_ARABIC
+)
 # Explicit ASCII whitespace class: Java's \s and RE2's \s disagree on
 # U+000B, so both engines spell the class out.
 WS_CLASS = " \\t\\n\\x0B\\f\\r"
@@ -107,6 +123,80 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return {lang: stopword_hits(col, lang) for lang in LANG_STOPWORDS}
 
 
+def lang_id_from_counts(
+    sc: dict[str, Column], s: dict[str, Column], any_script: Column
+) -> Column:
+    """The lang_id decision tree over ALREADY-EVALUATED count
+    columns — see lang_id for semantics. Split out so DataFrame-level
+    callers (with_lang_id) can project the 11 regexp counts ONCE and
+    feed plain column references here: the inline form duplicates
+    each count subtree O(labels) times inside the argmax chain, and
+    Catalyst's per-plan work on that tree (subexpression-elimination
+    analysis, codegen) measured ~1.3 s of DRIVER time per fresh plan
+    at any data size — pure plan overhead, not execution."""
+    th, ko = sc["thai"], sc["hangul"]
+    ru, ar = sc["cyrillic"], sc["arabic"]
+    cjk = sc["han"] + sc["kana"]
+    zero = F.lit(0)
+    ja_or_zh = F.when(sc["kana"] * 5 >= cjk, F.lit("ja")).otherwise(F.lit("zh"))
+    script_label = (
+        F.when(ar > F.greatest(th, cjk, ko, ru, zero), F.lit("ar"))
+        .when(ru > F.greatest(th, cjk, ko, zero), F.lit("ru"))
+        .when(ko > F.greatest(th, cjk, zero), F.lit("ko"))
+        .when(cjk > F.greatest(th, zero), ja_or_zh)
+        .otherwise(F.lit("th"))
+    )
+    smax = F.greatest(th, cjk, ko, ru, ar)
+    script_dominant = (smax > 0) & (smax * 2 >= sc["nonspace"])
+    stop_label = (
+        F.when(s["fr"] > F.greatest(s["en"], s["es"], s["de"], zero), F.lit("fr"))
+        .when(s["de"] > F.greatest(s["en"], s["es"], zero), F.lit("de"))
+        .when(s["es"] > F.greatest(s["en"], zero), F.lit("es"))
+        .when(s["en"] > zero, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return F.when(
+        any_script & script_dominant, script_label
+    ).otherwise(stop_label)
+
+
+_LID_PREFIX = "__lid_"
+
+
+def with_lang_id(df, col: str, out: str = "lang"):
+    """Two-projection lang_id (r9, VERDICT r8 #6): stage the 11
+    regexp counts + the union-class gate as named columns, then run
+    the decision tree over plain references. CollapseProject leaves
+    non-cheap aliased expressions staged when referenced more than
+    once, so each regexp evaluates exactly once per row AND the plan
+    tree stays O(labels) small — the inline lang_id() form is kept
+    for expression-position callers, but every hot query
+    (corpus_filter_funnel, text_lang_id*, the confusion matrix)
+    should go through this."""
+    sc_names = list(script_counts(col).keys())
+    staged = df.select(
+        "*",
+        *[
+            v.alias(f"{_LID_PREFIX}{k}")
+            for k, v in script_counts(col).items()
+        ],
+        *[
+            v.alias(f"{_LID_PREFIX}s_{k}")
+            for k, v in lang_scores(col).items()
+        ],
+        (_class_count(col, ALL_SCRIPTS) > 0).alias(f"{_LID_PREFIX}any"),
+    )
+    label = lang_id_from_counts(
+        {k: F.col(f"{_LID_PREFIX}{k}") for k in sc_names},
+        {k: F.col(f"{_LID_PREFIX}s_{k}") for k in LANG_STOPWORDS},
+        F.col(f"{_LID_PREFIX}any"),
+    )
+    drop = [f"{_LID_PREFIX}{k}" for k in sc_names]
+    drop += [f"{_LID_PREFIX}s_{k}" for k in LANG_STOPWORDS]
+    drop.append(f"{_LID_PREFIX}any")
+    return staged.withColumn(out, label).drop(*drop)
+
+
 def lang_id(col: Column | str) -> Column:
     """Two-stage language ID: script-class dominance first, stopword
     argmax as the Latin-script fallback.
@@ -136,31 +226,21 @@ def lang_id(col: Column | str) -> Column:
     # expression appears O(k) times instead of O(2^k) — the fold
     # form's nested whens blow past janino's 64KB codegen method
     # limit and knock the whole stage out of whole-stage codegen).
-    sc = script_counts(col)
-    th, ko = sc["thai"], sc["hangul"]
-    ru, ar = sc["cyrillic"], sc["arabic"]
-    cjk = sc["han"] + sc["kana"]
-    zero = F.lit(0)
-    ja_or_zh = F.when(sc["kana"] * 5 >= cjk, F.lit("ja")).otherwise(F.lit("zh"))
-    script_label = (
-        F.when(ar > F.greatest(th, cjk, ko, ru, zero), F.lit("ar"))
-        .when(ru > F.greatest(th, cjk, ko, zero), F.lit("ru"))
-        .when(ko > F.greatest(th, cjk, zero), F.lit("ko"))
-        .when(cjk > F.greatest(th, zero), ja_or_zh)
-        .otherwise(F.lit("th"))
+    # The union-class `any_script` gate lets codegen skip the six
+    # per-class counts on pure-Latin documents (CaseWhen + And both
+    # short-circuit); semantics identical — zero script chars ⇒
+    # smax = 0 ⇒ dominance false ⇒ stopword fallback.
+    #
+    # NOTE this inline form duplicates count subtrees inside the
+    # argmax chain and costs ~1.3 s of driver-side plan processing
+    # per fresh plan — expression-position compatibility only. Hot
+    # DataFrame-level callers use with_lang_id (counts projected
+    # once, decision tree over references).
+    c = F.col(col) if isinstance(col, str) else col
+    return lang_id_from_counts(
+        script_counts(col), lang_scores(col),
+        _class_count(c, ALL_SCRIPTS) > 0,
     )
-    smax = F.greatest(th, cjk, ko, ru, ar)
-    script_dominant = (smax > 0) & (smax * 2 >= sc["nonspace"])
-
-    s = lang_scores(col)
-    stop_label = (
-        F.when(s["fr"] > F.greatest(s["en"], s["es"], s["de"], zero), F.lit("fr"))
-        .when(s["de"] > F.greatest(s["en"], s["es"], zero), F.lit("de"))
-        .when(s["es"] > F.greatest(s["en"], zero), F.lit("es"))
-        .when(s["en"] > zero, F.lit("en"))
-        .otherwise(F.lit("und"))
-    )
-    return F.when(script_dominant, script_label).otherwise(stop_label)
 
 
 def token_count_ws(col: Column | str) -> Column:

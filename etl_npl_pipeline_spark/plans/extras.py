@@ -29,11 +29,16 @@ from etl_npl_pipeline_spark.streaming import (
 
 # Media-tier document slice: `doc_id % MEDIA_REPLICA_MOD < bound`
 # instead of `doc_id < bound`. The sf1/sf10 replication tools shift
-# each replica's doc ids by i * 1_000_000, so this picks the same
-# `bound` documents FROM EVERY REPLICA — payload count scales
-# linearly with sf (the r7 verdict's media-tier gap: a fixed slice
-# pinned plan shape only). At the driver scales (sf <= 0.1, ids
-# 0..4999) the modulus is the identity, so contract results are
+# each replica's doc ids by i * 1_000_000, so this picks `bound`
+# documents FROM EVERY REPLICA — payload count scales linearly with
+# sf (the r7 verdict's media-tier gap: a fixed slice pinned plan
+# shape only). Caveat (r8 ADVICE): a query that composes this with a
+# second residue predicate — mm_resize's `doc_id % 3 == 2` — selects
+# a per-replica-SHIFTED residue class, because 1_000_000 % 3 = 1
+# rotates the class by one per replica; per-replica sets therefore
+# differ slightly while counts and scaling stay ~linear, and
+# Spark/SQL still agree exactly. At the driver scales (sf <= 0.1,
+# ids 0..4999) the modulus is the identity, so contract results are
 # bit-unchanged. The DuckDB oracles spell the same predicate.
 MEDIA_REPLICA_MOD = 1_000_000
 

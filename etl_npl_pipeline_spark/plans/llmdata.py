@@ -102,6 +102,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition for CPU-heavy map stages over SMALL
+    scans (r9, VERDICT r8 #6 root cause): a documents file below
+    spark.sql.files.maxPartitionBytes is ONE split, so a dozen
+    regexp passes over every row run on one core while 31 idle —
+    measured 1.7 s of the funnel's 2.2 s at sf0.1. The exchange
+    carries the projected columns once (MBs here) and buys
+    full-core parallelism. Gated on the scan's PLANNED partition
+    count (driver-side plan walk, no job): corpus-scale inputs,
+    which maxPartitionBytes already splits into >= cores partitions
+    naturally, never pay a shuffle for this. Aggregation-order
+    safety: every consumer reduces with exact-integer sums/counts,
+    so round-robin placement cannot change results."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(par)
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float32 on disk; double arithmetic must start from exactly
     # converted element values on both engines.
@@ -114,8 +133,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
-        .select(T.lang_id("text").alias("predicted"))
+        T.with_lang_id(
+            _spread(spark, _docs(spark, sf_dir).select("text")),
+            "text", out="predicted",
+        )
         .groupBy("predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("predicted")
@@ -2479,8 +2500,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds its equi-condition to TRUE and plans a BNLJ (the exact
     # shape the r6 corpus-wide rewrite banned; test_plan_quality
     # caught this construction doing it again)
+    # coalesce: SUM over an empty recheck stream is NULL, which would
+    # make fp_free an illegible NULL instead of a real boolean
+    # (r8 ADVICE) — an empty pair stream has zero false positives
     fp = rechecked.agg(
-        F.sum((F.col("jvm_cos") < EMB_THRESHOLD).cast("long")).alias("n_fp")
+        F.coalesce(
+            F.sum((F.col("jvm_cos") < EMB_THRESHOLD).cast("long")),
+            F.lit(0),
+        ).alias("n_fp")
     )
 
     expected = planted_src.select(
@@ -2511,6 +2538,198 @@ SELECT vec_id AS id_a,
 FROM embeddings WHERE vec_id < {SEMDEDUP_PLANTED_N}
 ORDER BY id_a
 """
+
+
+# --- L36b/L59 capstone: SemDeDup served FROM the persisted index ---
+
+def ann_semantic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-lifecycle ↔ dedup-tier composition (r9, VERDICT r8
+    #3): near-duplicate discovery served FROM the persisted ANN
+    index with the WHOLE CORPUS as the query batch — the
+    daily-crawl loop every training-data platform runs: index
+    yesterday's corpus, refresh with today's batch, sweep for dups.
+
+    Pipeline: (1) build_ann_index on the base embeddings with
+    SemDeDup-scaled cells (n_clusters = ceil(n / target_cell), so
+    per-cell candidate sets stay bounded at any corpus size);
+    (2) refresh_ann_index appends the planted exact-copy batch —
+    frozen quantizers, O(|batch|), exactly-once via batch_key, the
+    L59 lifecycle under test; (3) ivf_query with the full refreshed
+    corpus as queries (|Q| = corpus — runs through the distributed
+    query path, nothing query-sized touches the driver) and
+    n_probe=1, which IS SemDeDup cell blocking: each vector is
+    compared exactly within its own coarse cell, served from the
+    cell-partitioned persisted artifact.
+
+    Deterministic oracle (the dedup_semantic argument, now across
+    the refresh boundary): an exact copy is assigned by the FROZEN
+    centroids to the same cell as its original, the original's
+    top-probe cell is its own, and cos = 1.0 beats every
+    non-duplicate, so every planted pair MUST appear in the served
+    pair stream — a miss means the refresh lost vectors, the
+    manifest resolved stale segments, or the query path broke.
+    ``refreshed_once`` additionally pins the lineage: the planted
+    batch appears in the manifest exactly once no matter how many
+    times the query re-runs (bench steady-state, driver retries)."""
+    import os
+
+    from etl_npl_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        ivf_query,
+        read_manifest,
+        refresh_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    n_clusters = max(
+        SEMDEDUP_CLUSTERS, -(-(n + SEMDEDUP_PLANTED_N) // SEMDEDUP_TARGET_CELL)
+    )
+    idx = build_ann_index(
+        spark,
+        emb,
+        os.path.realpath(sf_dir.rstrip("/")) + "#sweep-base",
+        n_clusters=n_clusters,
+        pq_m=PQ_KNOBS["m_subspaces"],
+        pq_k=PQ_KNOBS["k_codes"],
+        lsh_planes=LSH_KNOBS["n_planes"],
+        lsh_tables=LSH_KNOBS["n_tables"],
+    )
+    planted_src = emb.where(F.col("vec_id") < SEMDEDUP_PLANTED_N)
+    planted = planted_src.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(SEMDEDUP_PLANTED_OFFSET)
+    )
+    refresh_ann_index(
+        spark, idx, planted, batch_key="semantic-sweep-planted"
+    )
+    refreshed_once = (
+        sum(
+            1
+            for a in read_manifest(idx)["appends"]
+            if a.get("batch_key") == "semantic-sweep-planted"
+        )
+        == 1
+    )
+
+    corpus_q = emb.unionByName(planted)
+    served = ivf_query(spark, idx, corpus_q, k=ANN_K, n_probe=1)
+    pairs = (
+        served.where(F.col("cos_sim") >= EMB_THRESHOLD)
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    expected = planted_src.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + SEMDEDUP_PLANTED_OFFSET).alias("id_b"),
+    )
+    return (
+        expected.join(
+            pairs.withColumn("hit", F.lit(True)), ["id_a", "id_b"], "left"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("planted_found"),
+            F.lit(refreshed_once).alias("refreshed_once"),
+        )
+        .orderBy("id_a")
+    )
+
+
+ANN_SEMANTIC_SWEEP_SQL = f"""
+SELECT vec_id AS id_a,
+       vec_id + {SEMDEDUP_PLANTED_OFFSET} AS id_b,
+       TRUE AS planted_found,
+       TRUE AS refreshed_once
+FROM embeddings WHERE vec_id < {SEMDEDUP_PLANTED_N}
+ORDER BY id_a
+"""
+
+
+# --- ST-L59: streaming micro-batches → persisted ANN index ---------
+
+_STREAM_REFRESH_TMP = "/root/repo/.tmp/stream_index_refresh"
+
+
+def stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → index lifecycle composition (r9, VERDICT r8 #5):
+    build the ANN index on a base third of the embeddings, then
+    drain the remaining vectors THROUGH A REAL STRUCTURED STREAM
+    (file source, maxFilesPerTrigger=1 → one refresh_ann_index call
+    per micro-batch via foreachBatch — streaming.events.
+    stream_refresh_index, with content-derived batch_keys for
+    exactly-once appends under at-least-once replay).
+
+    FULL equality oracle: after the drain the index holds the entire
+    embeddings table, and a FULL-PROBE ivf_query is exact brute-force
+    cosine over the indexed vectors (every cell scored, persisted
+    doubles round-trip exactly, pair_dot accumulates in the scalar
+    fold order) — so the result must hash-match the same brute-force
+    SQL that backs ann_topk. A lost micro-batch, a double append, or
+    a stale manifest read all surface as a row mismatch.
+
+    Idempotent across invocations: the stream input files and their
+    names are rebuilt deterministically, the checkpoint is fresh per
+    invocation, and already-appended content keys no-op in the
+    manifest lineage (bench steady-state re-runs measure the drain
+    machinery + query, not duplicate appends)."""
+    import glob
+    import os
+    import shutil
+
+    from etl_npl_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        ivf_query,
+    )
+    from etl_npl_pipeline_spark.streaming.events import stream_refresh_index
+
+    emb = _emb(spark, sf_dir)
+    idx = build_ann_index(
+        spark,
+        emb.where(F.col("vec_id") % 3 == 0),
+        os.path.realpath(sf_dir.rstrip("/")) + "#stream-refresh-base",
+        n_clusters=IVF_KNOBS["n_clusters"],
+        pq_m=PQ_KNOBS["m_subspaces"],
+        pq_k=PQ_KNOBS["k_codes"],
+        lsh_planes=LSH_KNOBS["n_planes"],
+        lsh_tables=LSH_KNOBS["n_tables"],
+    )
+
+    # deterministic micro-batch layout: one file per remaining third,
+    # fixed names so every invocation (and a fresh checkpoint) packs
+    # the same content into the same batches
+    shutil.rmtree(_STREAM_REFRESH_TMP, ignore_errors=True)
+    in_dir = os.path.join(_STREAM_REFRESH_TMP, "in")
+    os.makedirs(in_dir)
+    for residue in (1, 2):
+        stage = os.path.join(_STREAM_REFRESH_TMP, f"stage{residue}")
+        emb.where(F.col("vec_id") % 3 == residue).coalesce(1).write.parquet(
+            stage
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        os.rename(part, os.path.join(in_dir, f"batch{residue}.parquet"))
+
+    vstream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    stream_refresh_index(
+        vstream, idx, os.path.join(_STREAM_REFRESH_TMP, "_checkpoint")
+    )
+
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return ivf_query(
+        spark, idx, queries, k=ANN_K, n_probe=IVF_KNOBS["n_clusters"]
+    ).orderBy("query_id", "rank")
+
+
+# post-drain full-probe == exact brute force over the whole table:
+# the same relation ann_topk's oracle computes.
+STREAM_INDEX_REFRESH_SQL = ANN_TOPK_SQL
 
 
 # --- L37: per-group embedding centroids ---------------------------
@@ -2675,17 +2894,31 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_npl_pipeline_spark.operators.dedup import word_shingles
 
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tok = F.size(toks)
-    feats = T.quality_features("text")
-    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
-    nd = F.size(word_shingles("text", 3))
-    rep = F.when(n3 > 0, 1.0 - nd.cast("double") / n3).otherwise(F.lit(0.0))
-    flags = docs.select(
-        (n_tok >= FUNNEL_MIN_TOKENS).alias("len_ok"),
-        (T.lang_id("text") == "en").alias("lang_ok"),
+    # Stage every raw signal ONCE as a column, gates over plain
+    # references (r9 #6): the inline form re-embedded each deep
+    # expression tree (lang_id argmax, shingle zip, token splits)
+    # into several conjunctions, and Catalyst's per-plan processing
+    # of that tree — not execution — was the funnel's measured cost.
+    # CollapseProject keeps non-cheap multi-referenced aliases
+    # staged, so this is also the single-pass evaluation shape.
+    staged = T.with_lang_id(
+        _spread(spark, docs.select("text")), "text", out="_lang"
+    )
+    sig = staged.select(
+        "_lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("_n_tok"),
+        T.stopword_hits("text", "en").alias("_stop"),
+        F.size(word_shingles("text", 3)).alias("_nd"),
+    )
+    n3 = F.greatest(F.col("_n_tok") - 2, F.lit(0))
+    rep = F.when(
+        n3 > 0, 1.0 - F.col("_nd").cast("double") / n3
+    ).otherwise(F.lit(0.0))
+    flags = sig.select(
+        (F.col("_n_tok") >= FUNNEL_MIN_TOKENS).alias("len_ok"),
+        (F.col("_lang") == "en").alias("lang_ok"),
         (
-            (feats["stop_hits"].cast("double") / feats["n_words"])
+            (F.col("_stop").cast("double") / F.col("_n_tok"))
             >= FUNNEL_STOP_RATIO
         ).alias("q_ok"),
         (rep <= FUNNEL_MAX_REP).alias("rep_ok"),
@@ -3535,7 +3768,10 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-key groupBy; output is |langs|^2 bounded."""
     docs = _docs(spark, sf_dir)
     return (
-        docs.select("lang", T.lang_id("text").alias("predicted"))
+        T.with_lang_id(
+            _spread(spark, docs.select("lang", "text")),
+            "text", out="predicted",
+        )
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
@@ -3608,10 +3844,10 @@ def text_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         PLANTED_LANG_DOCS, schema="lang string, text string"
     )
     return (
-        docs.unionByName(planted)
+        T.with_lang_id(docs.unionByName(planted), "text", out="predicted")
         .select(
             "lang",
-            T.lang_id("text").alias("predicted"),
+            "predicted",
             T.token_count_mixed("text").alias("tok"),
         )
         .groupBy("lang", "predicted")
@@ -3624,8 +3860,11 @@ def text_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _planted_values_sql() -> str:
+    # single quotes SQL-escaped by doubling (r8 ADVICE: safety used
+    # to rest on a comment-level "texts avoid apostrophes" convention)
     return ",\n           ".join(
-        f"('{lang}', '{text}')" for lang, text in PLANTED_LANG_DOCS
+        "('{}', '{}')".format(lang, text.replace("'", "''"))
+        for lang, text in PLANTED_LANG_DOCS
     )
 
 
@@ -3648,6 +3887,179 @@ WITH unioned AS (
 SELECT lang, predicted, COUNT(*) AS n,
        CAST(SUM(tok) AS BIGINT) AS sum_tokens_mixed
 FROM step GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --- L61: per-language Gopher rule routing --------------------------
+
+# ids clear every sf replica range (replica i shifts by i * 1e6) and
+# the SemDeDup planted offset (1e9)
+GOPHER_MS_PLANT_BASE = 1_500_000_000
+
+
+def text_gopher_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L61 (r9, VERDICT r8 #7): the Gopher rule family ROUTED per
+    predicted language — the Dolma/FineWeb-2 practice the L60
+    docstring cites, now executable instead of documented. The L47
+    rules are defined over whitespace tokens (Gopher is
+    English-only); on Thai/Chinese/Japanese a whole sentence is one
+    "word", so the unrouted word-count gate flags every such
+    document. Routing, per rule:
+
+    - word count: unsegmented scripts (lang_id ∈ th/zh/ja) measure
+      length in token_count_mixed (grapheme-safe per-character
+      accounting); segmented text keeps whitespace words. Same
+      [15, 10000] band — the planted Thai/zh/ja documents PASS here
+      and would all fail under whitespace counting (their n_ws is a
+      handful), which is the point of the exercise.
+    - mean word length: a whitespace-word statistic with no analog
+      in scriptio continua — not applicable (passes) for unsegmented
+      docs, the [3, 10] band otherwise.
+    - alpha fraction → script fraction: unsegmented docs gate on
+      unsegmented-script chars covering ≥ half the non-whitespace
+      chars (the lang_id dominance mass); segmented docs keep the
+      ≥ 0.8 [a-z]-word fraction.
+    - stopword diversity: routed through the PREDICTED language's
+      lexicon (en/es/de/fr); languages without a lexicon here
+      (th/zh/ja/ko/ru/ar/und) pass — the production hook is handing
+      each its own list.
+
+    Input = a corpus slice (Latin path) ∪ the planted multiscript
+    docs with synthetic ids. Map-only codegen; full-replication
+    DuckDB oracle (every count is exact integers)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(
+        [
+            (GOPHER_MS_PLANT_BASE + i, text)
+            for i, (_lang, text) in enumerate(PLANTED_LANG_DOCS)
+        ],
+        schema="doc_id long, text string",
+    )
+    staged = T.with_lang_id(
+        docs.unionByName(planted), "text", out="predicted"
+    )
+    toks = T.tokens("text")
+    n_ws = F.size(toks)
+    n_mixed = T.token_count_mixed("text")
+    unseg = F.col("predicted").isin("th", "zh", "ja")
+    eff = F.when(unseg, n_mixed).otherwise(n_ws)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(
+        n_ws > 0, F.round(sum_len.cast("double") / n_ws, 6)
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_unseg_chars = T._class_count(F.col("text"), T.UNSEGMENTED)
+    n_nonspace = F.length(
+        F.regexp_replace(F.col("text"), f"[{T.WS_CLASS}]", "")
+    )
+    stop_d = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(w) for w in T.LANG_STOPWORDS[lang]]),
+            )
+        )
+        for lang in T.LANG_STOPWORDS
+    }
+    r_wc = (eff >= 15) & (eff <= 10_000)
+    r_mwl = unseg | ((mean_wl >= 3.0) & (mean_wl <= 10.0))
+    r_script = F.when(
+        unseg, n_unseg_chars * 2 >= n_nonspace
+    ).otherwise(alpha_words * 10 >= n_ws * 8)
+    r_stop = (
+        F.when(F.col("predicted") == "en", stop_d["en"] >= 2)
+        .when(F.col("predicted") == "es", stop_d["es"] >= 2)
+        .when(F.col("predicted") == "de", stop_d["de"] >= 2)
+        .when(F.col("predicted") == "fr", stop_d["fr"] >= 2)
+        .otherwise(F.lit(True))
+    )
+    return staged.select(
+        "doc_id",
+        "predicted",
+        n_ws.cast("int").alias("n_words_ws"),
+        eff.cast("int").alias("n_tokens_routed"),
+        r_wc.cast("int").alias("rule_word_count"),
+        r_mwl.cast("int").alias("rule_mean_word_len"),
+        r_script.cast("int").alias("rule_script_frac"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        (r_wc & r_mwl & r_script & r_stop).cast("int").alias("passes"),
+    ).orderBy("doc_id")
+
+
+def _planted_values_ids_sql() -> str:
+    return ",\n           ".join(
+        "({}, '{}')".format(
+            GOPHER_MS_PLANT_BASE + i, text.replace("'", "''")
+        )
+        for i, (_lang, text) in enumerate(PLANTED_LANG_DOCS)
+    )
+
+
+TEXT_GOPHER_MULTISCRIPT_SQL = f"""
+WITH unioned AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT * FROM (VALUES {_planted_values_ids_sql()}) AS p(doc_id, text)
+), scores AS (
+    SELECT doc_id, text,
+           {_LANG_SCORES_SQL},
+           {_TOK_MIXED_SQL} AS n_mixed,
+           {_TOKS} AS toks
+    FROM unioned
+), step AS (
+    SELECT doc_id, toks, n_mixed,
+           {_LANGID_CASE_SQL} AS predicted,
+           len(toks) AS n_ws,
+           c_th + c_cjk AS n_unseg_chars,
+           n_nonspace,
+           list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+               AS sum_len,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS alpha_words,
+           len(list_intersect(list_distinct(toks), {_STOP_EN})) AS d_en,
+           len(list_intersect(list_distinct(toks), {_STOP_ES})) AS d_es,
+           len(list_intersect(list_distinct(toks), {_STOP_DE})) AS d_de,
+           len(list_intersect(list_distinct(toks), {_STOP_FR})) AS d_fr
+    FROM scores
+), m AS (
+    SELECT doc_id, predicted, n_ws, n_mixed,
+           predicted IN ('th', 'zh', 'ja') AS unseg,
+           CASE WHEN predicted IN ('th', 'zh', 'ja') THEN n_mixed
+                ELSE n_ws END AS eff,
+           CASE WHEN n_ws > 0
+                THEN ROUND(CAST(sum_len AS DOUBLE) / n_ws, 6)
+                ELSE 0.0 END AS mean_wl,
+           n_unseg_chars, n_nonspace, alpha_words,
+           d_en, d_es, d_de, d_fr
+    FROM step
+), r AS (
+    SELECT doc_id, predicted, n_ws, eff,
+           (eff >= 15 AND eff <= 10000) AS r_wc,
+           (unseg OR (mean_wl >= 3.0 AND mean_wl <= 10.0)) AS r_mwl,
+           (CASE WHEN unseg THEN n_unseg_chars * 2 >= n_nonspace
+                 ELSE alpha_words * 10 >= n_ws * 8 END) AS r_script,
+           (CASE WHEN predicted = 'en' THEN d_en >= 2
+                 WHEN predicted = 'es' THEN d_es >= 2
+                 WHEN predicted = 'de' THEN d_de >= 2
+                 WHEN predicted = 'fr' THEN d_fr >= 2
+                 ELSE TRUE END) AS r_stop
+    FROM m
+)
+SELECT doc_id, predicted,
+       CAST(n_ws AS INT) AS n_words_ws,
+       CAST(eff AS INT) AS n_tokens_routed,
+       CAST(r_wc AS INT) AS rule_word_count,
+       CAST(r_mwl AS INT) AS rule_mean_word_len,
+       CAST(r_script AS INT) AS rule_script_frac,
+       CAST(r_stop AS INT) AS rule_stopwords,
+       CAST(r_wc AND r_mwl AND r_script AND r_stop AS INT) AS passes
+FROM r ORDER BY doc_id
 """
 
 

@@ -617,3 +617,71 @@ def stream_upsert_mor(
         spark.conf.set(
             "spark.sql.streaming.numRecentProgressUpdates", prev_pb
         )
+
+
+def stream_refresh_index(
+    sdf: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    fail_at_batch: int | None = None,
+) -> None:
+    """ST-L59 composition (r9, VERDICT r8 #5): drain a vector stream
+    into a persisted ANN index — each micro-batch is appended via
+    ``refresh_ann_index`` (frozen quantizers, O(|batch|), staged
+    segments + atomic manifest commit), the daily-crawl →
+    searchable-index loop of a training-data platform.
+
+    Exactly-once under foreachBatch's at-least-once contract: the
+    batch_key is CONTENT-derived — md5 over the batch's sorted
+    vec_ids — so a same-checkpoint replay of a batch_id (or a
+    duplicate file delivery) is recognized in the manifest lineage
+    and no-ops, the ST7 epoch discipline keyed by content instead of
+    a version counter because index vectors have no last-writer-wins
+    reconciliation to absorb a double append. Limitation, same as
+    ST7's fresh-checkpoint rule: re-streaming the SAME data under a
+    checkpoint that packs it into different batches produces new
+    content keys and would double-append — a repack requires an
+    index rebuild (the manifest lineage makes the condition visible:
+    appended rows exceed the source count).
+
+    Empty micro-batches are skipped (no segment dirs, no version
+    bump). ``fail_at_batch`` injects a crash BEFORE that batch's
+    refresh for recovery tests: the restart resumes from the
+    checkpoint and the manifest shows each content key exactly once.
+    """
+    from etl_npl_pipeline_spark.operators.ann_index import refresh_ann_index
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected failure before batch {batch_id} refresh"
+            )
+        if batch_df.isEmpty():
+            return
+        key = batch_df.agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(F.col("vec_id").cast("string"))
+                    ),
+                )
+            ).alias("k")
+        ).collect()[0]["k"]
+        refresh_ann_index(
+            batch_df.sparkSession,
+            index_dir,
+            batch_df,
+            batch_key=f"content:{key}",
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    DRAIN_PROGRESS["stream_index_refresh"] = _progress_summary(
+        q, "foreachBatch"
+    )

@@ -228,7 +228,7 @@ def test_knob_change_rebuilds_distinct_index(spark, sf_dir):
 
 
 def test_refresh_crash_before_manifest_commit_is_invisible(
-    spark, sf_dir, monkeypatch
+    spark, sf_dir, monkeypatch, tmp_path
 ):
     """r9 atomicity proof (VERDICT r8 #2): a refresh that dies after
     staging its segment dirs but BEFORE the manifest commit leaves
@@ -242,7 +242,10 @@ def test_refresh_crash_before_manifest_commit_is_invisible(
     emb = L._emb(spark, sf_dir)
     base = emb.where(F2.col("vec_id") % 7 != 6)
     batch = emb.where(F2.col("vec_id") % 7 == 6)
-    key = os.path.realpath(sf_dir) + "#crash-inject"
+    # per-run unique key: the warehouse persists across test runs,
+    # and a previous run's committed append would turn the re-issued
+    # refresh below into a batch_key no-op
+    key = os.path.realpath(sf_dir) + f"#crash-inject-{tmp_path.name}"
     idx = AI.build_ann_index(
         spark, base, key, n_clusters=4, pq_m=8, pq_k=16,
         lsh_planes=4, lsh_tables=3,
@@ -279,3 +282,33 @@ def test_refresh_crash_before_manifest_commit_is_invisible(
     man2 = AI.read_manifest(idx)
     assert man2["version"] == man0["version"] + 1
     assert len(man2["appends"]) == 1
+
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)  # per-run key: don't litter
+
+
+def test_pq_query_corpus_as_queries_grid_invariance(spark, sf_dir):
+    """The r9 distributed ADC is a pure block decomposition: running
+    the WHOLE CORPUS as the query batch through a forced multi-chunk
+    (query x code) grid must emit exactly the single-block result.
+    Works because block top-k' selection uses the same deterministic
+    (adc desc, neighbor_id asc) order as the global window, so every
+    global top-k' row survives its block — the grid only changes
+    which executor computes it."""
+    from etl_npl_pipeline_spark.operators.ann_index import pq_query
+
+    emb = L._emb(spark, sf_dir)
+    idx = L._ann_index(spark, sf_dir)
+    single = pq_query(
+        spark, idx, emb, k=L.ANN_K,
+        rerank_factor=L.PQ_KNOBS["rerank_factor"],
+    ).orderBy("query_id", "rank")
+    grid = pq_query(
+        spark, idx, emb, k=L.ANN_K,
+        rerank_factor=L.PQ_KNOBS["rerank_factor"],
+        query_chunk_rows=60, code_chunk_rows=70,
+    ).orderBy("query_id", "rank")
+    got = [tuple(r) for r in grid.collect()]
+    want = [tuple(r) for r in single.collect()]
+    assert got == want and len(got) > 0
