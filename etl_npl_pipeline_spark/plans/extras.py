@@ -428,13 +428,75 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 # --- ST5: stream-stream join --------------------------------------
 
+STREAM_JOIN_BUCKET_SEC = 1800  # == the 30-minute attribution window
+
+
+def _bucketed_click_purchase_join(spark, sf_dir, how: str, clicks, purchases):
+    """Shared shape of ST6/ST9: the (user_id, time-bucket) co-keyed
+    stream-stream interval join.
+
+    WHY THE BUCKET KEY (r9 skew probe finding): with user_id as the
+    only equality key, the symmetric-hash join scans the ENTIRE
+    per-user state list for every input row. A bot account owning
+    14% of a 1M-event stream (tools_make_sf1_skewed) made that
+    per-key scan quadratic — measured wall x95 vs the flat build
+    with shuffle bytes only x1.49 (pure state-scan CPU on one key,
+    which neither AQE nor salting-by-plan can split: stream state is
+    keyed). Co-keying on floor(event_time / window) bounds every
+    state list to one window of one user's events and spreads a hot
+    user across buckets. Exactness: a valid pair has purchase_ts ∈
+    [click_ts, click_ts + W], so bucket(click) ∈ {bucket(purchase),
+    bucket(purchase) − 1} — purchases post BOTH keys (one extra
+    shuffle copy of the smaller side), each pair meets in exactly
+    the click's single bucket, and the original range condition
+    still filters inside the bucket. LEFT OUTER stays correct: the
+    left side is never replicated, so an unmatched click emits its
+    one null row when its single (user, bucket) state key evicts.
+
+    The watermark tags ride the untouched event-time columns; state
+    eviction still derives from the range condition."""
+    clicks = clicks.withColumn(
+        "bkt", F.floor(F.unix_timestamp(F.col("click_ts")) / STREAM_JOIN_BUCKET_SEC)
+    )
+    purchases = purchases.withColumn(
+        "p_bkt",
+        F.explode(
+            F.array(
+                F.floor(
+                    F.unix_timestamp(F.col("purchase_ts"))
+                    / STREAM_JOIN_BUCKET_SEC
+                ),
+                F.floor(
+                    F.unix_timestamp(F.col("purchase_ts"))
+                    / STREAM_JOIN_BUCKET_SEC
+                )
+                - 1,
+            )
+        ),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("bkt") == F.col("p_bkt"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        how,
+    ).select("user_id", "click_id", "purchase_id")
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: click→purchase attribution within
     30 minutes per user. Both sides are watermarked streams and the
     join carries an event-time range condition, so Spark can expire
     buffered state — the unbounded-state trap of stream-stream
     joins is exactly what the watermark + time bound prevent.
-    Oracle = the equivalent batch self-join."""
+    Co-keyed on (user_id, 30-min bucket) so a hot user cannot make
+    the per-key state scan quadratic (see
+    _bucketed_click_purchase_join). Oracle = the equivalent batch
+    self-join."""
     from etl_npl_pipeline_spark.streaming.events import (
         events_stream,
         run_stream_to_memory,
@@ -460,12 +522,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-    ).select("user_id", "click_id", "purchase_id")
+    joined = _bucketed_click_purchase_join(
+        spark, sf_dir, "inner", clicks, purchases
+    )
     mem = run_stream_to_memory(
         joined, output_mode="append", label="stream_stream_join"
     )
@@ -1277,16 +1336,12 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "10 minutes")
     )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
-        ),
-        "left_outer",
-    ).select("user_id", "click_id", "purchase_id")
+    # (user_id, 30-min bucket) co-keying — the hot-user state-scan
+    # fix; left side unreplicated so outer semantics hold (see
+    # _bucketed_click_purchase_join)
+    joined = _bucketed_click_purchase_join(
+        spark, sf_dir, "left_outer", clicks, purchases
+    )
     mem = run_stream_to_memory(
         joined, output_mode="append", label="stream_stream_left_join"
     )

@@ -265,3 +265,60 @@ def test_stream_index_refresh_crash_resume_exactly_once(spark, sf_dir, tmp_path)
     import shutil
 
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_bucketed_interval_join_is_exact_at_boundaries(spark):
+    """r9 skew fix pin: the (user, time-bucket) co-keyed interval
+    join (plans.extras._bucketed_click_purchase_join) must emit
+    EXACTLY the plain interval join's pairs — exercised on crafted
+    events at the bucket/window boundaries (0s, W-1, W, W+1, and
+    bucket-edge-crossing offsets), inner and left outer, where an
+    off-by-one in the bucket replication would show first."""
+    import pyspark.sql.functions as F2
+
+    from etl_npl_pipeline_spark.plans.extras import (
+        STREAM_JOIN_BUCKET_SEC,
+        _bucketed_click_purchase_join,
+    )
+
+    W = STREAM_JOIN_BUCKET_SEC
+    base = 1_700_000_000  # not bucket-aligned on purpose? make both:
+    cases = []
+    cid = 0
+    for anchor in (base, base - (base % W), base - (base % W) + W - 1):
+        for off in (-1, 0, 1, W - 1, W, W + 1, 2 * W):
+            cid += 1
+            cases.append((cid, 1, anchor, anchor + off))
+    clicks = spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in cases],
+        "click_id long, user_id long, sec long",
+    ).select(
+        "click_id", "user_id",
+        F2.timestamp_seconds("sec").alias("click_ts"),
+    )
+    purchases = spark.createDataFrame(
+        [(1000 + c[0], c[1], c[3]) for c in cases],
+        "purchase_id long, p_user_id long, sec long",
+    ).select(
+        "purchase_id", "p_user_id",
+        F2.timestamp_seconds("sec").alias("purchase_ts"),
+    )
+    for how in ("inner", "left_outer"):
+        got = sorted(
+            tuple(r)
+            for r in _bucketed_click_purchase_join(
+                spark, None, how, clicks, purchases
+            ).collect()
+        )
+        plain = clicks.join(
+            purchases,
+            (F2.col("user_id") == F2.col("p_user_id"))
+            & (F2.col("purchase_ts") >= F2.col("click_ts"))
+            & (
+                F2.col("purchase_ts")
+                <= F2.col("click_ts") + F2.expr("INTERVAL 30 MINUTES")
+            ),
+            how,
+        ).select("user_id", "click_id", "purchase_id")
+        want = sorted(tuple(r) for r in plain.collect())
+        assert got == want and len(got) > 0, how

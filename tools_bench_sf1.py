@@ -220,12 +220,13 @@ def main() -> None:
                 "not a shuffle/plan blowup"
             ),
             "dedup_simhash": (
-                "r8: bytes ratio ~x47 at sf0.1->sf1 is the 16-bit "
-                "blocking key's birthday regime (pairs quadratic "
-                "until the bucket cap binds; sf1->sf10 is x9.4 at "
-                "the cap, recall decaying past ~1e6 docs). See "
-                "simhash_candidates docstring for the measured "
-                "analysis and the minhash/permuted-prefix doctrine."
+                "r9: blocking replaced with Manku permuted-prefix "
+                "tables (20-bit keys, 112 tables) and the hamming "
+                "filter moved before the distinct exchange — the r8 "
+                "x47 birthday-regime entry no longer applies; see "
+                "simhash_candidates docstring. Re-measured this "
+                "round; the oracle is now ground-truth brute force, "
+                "so a bucket-cap drop would fail CORRECTNESS."
             ),
             "dedup_decontaminate": (
                 "r8: the benchmark side is now FIXED-SIZE (50 docs, "

@@ -168,10 +168,15 @@ def main() -> None:
             ),
             "bnlj": "no BroadcastNestedLoopJoin in any final plan",
             "aqe": (
-                "aqe_skew_split expected true on the sort-merge "
-                "shapes that shuffle the hot fact keys (q9/q21 "
-                "class); broadcast-hash shapes are immune to key "
-                "skew on the probe side and legitimately stay false"
+                "aqe_skew_split false everywhere is the CORRECT "
+                "outcome at sf1: the hot TPC-H joins plan as "
+                "BroadcastHashJoin (probe-side key skew is "
+                "irrelevant to a BHJ), q21's one SortMergeJoin has "
+                "a ~25 MB hot partition — far below AQE's 256 MB "
+                "skewedPartitionThreshold — and stream state joins "
+                "are not AQE-splittable (state is keyed; see the "
+                "bucket co-keying finding). At 100x the same hot "
+                "shares cross the threshold and AQE splits."
             ),
         },
         "queries": out,
