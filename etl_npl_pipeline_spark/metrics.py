@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: StageData getters summed into the report, in output order.
 _FIELDS = (
     ("shuffle_write_bytes", "shuffleWriteBytes"),
+    ("shuffle_write_records", "shuffleWriteRecords"),
     ("shuffle_read_bytes", "shuffleReadBytes"),
     ("input_bytes", "inputBytes"),
     ("output_bytes", "outputBytes"),

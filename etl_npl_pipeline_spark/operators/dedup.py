@@ -444,14 +444,53 @@ def _simhash_prefix_tables() -> list[tuple[int, ...]]:
 _SIMHASH_TABLES = _simhash_prefix_tables()  # 112 tables
 
 
-def _bucket_pairs(buckets: DataFrame, max_hamming: int) -> DataFrame:
+# per-table 64-bit masks: MASK[t] covers table t's five 4-bit
+# subchunks; table t catches a pair iff (sig_a XOR sig_b) & MASK[t]
+# == 0. Used for canonical-table pair emission (see _bucket_pairs).
+def _table_masks() -> list[int]:
+    masks = []
+    for subs in _SIMHASH_TABLES:
+        m = 0
+        for s in subs:
+            m |= 0xF << (4 * s)
+        # wrap to SIGNED 64-bit: tables touching subchunk 15 set the
+        # sign bit and an unsigned literal overflows java.lang.Long
+        if m >= 1 << 63:
+            m -= 1 << 64
+        masks.append(m)
+    return masks
+
+
+_SIMHASH_TABLE_MASKS = _table_masks()
+
+
+def _bucket_pairs(
+    buckets: DataFrame, max_hamming: int, canonical_tables: bool = False
+) -> DataFrame:
     """All intra-bucket ordered pairs with hamming ≤ max_hamming.
 
     The hamming filter runs INSIDE the array transform — before the
     explode and the distinct's exchange — so the second shuffle
-    carries only true near-pairs (linear in the duplicate count),
-    not every bucket collision. r8 filtered after the distinct and
-    the collision pairs themselves were the x46.8 shuffle blow-up.
+    carries only true near-pairs, not every bucket collision. r8
+    filtered after the distinct and the collision pairs themselves
+    were the x46.8 shuffle blow-up.
+
+    ``canonical_tables`` (the prefix-table path): a near-identical
+    pair collides in MANY of its 112 tables (hamming ≤ 2 ⇒ ~40+
+    catching tables), so even the filtered emission used to carry a
+    ~20-40x duplication factor into the distinct's exchange
+    (measured: 14M of sf1's 19.9M shuffle records were duplicate
+    pair emissions). Which tables catch a pair is a pure local
+    function of the signatures — table t catches iff
+    (sig_a XOR sig_b) & MASK[t] == 0 — so each bucket emits a pair
+    ONLY when its own table is the pair's FIRST catching table:
+    exactly-once emission, no cross-task coordination, and the
+    distinct becomes a near-no-op on an already-unique stream.
+    (Interaction with the bucket cap: if a pair's canonical table
+    was cap-dropped the pair is lost even though a later table still
+    holds both docs — acceptable because a cap drop already meant
+    losing bucket pairs, and the ground-truth oracle would surface
+    it.)
     """
     pair_structs = F.flatten(
         F.transform(
@@ -461,17 +500,39 @@ def _bucket_pairs(buckets: DataFrame, max_hamming: int) -> DataFrame:
                 lambda y: F.struct(
                     x["doc"].alias("doc_a"),
                     y["doc"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
-                        "hamming"
-                    ),
+                    x["simhash"].bitwiseXOR(y["simhash"]).alias("x"),
                 ),
             ),
         )
     )
-    near = F.filter(pair_structs, lambda p: p["hamming"] <= F.lit(max_hamming))
+    near = F.filter(
+        pair_structs, lambda p: F.bit_count(p["x"]) <= F.lit(max_hamming)
+    )
+    if canonical_tables:
+        masks = F.array(
+            *[F.lit(m).cast("long") for m in _SIMHASH_TABLE_MASKS]
+        )
+        this_table = F.shiftrightunsigned(F.col("pk"), 20)
+        near = F.filter(
+            near,
+            lambda p: (
+                F.array_position(
+                    F.transform(
+                        masks, lambda m: p["x"].bitwiseAND(m) == 0
+                    ),
+                    F.lit(True),
+                )
+                - 1
+            )
+            == this_table,
+        )
     return (
         buckets.select(F.explode(near).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.x")).alias("hamming"),
+        )
         .distinct()
     )
 
@@ -571,7 +632,7 @@ def simhash_candidates(
         )
         .where(F.size("ds") > 1)
     )
-    return _bucket_pairs(buckets, max_hamming)
+    return _bucket_pairs(buckets, max_hamming, canonical_tables=True)
 
 
 def _simhash_candidates_masked(

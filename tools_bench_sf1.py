@@ -257,6 +257,30 @@ def main() -> None:
             and v["shuffle_byte_ratio_x10"] > 13
             and v["shuffle_mb_sf1"] > 5
         ),
+        # Entries above that decompose into linear plan work +
+        # output-proportional cost on THIS dataset, with the probe
+        # evidence inline (r9; the q21-style exclusive-probe
+        # adjudication made structural).
+        "superlinear_adjudications": {
+            "dedup_simhash": (
+                "r9 probe (tools in /tmp replayed in commit msg): "
+                "posting records scale EXACTLY x10 (560k -> 5.6M); "
+                "permuted-prefix blocking recall is deterministic "
+                "1.0 (4406/4406 planted pairs at hamming<=7 found); "
+                "max bucket 565 < cap 1000 (zero drops); pair "
+                "emission is exactly-once (canonical-table filter). "
+                "The residual bytes growth is the VERIFY stage, "
+                "whose cost is THETA(true near-pairs x tokens/doc): "
+                "this corpus has 42x more genuine hamming<=7 pairs "
+                "at 10x docs (18,079 -> 760,670 — replica 0 "
+                "reproduces sf0.1's 18,079 exactly; the other "
+                "rotated vocabularies are 3-11x denser in true "
+                "near-pairs). No exact verifier can confirm 42x "
+                "more real duplicate pairs with less than 42x "
+                "verify work; on a density-stationary corpus the "
+                "bytes ratio is the postings' x10."
+            ),
+        },
     }
     doc["tiers"] = {
         "top10_r5_ranking": TOP10,
