@@ -158,6 +158,12 @@ HEADLINE = [
     "data_token_budget",
     "text_langid_confusion",
     "text_lang_id_cjk",
+    "text_lang_id",
+    # r9 additions: the index-served SemDeDup sweep, the streamed
+    # index refresh, and per-language Gopher routing
+    "ann_semantic_sweep",
+    "stream_index_refresh",
+    "text_gopher_multiscript",
     "stream_windowed_topk",
     "mm_audio_features",
     "mm_video_sample",

@@ -40,13 +40,13 @@ EXCLUDE = {
     "dedup_components",
     "dedup_components_star",
     "corpus_curation",
-    # r8: the full-equality SimHash oracle (md5 bits -> 64 signed
-    # bit-sums -> masked postings -> multiset-jaccard verify) is a
-    # DuckDB-side reconstruction that spills >70 GB at sf1 and fills
-    # the disk — an oracle-cost exclusion exactly like the recursive
-    # CTEs above, not a Spark-side scale problem (the Spark plan is
-    # measured at sf1 AND sf10 in the byte-linearity harnesses, and
-    # the oracle equality is driver-checked at sf0.01)
+    # r9: the SimHash oracle is now GROUND-TRUTH brute force (md5
+    # bits -> 64 signed bit-sums -> all-pairs hamming over 50k docs
+    # = 1.25e9 chunk-pair rows in DuckDB) — still an oracle-cost
+    # exclusion, not a Spark-side scale problem (Spark measured at
+    # sf1 AND sf10 in the byte-linearity harnesses with a planted
+    # blocking-recall probe of 1.0; oracle equality driver-checked
+    # at sf0.01)
     "dedup_simhash",
     # streaming drains: the oracle replays the same batch logic the
     # batch twin already checks; sf1 drain timing/plan behavior is
