@@ -659,8 +659,11 @@ def lsh_query(
     qv = queries.select(
         F.col(id_col).alias("query_id"), l2_normalize(F.col(vec_col)).alias("qv")
     )
+    # no forced broadcast (r9): a corpus-sized query batch must not
+    # be driver-materialized by a hint; AQE broadcasts small sets on
+    # its own and shuffles the rest (the pq_query convention)
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        cand.join(qv, "query_id")
         .join(_vectors(spark, index_dir), "neighbor_id")
         .select(
             "query_id",

@@ -35,17 +35,20 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 # oracles rebuild the identical classes with RE2 \\x{...} escapes —
 # two independent constructions of the same codepoint sets.
 # Known exclusions, deliberate and engine-consistent (r8 ADVICE):
-# each class is a single BMP block, so halfwidth katakana
-# (U+FF66-FF9F) and CJK Extension A (U+3400-4DBF) fall OUTSIDE the
-# kana/han classes, and ideographic space U+3000 counts as a
-# non-whitespace char \u2014 real-world CJK text leaning on those can
-# miss the dominance gate and fall back to 'und'. Both engines
-# build the same sets, so oracles agree; widening the classes means
-# touching the Java AND RE2 constructions plus every *_SQL twin
-# together.
+# CJK Extension A (U+3400-4DBF) falls outside the han class, and
+# ideographic space U+3000 counts as a non-whitespace char (treating
+# it as whitespace would change tokenization in every token-count
+# oracle \u2014 too invasive for its rarity in the target corpora). Both
+# engines build the same sets, so oracles agree; widening a class
+# means touching the Java AND RE2 constructions together (the kana
+# class below and llmdata._RE_KANA are such a pair).
 SCRIPT_THAI = "\u0E00-\u0E7F"
 SCRIPT_HAN = "\u4E00-\u9FFF"  # CJK Unified Ideographs (BMP block)
-SCRIPT_KANA = "\u3040-\u30FF"  # Hiragana + Katakana (incl. U+30FC)
+# Hiragana + Katakana (incl. U+30FC) + HALFWIDTH katakana
+# U+FF66-FF9F (r9, the r8 ADVICE item: real-world ja text \u2014 legacy
+# bank exports especially \u2014 arrives halfwidth, and without this
+# range such documents failed dominance and fell back to 'und')
+SCRIPT_KANA = "\u3040-\u30FF\uFF66-\uFF9F"
 SCRIPT_HANGUL = "\uAC00-\uD7AF"
 SCRIPT_CYRILLIC = "\u0400-\u04FF"
 SCRIPT_ARABIC = "\u0600-\u06FF"

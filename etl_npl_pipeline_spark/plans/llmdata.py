@@ -37,7 +37,7 @@ _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 # construction independent while pinning the same codepoint sets).
 _RE_TH = r"\x{0E00}-\x{0E7F}"
 _RE_HAN = r"\x{4E00}-\x{9FFF}"
-_RE_KANA = r"\x{3040}-\x{30FF}"
+_RE_KANA = r"\x{3040}-\x{30FF}\x{FF66}-\x{FF9F}"  # + halfwidth katakana (r9)
 _RE_KO = r"\x{AC00}-\x{D7AF}"
 _RE_RU = r"\x{0400}-\x{04FF}"
 _RE_AR = r"\x{0600}-\x{06FF}"
@@ -3819,6 +3819,10 @@ PLANTED_LANG_DOCS: list[tuple[str, str]] = [
     # Latin-dominant with a quoted Thai phrase: the quote is below
     # script dominance, so the stopword path must keep it 'en'.
     ("en", "the bank reported that อัตราหนี้เสีย improved again in the quarter"),
+    # HALFWIDTH katakana (U+FF66-FF9F — legacy bank-export encoding;
+    # r9, the r8 ADVICE range widening): all-kana ⇒ ja via the kana
+    # share split. Before the widening this fell to 'und'.
+    ("ja", "ﾆﾎﾝｷﾞﾝｺｳﾊﾌﾘｮｳｻｲｹﾝﾉﾃﾞｰﾀｦﾊｯﾋﾟｮｳｼﾏｼﾀ"),
 ]
 
 
