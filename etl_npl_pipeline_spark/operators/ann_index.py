@@ -130,12 +130,36 @@ def _read_artifact(
     # one read per segment, unioned: multi-root partition discovery
     # rejects mixed roots (CONFLICTING_DIRECTORY_STRUCTURES), and a
     # per-segment read keeps cell-partition pruning working inside
-    # each union branch.
+    # each union branch. Later segments cast to the base segment's
+    # schema by name — a partition-discovered cell (int) and an
+    # explicit empty-segment cell (long) must still union.
     dfs = [spark.read.parquet(p) for p in _artifact_paths(index_dir, name)]
     out = dfs[0]
     for d in dfs[1:]:
+        d = d.select(
+            *[F.col(f.name).cast(f.dataType) for f in out.schema.fields]
+        )
         out = out.unionByName(d)
     return out
+
+
+# explicit artifact schemas, used when a build/refresh has ZERO rows
+# to write: a partitioned write of an empty frame leaves a dir with
+# no parquet files (unreadable), so empty artifacts are written
+# schema-first and unpartitioned (r9 adversarial empty_tables find)
+_ARTIFACT_SCHEMAS = {
+    "vectors": "neighbor_id long, cv array<double>, cell long",
+    "ivf_centroids": "cell long, centroid array<double>",
+    "pq_codebooks": "subspace int, code int, centroid array<double>",
+    "pq_codes": "neighbor_id long, codes array<int>",
+    "lsh_buckets": "neighbor_id long, t int, sig long",
+}
+
+
+def _write_empty_artifact(spark: SparkSession, path: str, name: str) -> None:
+    spark.createDataFrame([], _ARTIFACT_SCHEMAS[name]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
 
 
 def _write_manifest(index_dir: str, manifest: dict) -> None:
@@ -223,6 +247,36 @@ def build_ann_index(
         return root
     build_dir = root + f".build-{os.getpid()}"
     shutil.rmtree(build_dir, ignore_errors=True)
+
+    if corpus.isEmpty():
+        # empty corpus -> EMPTY INDEX (r9 adversarial empty_tables
+        # find): there is no dim to train centroids/codebooks on, so
+        # every artifact is a schema'd 0-row relation and all query
+        # paths return their empty shapes. Same atomic publish.
+        for name in ARTIFACTS:
+            _write_empty_artifact(
+                spark, os.path.join(build_dir, name), name
+            )
+        _write_manifest(
+            build_dir,
+            {
+                "corpus_key": corpus_key,
+                "fingerprint": fp,
+                "knobs": knobs,
+                "seed": seed,
+                "version": 1,
+                "appends": [],
+                "segments": {name: [name] for name in ARTIFACTS},
+            },
+        )
+        try:
+            os.rename(build_dir, root)
+        except OSError:
+            if not os.path.exists(os.path.join(root, MANIFEST)):
+                raise
+            shutil.rmtree(build_dir, ignore_errors=True)
+        _ANN_BUILT[tag] = root
+        return root
 
     # --- IVF: coarse quantizer + cell-assigned normalized vectors
     cents = _centroids(corpus, vec_col, n_clusters, seed)
@@ -356,6 +410,24 @@ def refresh_ann_index(
     new_version = man["version"] + 1
     suffix = f"_v{new_version}"
 
+    if batch.isEmpty():
+        # an empty batch still commits (version bump + lineage, so
+        # the batch_key is recorded exactly-once) but writes
+        # schema'd empty segments — a partitioned write of an empty
+        # frame would leave an unreadable no-file dir
+        for name in ("vectors", "pq_codes", "lsh_buckets"):
+            _write_empty_artifact(
+                spark, os.path.join(index_dir, name + suffix), name
+            )
+        man["version"] = new_version
+        for name in ("vectors", "pq_codes", "lsh_buckets"):
+            man["segments"][name] = man["segments"][name] + [name + suffix]
+        man["appends"].append(
+            {"version": new_version, "rows": 0, "batch_key": batch_key}
+        )
+        _write_manifest(index_dir, man)
+        return index_dir
+
     crows = sorted(
         _read_artifact(spark, index_dir, "ivf_centroids").collect(),
         key=lambda r: r["cell"],
@@ -364,8 +436,11 @@ def refresh_ann_index(
 
     @F.pandas_udf("long")
     def assign_cell(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=np.int64)
+        if len(vs) == 0 or cents.size == 0:
+            # empty-index base (0-row build): no cells exist — park
+            # appends in a sentinel cell; the operator doctrine is a
+            # rebuild once the base is non-trivial
+            return pd.Series([-1] * len(vs), dtype=np.int64)
         d = _sq_dists(_norm_rows(vs), cents)
         return pd.Series(d.argmin(axis=1).astype(np.int64))
 
@@ -382,12 +457,15 @@ def refresh_ann_index(
     )
 
     brows = _read_artifact(spark, index_dir, "pq_codebooks").collect()
-    m_sub = 1 + max(r["subspace"] for r in brows)
-    k_codes = 1 + max(r["code"] for r in brows)
-    d_sub = len(brows[0]["centroid"])
-    books = np.empty((m_sub, k_codes, d_sub))
-    for r in brows:
-        books[r["subspace"], r["code"]] = r["centroid"]
+    if brows:
+        m_sub = 1 + max(r["subspace"] for r in brows)
+        k_codes = 1 + max(r["code"] for r in brows)
+        d_sub = len(brows[0]["centroid"])
+        books = np.empty((m_sub, k_codes, d_sub))
+        for r in brows:
+            books[r["subspace"], r["code"]] = r["centroid"]
+    else:  # empty-index base: zero subspaces -> empty code arrays
+        books = np.zeros((0, 0, 0))
     pq_encode(batch, books, id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(index_dir, "pq_codes" + suffix)
     )
@@ -453,6 +531,8 @@ def ivf_query(
         _read_artifact(spark, index_dir, "ivf_centroids").collect(),
         key=lambda r: r["cell"],
     )
+    if not crows:  # empty index: no cells, no neighbors
+        return _empty_result(spark)
     cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
 
     @F.pandas_udf("array<long>")
@@ -522,6 +602,8 @@ def pq_query(
     contract) run through exactly this path.
     """
     brows = _read_artifact(spark, index_dir, "pq_codebooks").collect()
+    if not brows:  # empty index: no codes, no neighbors
+        return _empty_result(spark)
     m_sub = 1 + max(r["subspace"] for r in brows)
     k_codes = 1 + max(r["code"] for r in brows)
     d_sub = len(brows[0]["centroid"])
@@ -678,10 +760,13 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """Per-artifact row counts as ONE lazy union plan — the
     oracle-checkable surface of the build (each count is derivable
     from |embeddings| and the knobs)."""
+    # GLOBAL agg per artifact (not groupBy on the literal): a 0-row
+    # artifact must still report its (artifact, 0) row — a grouped
+    # agg over zero rows emits zero groups
     parts = [
         _read_artifact(spark, index_dir, name)
-        .groupBy(F.lit(name).alias("artifact"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(name).alias("artifact"), "n_rows")
         for name in ARTIFACTS
     ]
     out = parts[0]

@@ -80,6 +80,11 @@ def _centroids(corpus: DataFrame, vec_col: str, n_clusters: int, seed: int) -> n
     if n > TRAIN_SAMPLE_CAP:
         train = train.sample(fraction=TRAIN_SAMPLE_CAP / n, seed=seed)
     m = np.array([row["v"] for row in train.collect()], dtype=np.float64)
+    if m.size == 0:
+        # empty corpus: there is nothing to train on and no dim to
+        # derive — an empty (0, 0) centroid set; callers treat it as
+        # "empty index" (r9 adversarial empty_tables find)
+        return np.zeros((0, 0))
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return _kmeans_lloyd(m, n_clusters, seed)
 

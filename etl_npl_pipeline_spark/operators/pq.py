@@ -60,6 +60,10 @@ def train_pq_codebooks(
     if n > TRAIN_SAMPLE_CAP:
         train = train.sample(fraction=TRAIN_SAMPLE_CAP / n, seed=seed)
     mat = np.array([row["v"] for row in train.collect()], dtype=np.float64)
+    if mat.size == 0:
+        # empty corpus -> empty codebooks (no dim to subdivide);
+        # pq_encode over zero subspaces emits empty code arrays
+        return np.zeros((0, 0, 0))
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     dim = mat.shape[1]
     if dim % m_subspaces:
@@ -85,6 +89,8 @@ def pq_encode(
 
     @F.pandas_udf("array<int>")
     def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
         mat = _norm_rows(vs)
         codes = np.empty((len(mat), m_sub), dtype=np.int32)
         for s in range(m_sub):

@@ -485,6 +485,11 @@ def semantic_near_dups(
 
     @F.pandas_udf("long")
     def assign_cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0 or cents.size == 0:
+            # empty batch, or an empty quantizer (0-row corpus):
+            # park everything in a sentinel cell — with a 0-row
+            # corpus no rows exist to park anyway
+            return pd.Series([-1] * len(vs), dtype=np.int64)
         m = (
             np.concatenate(vs.to_numpy())
             .astype(np.float64)

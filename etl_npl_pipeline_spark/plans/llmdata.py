@@ -1217,6 +1217,7 @@ def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from etl_npl_pipeline_spark.operators.ann_index import (
+        _read_artifact,
         build_ann_index,
         read_manifest,
         refresh_ann_index,
@@ -1239,14 +1240,25 @@ def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     version = read_manifest(idx)["version"]
     parts = []
     for name in ("lsh_buckets", "pq_codes", "vectors"):
-        df = spark.read.parquet(_os.path.join(idx, name))
+        # through the manifest segments: r9's atomic refresh stages
+        # appends in <name>_vN dirs, so a bare base-dir read MISSES
+        # every appended row (caught by the r9 adversarial sweep —
+        # warehouse-cached pre-segment indexes masked it at the
+        # driver scales)
+        df = _read_artifact(spark, idx, name)
+        # GLOBAL agg (not groupBy on the literal): a 0-row artifact
+        # must still emit its (artifact, 0, 0) row — a grouped agg
+        # over zero rows emits zero groups (adversarial empty_tables)
         parts.append(
-            df.groupBy(F.lit(name).alias("artifact")).agg(
+            df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(
-                    F.when(F.col("neighbor_id") % 5 == 4, 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("neighbor_id") % 5 == 4, 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_appended"),
-            )
+            ).select(F.lit(name).alias("artifact"), "n_rows", "n_appended")
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1257,7 +1269,7 @@ def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_INDEX_REFRESH_SQL = f"""
 WITH c AS (
     SELECT COUNT(*) AS n,
-           SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS a
+           COALESCE(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END), 0) AS a
     FROM embeddings
 )
 SELECT 'lsh_buckets' AS artifact,
@@ -1273,19 +1285,27 @@ ORDER BY artifact
 """
 
 
+# centroid/codebook counts are knob constants only for a NON-empty
+# corpus: an empty corpus has no dim to train on, so the index is
+# empty end to end (r9 adversarial empty_tables contract)
 ANN_INDEX_BUILD_SQL = f"""
+WITH c AS (SELECT COUNT(*) AS n FROM embeddings)
 SELECT 'ivf_centroids' AS artifact,
-       CAST({IVF_KNOBS["n_clusters"]} AS BIGINT) AS n_rows
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE {IVF_KNOBS["n_clusters"]} END AS BIGINT) AS n_rows
+FROM c
 UNION ALL
-SELECT 'lsh_buckets',
-       (SELECT COUNT(*) * {LSH_KNOBS["n_tables"]} FROM embeddings)
+SELECT 'lsh_buckets', CAST(n * {LSH_KNOBS["n_tables"]} AS BIGINT) FROM c
 UNION ALL
 SELECT 'pq_codebooks',
-       CAST({PQ_KNOBS["m_subspaces"] * PQ_KNOBS["k_codes"]} AS BIGINT)
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE {PQ_KNOBS["m_subspaces"] * PQ_KNOBS["k_codes"]} END
+            AS BIGINT)
+FROM c
 UNION ALL
-SELECT 'pq_codes', (SELECT COUNT(*) FROM embeddings)
+SELECT 'pq_codes', CAST(n AS BIGINT) FROM c
 UNION ALL
-SELECT 'vectors', (SELECT COUNT(*) FROM embeddings)
+SELECT 'vectors', CAST(n AS BIGINT) FROM c
 ORDER BY artifact
 """
 
