@@ -39,9 +39,11 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import itertools
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 import pandas as pd
@@ -167,6 +169,63 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(index_dir, MANIFEST))
+
+
+# per-process attempt counter: staged segment dirs get a
+# (pid, seq)-unique name so two concurrent refresh/compact attempts
+# can never clobber each other's staged files (r9 ADVICE: both
+# attempts used the bare _v{N+1} name and the loser's segments were
+# overwritten before its manifest commit raced)
+_ATTEMPT_SEQ = itertools.count()
+
+
+class _commit_lock:
+    """O_EXCL lock file guarding the manifest read-modify-write.
+
+    Staging (the expensive distributed writes) happens OUTSIDE the
+    lock under attempt-unique dir names; only the commit — re-read
+    manifest, splice in the staged segment names, os.replace — runs
+    inside, so the critical section is a few file ops. The holder's
+    pid is written into the lock; a lock whose pid is dead is stolen
+    (crash between stage and commit must not wedge the index)."""
+
+    def __init__(self, index_dir: str) -> None:
+        self.path = os.path.join(index_dir, "_COMMIT.lock")
+
+    def __enter__(self) -> "_commit_lock":
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as fh:
+                        pid = int(fh.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                alive = False
+                if pid:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except OSError:
+                        alive = False
+                if alive:
+                    time.sleep(0.05)
+                else:
+                    # stale lock from a crashed holder: steal it
+                    try:
+                        os.unlink(self.path)
+                    except OSError:
+                        pass
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
 
 
 def _check_knobs(index_dir: str, **caller: int) -> dict:
@@ -390,42 +449,53 @@ def refresh_ann_index(
     batch would silently double the corpus).
 
     CRASH ATOMICITY (r9, VERDICT r8 #2): the three appended
-    artifacts are written as NEW segment directories
-    (``vectors_v<N>`` etc.) that no reader resolves until the
-    manifest lists them — the manifest write (os.replace, atomic on
-    POSIX) is the single commit point, the same discipline as the
-    build path's atomic rename. A crash after the segment writes but
-    before the manifest commit leaves orphan dirs that are invisible
-    to readers and reclaimed (mode="overwrite") by the re-issued
-    refresh, which then lands exactly once via batch_key.
+    artifacts are written as NEW segment directories that no reader
+    resolves until the manifest lists them — the manifest write
+    (os.replace, atomic on POSIX) is the single commit point, the
+    same discipline as the build path's atomic rename. A crash after
+    the segment writes but before the manifest commit leaves orphan
+    dirs that are invisible to readers (reclaimed later by
+    ``vacuum_ann_index``); the re-issued refresh stages fresh dirs
+    and lands exactly once via batch_key.
+
+    CONCURRENCY (r10, r9 ADVICE): staged dirs carry a
+    (version, pid, seq)-unique suffix, so two concurrent refreshes
+    can never overwrite each other's staged segments, and the commit
+    itself runs under an O_EXCL lock that RE-READS the manifest:
+    a batch_key another writer committed first becomes a no-op (our
+    staged dirs are discarded), and a version another writer bumped
+    is rebased onto — both appends survive in lineage.
+
+    EMPTY BATCHES (r10, r9 ADVICE): a zero-row batch commits its
+    batch_key to lineage (exactly-once still holds) but creates NO
+    segment dirs — the streamed drain path (L63) produces one
+    refresh per micro-batch, and empty micro-batches must not grow
+    the per-artifact segment list the readers union.
     """
     man = read_manifest(index_dir)
     if batch_key is not None and any(
         a.get("batch_key") == batch_key for a in man["appends"]
     ):
         return index_dir
-    if "segments" not in man:  # version-1 layout: adopt in-place
-        man["segments"] = {name: [name] for name in ARTIFACTS}
     knobs = man["knobs"]
-    new_version = man["version"] + 1
-    suffix = f"_v{new_version}"
+    suffix = f"_v{man['version'] + 1}-{os.getpid()}-{next(_ATTEMPT_SEQ)}"
 
     if batch.isEmpty():
-        # an empty batch still commits (version bump + lineage, so
-        # the batch_key is recorded exactly-once) but writes
-        # schema'd empty segments — a partitioned write of an empty
-        # frame would leave an unreadable no-file dir
-        for name in ("vectors", "pq_codes", "lsh_buckets"):
-            _write_empty_artifact(
-                spark, os.path.join(index_dir, name + suffix), name
+        # lineage-only commit: record the batch_key exactly-once,
+        # add no segments (nothing to read back, nothing to union)
+        with _commit_lock(index_dir):
+            man = read_manifest(index_dir)
+            if batch_key is not None and any(
+                a.get("batch_key") == batch_key for a in man["appends"]
+            ):
+                return index_dir
+            if "segments" not in man:  # version-1 layout: adopt
+                man["segments"] = {name: [name] for name in ARTIFACTS}
+            man["version"] += 1
+            man["appends"].append(
+                {"version": man["version"], "rows": 0, "batch_key": batch_key}
             )
-        man["version"] = new_version
-        for name in ("vectors", "pq_codes", "lsh_buckets"):
-            man["segments"][name] = man["segments"][name] + [name + suffix]
-        man["appends"].append(
-            {"version": new_version, "rows": 0, "batch_key": batch_key}
-        )
-        _write_manifest(index_dir, man)
+            _write_manifest(index_dir, man)
         return index_dir
 
     crows = sorted(
@@ -483,15 +553,154 @@ def refresh_ann_index(
 
     n_appended = batch.count()
     # commit: one atomic manifest replace publishes all three
-    # segments together with the lineage bump
-    man["version"] = new_version
-    for name in ("vectors", "pq_codes", "lsh_buckets"):
-        man["segments"][name] = man["segments"][name] + [name + suffix]
-    man["appends"].append(
-        {"version": new_version, "rows": n_appended, "batch_key": batch_key}
-    )
-    _write_manifest(index_dir, man)
+    # segments together with the lineage bump. Inside the lock the
+    # manifest is RE-READ: a concurrent writer that committed first
+    # either already landed this batch_key (ours becomes a no-op and
+    # the staged dirs are discarded) or bumped the version (we
+    # rebase our append on top — both survive).
+    with _commit_lock(index_dir):
+        man = read_manifest(index_dir)
+        if batch_key is not None and any(
+            a.get("batch_key") == batch_key for a in man["appends"]
+        ):
+            for name in ("vectors", "pq_codes", "lsh_buckets"):
+                shutil.rmtree(
+                    os.path.join(index_dir, name + suffix),
+                    ignore_errors=True,
+                )
+            return index_dir
+        if "segments" not in man:  # version-1 layout: adopt in-place
+            man["segments"] = {name: [name] for name in ARTIFACTS}
+        man["version"] += 1
+        for name in ("vectors", "pq_codes", "lsh_buckets"):
+            man["segments"][name] = man["segments"][name] + [name + suffix]
+        man["appends"].append(
+            {
+                "version": man["version"],
+                "rows": n_appended,
+                "batch_key": batch_key,
+            }
+        )
+        _write_manifest(index_dir, man)
     return index_dir
+
+
+# artifacts that grow a segment per committed refresh; the model
+# artifacts (ivf_centroids, pq_codebooks) are frozen at build time
+_SEGMENTED = ("vectors", "pq_codes", "lsh_buckets")
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> str:
+    """Fold every appended segment of the corpus-sized artifacts
+    into ONE fresh base snapshot per artifact (r9 VERDICT #1 — the
+    ``mor_compact`` pattern from sinks.py applied to the index).
+
+    The streamed refresh loop (L63) commits one segment set per
+    micro-batch; after months of daily appends the manifest resolves
+    hundreds of segment dirs per artifact and every query plan
+    unions that many parquet scans — unbounded read amplification.
+    Compaction rewrites each artifact's union as a single snapshot
+    dir (``vectors`` re-partitioned by cell so IVF pruning keeps
+    working), swaps the manifest's segment list to just it, and
+    RETAINS the ``appends`` lineage — batch_keys survive, so a
+    replayed refresh is still exactly-once after compaction.
+
+    Same commit discipline as refresh: snapshots are staged under
+    attempt-unique dir names invisible to readers, the manifest
+    os.replace is the single commit point (crash before it leaves
+    the index untouched; tests pin this), and the commit runs under
+    the O_EXCL lock. If a concurrent refresh committed between our
+    snapshot read and the commit, the compaction ABORTS (returns
+    with the index unchanged) rather than publish a snapshot missing
+    that append — the caller (a maintenance job) simply re-runs.
+    Folded segment dirs are deleted best-effort AFTER the commit;
+    crashed-attempt orphans are reclaimed by ``vacuum_ann_index``.
+
+    Idempotent: when every segment list is already length 1 there is
+    nothing to fold and the call is a no-op (no version bump).
+    """
+    man = read_manifest(index_dir)
+    segs = man.get("segments", {name: [name] for name in ARTIFACTS})
+    if all(len(segs[name]) == 1 for name in _SEGMENTED):
+        return index_dir
+    version_read = man["version"]
+    attempt = f"-{os.getpid()}-{next(_ATTEMPT_SEQ)}"
+    staged = {
+        name: f"{name}_c{version_read + 1}{attempt}" for name in _SEGMENTED
+    }
+
+    n_vec = _read_artifact(spark, index_dir, "vectors").count()
+    for name in _SEGMENTED:
+        dst = os.path.join(index_dir, staged[name])
+        if n_vec == 0:
+            # a partitioned/coalesced write of an empty frame leaves
+            # an unreadable no-file dir; write schema-first instead
+            _write_empty_artifact(spark, dst, name)
+        elif name == "vectors":
+            _read_artifact(spark, index_dir, name).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(dst)
+        else:
+            _read_artifact(spark, index_dir, name).write.mode(
+                "overwrite"
+            ).parquet(dst)
+
+    with _commit_lock(index_dir):
+        man = read_manifest(index_dir)
+        if man["version"] != version_read:
+            # a refresh landed while we were folding: our snapshot
+            # is stale — abort, leave the index as-is, let the
+            # maintenance job re-run
+            for name in _SEGMENTED:
+                shutil.rmtree(
+                    os.path.join(index_dir, staged[name]),
+                    ignore_errors=True,
+                )
+            return index_dir
+        folded = {name: man["segments"][name] for name in _SEGMENTED}
+        man["version"] += 1
+        for name in _SEGMENTED:
+            man["segments"][name] = [staged[name]]
+        man.setdefault("compactions", []).append(
+            {
+                "version": man["version"],
+                "rows": n_vec,
+                "folded": folded,
+            }
+        )
+        _write_manifest(index_dir, man)
+    # space reclaim: the folded dirs are no longer referenced by any
+    # manifest a reader can load. Best-effort — a reader that bound
+    # its plan to the OLD manifest mid-flight would fail its scan,
+    # so run compaction when no long-running queries are in flight
+    # (the same operational contract as mor_compact).
+    for name, old in folded.items():
+        for seg in old:
+            if seg not in man["segments"][name]:
+                shutil.rmtree(
+                    os.path.join(index_dir, seg), ignore_errors=True
+                )
+    return index_dir
+
+
+def vacuum_ann_index(index_dir: str) -> list[str]:
+    """Remove index subdirectories no manifest segment references —
+    the orphans a crashed refresh/compact attempt staged but never
+    committed. Requires no writer in flight (an in-progress attempt's
+    staged dirs look exactly like orphans). Returns removed names."""
+    man = read_manifest(index_dir)
+    referenced = {
+        seg
+        for name in ARTIFACTS
+        for seg in man.get("segments", {}).get(name, [name])
+    }
+    removed = []
+    for entry in sorted(os.listdir(index_dir)):
+        p = os.path.join(index_dir, entry)
+        if os.path.isdir(p) and entry not in referenced:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(entry)
+    return removed
 
 
 def _vectors(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -653,11 +862,19 @@ def pq_query(
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(len(q_ids)):
             adc = lut[qi][sub_idx[None, :], cm].sum(axis=1)
-            # deterministic top-k': adc desc, neighbor_id asc
-            top = np.lexsort((nid, -adc))[:k_prime]
-            rows_q.append(np.full(len(top), q_ids[qi]))
-            rows_n.append(nid[top])
-            rows_s.append(adc[top])
+            # deterministic top-k': adc desc, neighbor_id asc.
+            # Self matches are excluded INSIDE the block (r10, r9
+            # ADVICE): filtering after the cogroup let the block
+            # holding the query's own code row spend one of its k'
+            # slots on the self match, making the candidate set
+            # depend on the chunk grid — now every block emits
+            # exactly its top-k' NON-SELF rows and the grid
+            # decomposition is exact.
+            keep = np.lexsort((nid, -adc))
+            keep = keep[nid[keep] != q_ids[qi]][:k_prime]
+            rows_q.append(np.full(len(keep), q_ids[qi]))
+            rows_n.append(nid[keep])
+            rows_s.append(adc[keep])
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(rows_q),
@@ -672,7 +889,6 @@ def pq_query(
         .applyInPandas(
             adc_block, schema="query_id long, neighbor_id long, adc double"
         )
-        .where(F.col("query_id") != F.col("neighbor_id"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")

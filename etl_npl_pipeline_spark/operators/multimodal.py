@@ -654,14 +654,20 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v else 0
 
 
-def encode_jpeg(pixels: bytes, width: int) -> bytes:
+def encode_jpeg(pixels: bytes, width: int, quant: int = 1) -> bytes:
     """Baseline sequential grayscale JFIF around raw 8-bit pixels
-    (row-major, height = ceil(len/width), zero pad). Quant table is
-    all-ones, so block-constant content round-trips EXACTLY (the DC
-    coefficient 8*(v-128) is integral; every AC term vanishes) and
-    arbitrary content round-trips within +-1/pixel."""
+    (row-major, height = ceil(len/width), zero pad). The default
+    quant table is all-ones, so block-constant content round-trips
+    EXACTLY (the DC coefficient 8*(v-128) is integral; every AC term
+    vanishes) and arbitrary content round-trips within +-1/pixel.
+    ``quant`` > 1 writes a uniform all-``quant`` table — a real
+    LOSSY re-encode at a coarser quality (the decoder reads the
+    table from the DQT segment), used by the image-dedup contract's
+    planted re-encode transform."""
     if width <= 0 or not pixels:
         raise ValueError("encode_jpeg needs pixels and a positive width")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be an 8-bit table value (1-255)")
     height = (len(pixels) + width - 1) // width
     padded = pixels + bytes(width * height - len(pixels))
     img = np.frombuffer(padded, dtype=np.uint8).reshape(height, width)

@@ -1285,6 +1285,117 @@ ORDER BY artifact
 """
 
 
+def ann_compacted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64 (r10, VERDICT r9 #1): ANN index segment COMPACTION.
+    Lifecycle under test: build the index on the 75% base slice
+    (vec_id % 4 != 3), append the rest via refresh (one extra
+    segment per corpus-sized artifact), run a FULL-PROBE IVF search
+    (exact by construction — every cell probed, scoring exact), then
+    ``compact_ann_index`` (fold the segments into one fresh snapshot
+    per artifact, mor_compact-style), and run the SAME search again
+    from the compacted index.
+
+    Output = the post-compaction top-k, with a ``pre_match`` flag
+    row-joining the pre-compaction result (compaction must be
+    bit-identical — the oracle pins every flag TRUE), plus the
+    post-compaction segment count (must be 1) and manifest version
+    (build=1, refresh=2, compact=3). The DuckDB oracle recomputes
+    the search as exact brute-force cosine top-k over the full
+    embeddings table — full probe makes the index-served answer
+    exactly that.
+
+    The pre-compaction result is driver-materialized (k x |Q| rows,
+    a result set, not corpus data) BEFORE compaction because the
+    commit deletes the folded segment dirs a lazy pre-plan would
+    still scan."""
+    import os as _os
+
+    from etl_npl_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        compact_ann_index,
+        ivf_query,
+        read_manifest,
+        refresh_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 4 != 3)
+    batch = emb.where(F.col("vec_id") % 4 == 3)
+    idx = build_ann_index(
+        spark,
+        base,
+        _os.path.realpath(sf_dir.rstrip("/")) + "#base-mod4",
+        n_clusters=IVF_KNOBS["n_clusters"],
+        pq_m=PQ_KNOBS["m_subspaces"],
+        pq_k=PQ_KNOBS["k_codes"],
+        lsh_planes=LSH_KNOBS["n_planes"],
+        lsh_tables=LSH_KNOBS["n_tables"],
+    )
+    refresh_ann_index(spark, idx, batch, batch_key="mod4==3")
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    full_probe = IVF_KNOBS["n_clusters"]
+    pre_schema = "query_id long, rank int, neighbor_id long, cos_sim double"
+    pre = spark.createDataFrame(
+        [
+            tuple(r)
+            for r in ivf_query(
+                spark, idx, queries, k=ANN_K, n_probe=full_probe
+            ).collect()
+        ],
+        pre_schema,
+    )
+    compact_ann_index(spark, idx)
+    man = read_manifest(idx)
+    n_segments = max(
+        len(man["segments"][n])
+        for n in ("vectors", "pq_codes", "lsh_buckets")
+    )
+    post = ivf_query(spark, idx, queries, k=ANN_K, n_probe=full_probe)
+    pre_r = pre.select(
+        "query_id",
+        "rank",
+        F.col("neighbor_id").alias("pre_neighbor_id"),
+        F.col("cos_sim").alias("pre_cos_sim"),
+    )
+    return (
+        post.join(pre_r, ["query_id", "rank"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cos_sim",
+            (
+                (F.col("pre_neighbor_id") == F.col("neighbor_id"))
+                & (F.col("pre_cos_sim") == F.col("cos_sim"))
+            ).alias("pre_match"),
+            F.lit(n_segments).alias("n_segments"),
+            F.lit(man["version"]).alias("version"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_COMPACTED_QUERY_SQL = f"""
+WITH nrm AS ({_SQL_NORMED}),
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {ANN_N_QUERIES}
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, cos_sim,
+       TRUE AS pre_match, 1 AS n_segments, 3 AS version
+FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
 # centroid/codebook counts are knob constants only for a NON-empty
 # corpus: an empty corpus has no dim to train on, so the index is
 # empty end to end (r9 adversarial empty_tables contract)

@@ -288,6 +288,160 @@ def test_refresh_crash_before_manifest_commit_is_invisible(
     shutil.rmtree(idx, ignore_errors=True)  # per-run key: don't litter
 
 
+def _small_knobs(spark, base, key):
+    return AI.build_ann_index(
+        spark, base, key, n_clusters=4, pq_m=8, pq_k=16,
+        lsh_planes=4, lsh_tables=3,
+    )
+
+
+def test_compact_folds_segments_and_preserves_results(spark, sf_dir, tmp_path):
+    """r10 (VERDICT r9 #1): compaction folds the per-refresh segment
+    dirs into one snapshot per artifact, results are bit-identical
+    pre/post, the folded dirs are reclaimed, batch_key lineage
+    survives (a replayed refresh stays a no-op), and a FURTHER
+    refresh lands cleanly on the compacted base."""
+    import pyspark.sql.functions as F2
+
+    emb = L._emb(spark, sf_dir)
+    base = emb.where(F2.col("vec_id") % 3 == 0)
+    b1 = emb.where(F2.col("vec_id") % 3 == 1)
+    b2 = emb.where(F2.col("vec_id") % 3 == 2)
+    key = os.path.realpath(sf_dir) + f"#compact-{tmp_path.name}"
+    idx = _small_knobs(spark, base, key)
+    AI.refresh_ann_index(spark, idx, b1, batch_key="b1")
+    AI.refresh_ann_index(spark, idx, b2, batch_key="b2")
+    man = AI.read_manifest(idx)
+    assert len(man["segments"]["vectors"]) == 3
+
+    queries = emb.where(F2.col("vec_id") < 10)
+    pre = [
+        tuple(r)
+        for r in AI.ivf_query(spark, idx, queries, k=5, n_probe=4)
+        .orderBy("query_id", "rank").collect()
+    ]
+    stats_pre = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+
+    AI.compact_ann_index(spark, idx)
+    man = AI.read_manifest(idx)
+    assert man["version"] == 4  # build 1 + two refreshes + compact
+    for name in ("vectors", "pq_codes", "lsh_buckets"):
+        assert len(man["segments"][name]) == 1
+    # folded dirs reclaimed; appends lineage intact
+    assert not os.path.isdir(os.path.join(idx, "vectors"))
+    assert [a["batch_key"] for a in man["appends"]] == ["b1", "b2"]
+
+    post = [
+        tuple(r)
+        for r in AI.ivf_query(spark, idx, queries, k=5, n_probe=4)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert post == pre and len(post) > 0
+    stats_post = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    assert stats_post == stats_pre
+
+    # exactly-once survives compaction: replayed batch_key is a no-op
+    AI.refresh_ann_index(spark, idx, b1, batch_key="b1")
+    assert AI.read_manifest(idx)["version"] == 4
+
+    # a FRESH refresh lands on the compacted base
+    AI.refresh_ann_index(spark, idx, b1.limit(5), batch_key="b3")
+    man = AI.read_manifest(idx)
+    assert man["version"] == 5
+    assert len(man["segments"]["vectors"]) == 2
+    stats2 = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    assert stats2["vectors"] == stats_post["vectors"] + 5
+
+    # re-compact is idempotent once lists are singletons
+    AI.compact_ann_index(spark, idx)
+    AI.compact_ann_index(spark, idx)
+    assert AI.read_manifest(idx)["version"] == 6
+
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_compact_crash_before_manifest_commit_is_invisible(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """A compaction that dies after staging its snapshot dirs but
+    BEFORE the manifest commit leaves the index exactly as it was
+    (same single-commit-point discipline as refresh), and vacuum
+    reclaims the orphaned staged dirs."""
+    import pyspark.sql.functions as F2
+    import pytest
+
+    emb = L._emb(spark, sf_dir)
+    base = emb.where(F2.col("vec_id") % 2 == 0)
+    batch = emb.where(F2.col("vec_id") % 2 == 1)
+    key = os.path.realpath(sf_dir) + f"#compact-crash-{tmp_path.name}"
+    idx = _small_knobs(spark, base, key)
+    AI.refresh_ann_index(spark, idx, batch, batch_key="odd")
+    man0 = AI.read_manifest(idx)
+    stats0 = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+
+    real_write = AI._write_manifest
+
+    def boom(index_dir, manifest):
+        raise RuntimeError("injected crash before compact commit")
+
+    monkeypatch.setattr(AI, "_write_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI, "_write_manifest", real_write)
+
+    man = AI.read_manifest(idx)
+    assert man == man0  # reader view unchanged
+    stats = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    assert stats == stats0
+
+    # the crashed attempt's staged snapshot dirs are orphans; vacuum
+    # removes them and nothing the manifest references
+    removed = AI.vacuum_ann_index(idx)
+    assert any(r.startswith("vectors_c") for r in removed)
+    stats = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    assert stats == stats0
+
+    # the re-issued compaction lands
+    AI.compact_ann_index(spark, idx)
+    man = AI.read_manifest(idx)
+    assert man["version"] == man0["version"] + 1
+    assert len(man["segments"]["vectors"]) == 1
+    stats = {r.artifact: r.n_rows for r in AI.index_stats(spark, idx).collect()}
+    assert stats == stats0
+
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_empty_batch_refresh_is_lineage_only(spark, sf_dir, tmp_path):
+    """r10 (r9 ADVICE): a zero-row refresh commits its batch_key
+    (exactly-once) but adds NO segment dirs — the streamed drain
+    path would otherwise grow every reader's union by one scan per
+    empty micro-batch."""
+    import pyspark.sql.functions as F2
+
+    emb = L._emb(spark, sf_dir)
+    key = os.path.realpath(sf_dir) + f"#empty-batch-{tmp_path.name}"
+    idx = _small_knobs(spark, emb.limit(40), key)
+    AI.refresh_ann_index(
+        spark, idx, emb.where(F2.col("vec_id") < 0), batch_key="empty-1"
+    )
+    man = AI.read_manifest(idx)
+    assert man["version"] == 2
+    assert man["appends"] == [
+        {"version": 2, "rows": 0, "batch_key": "empty-1"}
+    ]
+    for name in ("vectors", "pq_codes", "lsh_buckets"):
+        assert man["segments"][name] == [name]
+
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_pq_query_corpus_as_queries_grid_invariance(spark, sf_dir):
     """The r9 distributed ADC is a pure block decomposition: running
     the WHOLE CORPUS as the query batch through a forced multi-chunk
