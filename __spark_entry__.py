@@ -66,6 +66,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_index_build": llmdata.ann_index_build,
         "ann_index_refresh": llmdata.ann_index_refresh,
         "ann_compacted_query": llmdata.ann_compacted_query,
+        "dedup_image_phash": extras.dedup_image_phash,
+        "vocab_bpe_train": llmdata.vocab_bpe_train,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -296,6 +298,14 @@ def oracle_sql() -> dict[str, str]:
         # pre_match pins pre/post-compaction bit-identity, n_segments
         # and version pin the fold + lineage
         "ann_compacted_query": llmdata.ANN_COMPACTED_QUERY_SQL,
+        # dedup_image_phash (r10): planted-transform pair set by id
+        # arithmetic — recall AND precision of decode→pHash→block→
+        # verify (transform hamming ≤4, cross-scene ≥12 measured)
+        "dedup_image_phash": extras.DEDUP_IMAGE_PHASH_SQL,
+        # vocab_bpe_train (r10): the DuckDB oracle replays the whole
+        # training loop as an unrolled V-stage CTE — every learned
+        # merge and its count independently recomputed
+        "vocab_bpe_train": llmdata.VOCAB_BPE_TRAIN_SQL,
         "text_scrub": llmdata.TEXT_SCRUB_SQL,
         "text_commonness": llmdata.TEXT_COMMONNESS_SQL,
         "data_split": llmdata.DATA_SPLIT_SQL,

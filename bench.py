@@ -95,6 +95,8 @@ HEADLINE = [
     # (the lifecycle split the persisted index exists to create)
     "ann_index_build",
     "ann_index_refresh",
+    # r10: build+refresh+compact lifecycle, served full-probe
+    "ann_compacted_query",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
@@ -134,6 +136,9 @@ HEADLINE = [
     "mm_decode_mp4",
     "dedup_bloom",
     "vocab_bpe_pairs",
+    # r10: full iterative trainer — V jobs, latency-bound (see
+    # operators/bpe.py docstring), measured honestly
+    "vocab_bpe_train",
     "src_excel_roundtrip",
     "src_rest_pages",
     "src_rest_live",
@@ -167,6 +172,8 @@ HEADLINE = [
     "stream_windowed_topk",
     "mm_audio_features",
     "mm_video_sample",
+    # r10: image pHash near-dup (decode → hash → Manku blocking)
+    "dedup_image_phash",
     "mor_compacted_read",
     "text_chunk_filter",
     "data_shard_manifest",

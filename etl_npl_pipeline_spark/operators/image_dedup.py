@@ -33,6 +33,7 @@ surface.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,34 +64,37 @@ def _dct_matrix(n: int = _N) -> np.ndarray:
 _DCT_N = _dct_matrix()
 
 
+def _area_weights(n_in: int) -> np.ndarray:
+    """(32, n_in) fractional-area resampling weights: row i holds
+    each input pixel's overlap with the real interval
+    [i/32, (i+1)/32) of the unit axis, normalized to sum 1. This is
+    true area-average resampling (cv2 INTER_AREA semantics): the
+    32-cell means are the EXACT integrals of the piecewise-constant
+    pixel function, so two samplings of the same continuous scene at
+    different resolutions produce near-identical 32×32 grids.
+    (Integer-boundary binning — pixel i*n//32 to (i+1)*n//32 — makes
+    ragged bins whose extents differ BETWEEN resolutions; the
+    resulting per-cell phase error was the dominant pHash
+    instability under 2× resize: measured ±11 on coefficients of
+    ~57 at 131→66 px, vs <0.5 with fractional areas.)"""
+    edges = np.arange(_N + 1) * (n_in / _N)  # bin edges in pixel units
+    px_lo = np.arange(n_in)
+    # overlap of pixel [p, p+1) with bin [edges[i], edges[i+1])
+    lo = np.maximum(px_lo[None, :], edges[:-1, None])
+    hi = np.minimum(px_lo[None, :] + 1.0, edges[1:, None])
+    w = np.clip(hi - lo, 0.0, None)
+    return w / w.sum(axis=1, keepdims=True)
+
+
 def _area_mean_32(pix: np.ndarray) -> np.ndarray:
-    """Area-average a (h, w) image to 32×32 via a 2-D integral
-    image — each output cell is the exact mean of its input bin, so
-    the downsample commutes (approximately) with any resolution the
-    same continuous scene was sampled at. Inputs smaller than 32 on
-    a side are nearest-neighbor upsampled first (bins must be
-    non-empty)."""
+    """Area-average a (h, w) image to 32×32 with fractional-area
+    weights along each axis (two small matmuls). Exact for any input
+    size, including sides < 32 (a pixel then spreads over several
+    cells — equivalent to nearest-neighbor upsampling first)."""
     h, w = pix.shape
-    if h < _N:
-        pix = np.repeat(pix, -(-_N // h), axis=0)
-        h = pix.shape[0]
-    if w < _N:
-        pix = np.repeat(pix, -(-_N // w), axis=1)
-        w = pix.shape[1]
-    s = np.zeros((h + 1, w + 1))
-    s[1:, 1:] = pix.astype(np.float64).cumsum(0).cumsum(1)
-    ys = (np.arange(_N + 1) * h) // _N
-    xs = (np.arange(_N + 1) * w) // _N
-    y0, y1 = ys[:-1], ys[1:]
-    x0, x1 = xs[:-1], xs[1:]
-    tot = (
-        s[np.ix_(y1, x1)]
-        - s[np.ix_(y0, x1)]
-        - s[np.ix_(y1, x0)]
-        + s[np.ix_(y0, x0)]
-    )
-    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
-    return tot / area
+    wy = _area_weights(h)
+    wx = _area_weights(w)
+    return wy @ pix.astype(np.float64) @ wx.T
 
 
 def phash64(pix: np.ndarray) -> int:
@@ -160,6 +164,92 @@ def image_phash_signatures(
             )
 
     return flat.mapInPandas(batches, schema="doc long, simhash long")
+
+
+def _render_scene(seed: str, w: int, h: int, amp: float = 4.0) -> np.ndarray:
+    """Deterministic grayscale scene with a DENSE low-frequency
+    spectrum: every DCT coefficient (u, v) in the pHash's 8×8 block
+    except DC gets ±amp, signs drawn from md5(seed) — so two scenes
+    with different seeds differ in ~half of their 63 sign bits
+    (measured cross-scene hamming min 12 / mean 31.5 over 400
+    scenes), while any faithful re-render (other resolution, lossy
+    re-encode) preserves nearly all of them. A sparse scene (a few
+    sinusoids) leaves most coefficients ≈ 0, where median
+    thresholding is razor-edged — bits flipped under 2× resize.
+    Rendered as 128 + Cy.T @ (amp·S) @ Cx (cosine basis matmuls),
+    clipped to uint8."""
+    dig = hashlib.md5(seed.encode()).digest()
+    bits = [(dig[i // 8] >> (i % 8)) & 1 for i in range(63)]
+    signs = np.zeros((8, 8))
+    signs.reshape(-1)[1:] = np.where(np.array(bits), amp, -amp)
+    x = (np.arange(w) + 0.5) / w
+    y = (np.arange(h) + 0.5) / h
+    cx = np.cos(np.pi * np.arange(8)[:, None] * x[None, :])  # (8, w)
+    cy = np.cos(np.pi * np.arange(8)[:, None] * y[None, :])  # (8, h)
+    img = 128.0 + cy.T @ signs @ cx
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def build_scene_media_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Synthetic-image fixture for the image-dedup contract query —
+    renders REAL containers (compressed PNG / baseline JPEG) with
+    planted near-duplicate transforms, derivable by id arithmetic so
+    the DuckDB oracle can state the expected pair set exactly:
+
+    - ids ≡ 0 (mod 4): BASE scene, seeded by group g = id // 4, PNG
+      at (128 + g % 64) × (96 + g % 48), filter type cycling 0/1/2/4
+      so all unfilter paths run;
+    - ids ≡ 1: a TRANSFORM of group g's base scene — even g: lossy
+      JPEG re-encode of the same pixels at quant 4 ("re-encode at a
+      different quality"); odd g: PNG re-render of the same
+      continuous scene at HALF resolution ("2× resize");
+    - ids ≡ 2, 3: unrelated singleton scenes seeded by the id.
+
+    The sf replication offset (1 000 000) is divisible by 4, so
+    residues — and therefore the planted pair structure — replicate
+    cleanly across sf1/sf10 replicas, and groups never collide
+    (g inherits the replica shift). Null-text docs yield NULL
+    payloads (the hasher's quarantine drill)."""
+    flat = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_npl_pipeline_spark.operators.multimodal import (
+            encode_jpeg,
+            encode_png,
+        )
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                doc_id = int(doc_id)
+                g, r = doc_id // 4, doc_id % 4
+                w, h = 128 + g % 64, 96 + g % 48
+                if r == 0:
+                    pix = _render_scene(f"scene-{g}", w, h)
+                    ftype = (0, 1, 2, 4)[g % 4]
+                    payloads.append(encode_png(pix.tobytes(), w, ftype))
+                elif r == 1 and g % 2 == 0:
+                    pix = _render_scene(f"scene-{g}", w, h)
+                    payloads.append(encode_jpeg(pix.tobytes(), w, quant=4))
+                elif r == 1:
+                    w2, h2 = (w + 1) // 2, (h + 1) // 2
+                    pix = _render_scene(f"scene-{g}", w2, h2)
+                    payloads.append(encode_png(pix.tobytes(), w2, 0))
+                else:
+                    pix = _render_scene(f"solo-{doc_id}", w, h)
+                    payloads.append(encode_png(pix.tobytes(), w, 0))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return flat.mapInPandas(batches, schema="doc_id BIGINT, payload BINARY")
 
 
 def image_near_dups(

@@ -3,10 +3,10 @@
 - ``cosine(a, b)``: zip_with product + left-to-right aggregate sum.
   Deterministic element order ⇒ bit-identical to a DuckDB
   list_reduce oracle (verified) — no UDF, stays in codegen.
-- ``brute_force_topk``: exact baseline. The query side should be
-  small (it broadcasts); the corpus side streams. Cost is
-  |Q| x |corpus| x dim — fine for |Q| in the thousands, and the
-  yardstick ANN recall is measured against.
+- ``brute_force_topk``: exact baseline AND the recall verifier.
+  Chunk-block cogroup decomposition (r10): both sides stay
+  distributed, so corpus-as-queries sweeps verify at any |Q|. Cost
+  is inherently |Q| x |corpus| x dim, spread across executors.
 - ``lsh_topk``: single-table random-hyperplane LSH baseline.
   Signatures come from seed-derived hyperplanes recomputed per
   Arrow batch (no stored model — any executor can regenerate the
@@ -99,79 +99,119 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_chunk_rows: int = 1_000,
+    corpus_chunk_rows: int = 20_000,
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector.
+    """Exact top-k neighbors for each query vector — FULLY
+    DISTRIBUTED query batches (r10, VERDICT r9 #5).
 
-    queries broadcast against the corpus scan; rank by similarity
-    desc with id tiebreak so results are total-ordered.
+    r9 collected the query set to the driver and shipped it inside
+    the mapInPandas closure, which bounded |Q| by driver memory —
+    acceptable for a yardstick, wrong once the exact verifier itself
+    must score corpus-as-queries sweeps at sf1+. Now both sides stay
+    DataFrames end to end, decomposed exactly like pq_query's ADC
+    (operators/ann_index.py): queries get a content-hashed chunk id
+    qc, corpus rows a chunk id cc, each side is replicated across
+    the other's chunk range (the unavoidable all-pairs transfer, at
+    chunk granularity), and a pandas cogroup on (qc, cc) scores each
+    block in numpy, emitting the block's exact per-query top-k with
+    self matches excluded inside the block. A global window then
+    reduces block partials — any global top-k row is in its block's
+    top-k under the same (score desc, id asc) total order, so the
+    decomposition is exact and grid-invariant.
+
+    Scores accumulate in ascending dim order — the exact FP
+    operation sequence of the scalar left-to-right fold (`dot`), so
+    results stay bit-identical to the DuckDB list_reduce oracle
+    regardless of chunking. Peak block memory is bounded by scoring
+    ≤256 queries at a time against the block's corpus slice.
     """
-    from collections.abc import Iterator
-
-    # The query side is small by contract (it would broadcast in a
-    # join formulation); ship it to every corpus partition as a
-    # dense matrix inside the mapInPandas closure instead of paying
-    # a |Q| x |corpus| row explosion. Each corpus batch computes the
-    # full score block in numpy and emits only its local top-k per
-    # query — the tournament-pruning equivalent of map-side partial
-    # aggregation (global top-k ⊆ union of per-batch top-k under
-    # the same total order).
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
+    spark = corpus.sparkSession
+    n_q = queries.count()
+    if n_q == 0:
         # empty query set (0-row embeddings build): the answer is
         # the empty relation in the normal output schema
-        return corpus.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos_sim double"
         )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    dim = qm.shape[1]
-    # dim-ordered normalization — bit-identical to l2_normalize
-    qn = np.zeros(len(qm))
-    for d in range(dim):
-        qn = qn + qm[:, d] * qm[:, d]
-    qm = qm / np.sqrt(np.where(qn == 0.0, 1.0, qn))[:, None]
+    n_c = corpus.count()
+    n_qc = max(1, -(-n_q // query_chunk_rows))
+    n_cc = max(1, -(-n_c // corpus_chunk_rows))
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            x = (
-                np.concatenate(pdf[vec_col].to_numpy())
-                .astype(np.float64)
-                .reshape(len(pdf), -1)
-            )
-            nn = np.zeros(len(x))
+    q_rep = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv_raw"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_qc)).alias("qc"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_cc - 1))).alias("cc"),
+    )
+    c_rep = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv_raw"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cc)).alias("cc"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_qc - 1))).alias("qc"),
+    )
+
+    def _norm_dim_ordered(m: np.ndarray) -> np.ndarray:
+        # dim-ordered normalization — bit-identical to l2_normalize
+        nn = np.zeros(len(m))
+        for d in range(m.shape[1]):
+            nn = nn + m[:, d] * m[:, d]
+        return m / np.sqrt(np.where(nn == 0.0, 1.0, nn))[:, None]
+
+    def score_block(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        ).astype(
+            {"query_id": np.int64, "neighbor_id": np.int64, "cos_sim": np.float64}
+        )
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        qids = qpdf["query_id"].to_numpy()
+        qm = _norm_dim_ordered(
+            np.concatenate(qpdf["qv_raw"].to_numpy())
+            .astype(np.float64)
+            .reshape(len(qpdf), -1)
+        )
+        cids = cpdf["neighbor_id"].to_numpy()
+        cm = _norm_dim_ordered(
+            np.concatenate(cpdf["cv_raw"].to_numpy())
+            .astype(np.float64)
+            .reshape(len(cpdf), -1)
+        )
+        dim = qm.shape[1]
+        out_q, out_n, out_s = [], [], []
+        # sub-block over queries bounds peak memory at 256x|c_block|
+        for lo in range(0, len(qids), 256):
+            qs = qm[lo : lo + 256]
+            scores = np.zeros((len(cids), len(qs)))
             for d in range(dim):
-                nn = nn + x[:, d] * x[:, d]
-            x = x / np.sqrt(np.where(nn == 0.0, 1.0, nn))[:, None]
-            # scores[i, j] accumulated in ascending dim order: the
-            # exact FP sequence of the scalar left-to-right fold
-            scores = np.zeros((len(x), len(qm)))
-            for d in range(dim):
-                scores = scores + np.outer(x[:, d], qm[:, d])
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(qm)):
+                scores = scores + np.outer(cm[:, d], qs[:, d])
+            for j in range(len(qs)):
                 col = scores[:, j]
-                mask = ids != qids[j]
-                cid, cs = ids[mask], col[mask]
+                mask = cids != qids[lo + j]
+                cid, cs = cids[mask], col[mask]
                 top = min(k, len(cid))
                 # total order (score desc, id asc) — same as the
-                # final window, so per-batch pruning is exact
+                # final window, so block pruning is exact
                 order = np.lexsort((cid, -cs))[:top]
-                out_q.append(np.full(top, qids[j]))
+                out_q.append(np.full(top, qids[lo + j]))
                 out_n.append(cid[order])
                 out_s.append(cs[order])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cos_sim": np.concatenate(out_s),
-                }
-            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
 
-    sims = corpus.select(id_col, vec_col).mapInPandas(
-        batches, schema="query_id long, neighbor_id long, cos_sim double"
+    sims = (
+        q_rep.groupby("qc", "cc")
+        .cogroup(c_rep.groupby("qc", "cc"))
+        .applyInPandas(
+            score_block,
+            schema="query_id long, neighbor_id long, cos_sim double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

