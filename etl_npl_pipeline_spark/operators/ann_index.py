@@ -829,17 +829,25 @@ def pq_query(
     n_qc = max(1, -(-n_q // query_chunk_rows))
     n_cc = max(1, -(-n_c // code_chunk_rows))
 
+    # Exploded chunk ids cast to long: pmod(xxhash64) is bigint, and a
+    # cogroup with int-vs-bigint key types on opposite sides partitions
+    # the same (qc, cc) cell differently, silently unpairing blocks
+    # (same bug class as brute_force_topk, fixed r11).
     q_rep = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv_raw"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_qc)).alias("qc"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_cc - 1))).alias("cc"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_cc - 1).cast("long"))
+        ).alias("cc"),
     )
     c_rep = codes.select(
         "neighbor_id",
         "codes",
         F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_cc)).alias("cc"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_qc - 1))).alias("qc"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_qc - 1).cast("long"))
+        ).alias("qc"),
     )
 
     def adc_block(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:

@@ -138,17 +138,27 @@ def brute_force_topk(
     n_qc = max(1, -(-n_q // query_chunk_rows))
     n_cc = max(1, -(-n_c // corpus_chunk_rows))
 
+    # Both grouping keys MUST be bigint on BOTH sides: pmod(xxhash64)
+    # yields bigint while explode(sequence(int literals)) yields int,
+    # and a cogroup whose sides disagree on key types hash-partitions
+    # the "same" (qc, cc) cell to different partitions — blocks arrive
+    # unpaired and the empty-side guard silently drops them (r10 bug:
+    # 1,194/1,299 cells lost at a forced 13x29 grid).
     q_rep = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv_raw"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_qc)).alias("qc"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_cc - 1))).alias("cc"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_cc - 1).cast("long"))
+        ).alias("cc"),
     )
     c_rep = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv_raw"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cc)).alias("cc"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_qc - 1))).alias("qc"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_qc - 1).cast("long"))
+        ).alias("qc"),
     )
 
     def _norm_dim_ordered(m: np.ndarray) -> np.ndarray:

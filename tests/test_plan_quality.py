@@ -86,10 +86,11 @@ def test_npl_base_join_prunes_columns(spark, sf_dir):
 
 def test_ann_topk_streams_corpus_no_pair_explosion(spark, sf_dir):
     plan = _formatted(llmdata.ann_topk(spark, sf_dir), execute=True)
-    # brute force is a mapInPandas matrix kernel: the query matrix
-    # rides in the closure, the corpus streams map-only, and no
-    # |Q| x |corpus| row product ever materializes
-    assert "MapInPandas" in plan
+    # brute force is a chunk-grid pandas cogroup: each (query-chunk,
+    # corpus-chunk) cell is scored as a numpy matrix block, so the
+    # transfer is chunk-granular replication and no |Q| x |corpus|
+    # row-level product ever materializes in the plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
