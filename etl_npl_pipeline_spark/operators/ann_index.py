@@ -210,16 +210,53 @@ class _commit_lock:
                     try:
                         os.kill(pid, 0)
                         alive = True
+                    except PermissionError:
+                        # EPERM: the holder exists but belongs to
+                        # another user — very much alive
+                        alive = True
                     except OSError:
                         alive = False
-                if alive:
+                if alive or not pid:
                     time.sleep(0.05)
                 else:
-                    # stale lock from a crashed holder: steal it
+                    # Stale lock from a crashed holder. Steal it
+                    # ATOMICALLY: rename the stale file to a
+                    # thief-unique name — rename(2) succeeds for
+                    # exactly ONE thief per inode-path pair, so two
+                    # waiters that both observed the dead pid cannot
+                    # both clear the path (the old unlink-based steal
+                    # let the second unlink delete the first thief's
+                    # freshly created lock → two concurrent manifest
+                    # writers). The loser's rename raises ENOENT and
+                    # it simply re-loops against the winner's lock.
+                    claim = f"{self.path}.stale.{pid}.{os.getpid()}"
                     try:
-                        os.unlink(self.path)
+                        os.rename(self.path, claim)
                     except OSError:
-                        pass
+                        continue
+                    # re-check the claimed file really is the lock we
+                    # judged dead (not a newer holder that reused the
+                    # path between our read and the rename)
+                    try:
+                        with open(claim) as fh:
+                            claimed_pid = int(fh.read().strip() or "0")
+                    except (OSError, ValueError):
+                        claimed_pid = 0
+                    if claimed_pid != pid:
+                        # we yanked a lock that changed hands between
+                        # our read and the rename — it may be a LIVE
+                        # holder's. Restore it with a NO-CLOBBER
+                        # link(2) (fails EEXIST instead of
+                        # overwriting a lock someone created in the
+                        # gap), then back off and re-contend.
+                        try:
+                            os.link(claim, self.path)
+                        except OSError:
+                            pass
+                        os.unlink(claim)
+                        time.sleep(0.05)
+                    else:
+                        os.unlink(claim)
 
     def __exit__(self, *exc) -> None:
         try:

@@ -466,3 +466,99 @@ def test_pq_query_corpus_as_queries_grid_invariance(spark, sf_dir):
     got = [tuple(r) for r in grid.collect()]
     want = [tuple(r) for r in single.collect()]
     assert got == want and len(got) > 0
+
+
+def _lock_contender(index_dir: str, counter_path: str, rounds: int) -> None:
+    # module-level so multiprocessing can pickle it (spawn-safe)
+    import time as _t
+
+    from etl_npl_pipeline_spark.operators.ann_index import _commit_lock
+
+    for _ in range(rounds):
+        with _commit_lock(index_dir):
+            with open(counter_path) as fh:
+                n = int(fh.read())
+            _t.sleep(0.002)  # widen the lost-update window
+            with open(counter_path, "w") as fh:
+                fh.write(str(n + 1))
+
+
+def test_commit_lock_stale_steal_is_single_winner(tmp_path):
+    """Two waiters that both observe a dead holder pid must not BOTH
+    clear the lock path (the r10 unlink-based steal let the second
+    unlink delete the first thief's fresh lock, yielding two
+    concurrent manifest writers). The rename-claim steal admits one
+    winner; a read-modify-write counter under contention loses no
+    updates."""
+    import multiprocessing as mp
+    import subprocess
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    # plant a stale lock owned by a genuinely dead pid
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(os.path.join(idx, "_COMMIT.lock"), "w") as fh:
+        fh.write(str(dead.pid))
+
+    procs = 6
+    rounds = 20
+    ctx = mp.get_context("spawn")
+    ps = [
+        ctx.Process(target=_lock_contender, args=(idx, counter, rounds))
+        for _ in range(procs)
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    with open(counter) as fh:
+        assert int(fh.read()) == procs * rounds
+    assert not os.path.exists(os.path.join(idx, "_COMMIT.lock"))
+
+
+def test_commit_lock_eperm_holder_is_treated_alive(tmp_path, monkeypatch):
+    """os.kill raising EPERM means the holder EXISTS under another
+    uid — the r10 code treated any OSError as dead and stole a live
+    lock. Now PermissionError must park the waiter, not steal."""
+    import threading
+
+    from etl_npl_pipeline_spark.operators import ann_index as ai
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    lock_path = os.path.join(idx, "_COMMIT.lock")
+    with open(lock_path, "w") as fh:
+        fh.write("12345")
+
+    real_kill = os.kill
+
+    def fake_kill(pid, sig):
+        if pid == 12345:
+            raise PermissionError("operation not permitted")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", fake_kill)
+
+    acquired = threading.Event()
+
+    def try_acquire():
+        with ai._commit_lock(idx):
+            acquired.set()
+
+    t = threading.Thread(target=try_acquire, daemon=True)
+    t.start()
+    t.join(timeout=1.0)
+    # still parked: the EPERM holder was NOT stolen
+    assert not acquired.is_set()
+    assert os.path.exists(lock_path)
+    with open(lock_path) as fh:
+        assert fh.read().strip() == "12345"
+    # release by the "other user": waiter proceeds promptly
+    os.unlink(lock_path)
+    t.join(timeout=5.0)
+    assert acquired.is_set()
