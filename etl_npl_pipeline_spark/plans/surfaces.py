@@ -487,23 +487,86 @@ PIPELINE_FULL_READ_SQL = _pipeline_sql()
 
 # --- X5: SQL-level table function (Spark 4 Python UDTF) -----------
 
-def sql_udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sql_udtf_sessionize(
+    spark: SparkSession, sf_dir: str, split_seconds: int | None = 3600
+) -> DataFrame:
     """X5 contract: per-user sessionization as a SQL TABLE FUNCTION —
     a Spark 4 Python UDTF consumed with
-    ``TABLE(v) PARTITION BY user_id ORDER BY (ts, event_id)``, the
+    ``TABLE(v) PARTITION BY ... ORDER BY (ts, event_id)``, the
     SQL-surface twin of the applyInPandasWithState sessionizer (ST2).
     Each partition streams through one UDTF instance in order
-    (constant memory per user: prev-ts + two counters); the engine
-    handles the partition shuffle and in-partition sort, so the
-    same class runs unchanged on a 1000-executor cluster. The gap
-    rule (> 300 s starts a new session) matches ST2, and the oracle
-    is the identical lag-based replay."""
+    (constant memory: prev-ts + counters); the engine handles the
+    partition shuffle and in-partition sort, so the same class runs
+    unchanged on a 1000-executor cluster. The gap rule (> 300 s
+    starts a new session) matches ST2, and the oracle is the
+    identical lag-based replay.
+
+    Hot-key mitigation (r11, VERDICT r9 #7): ``PARTITION BY
+    user_id`` alone concentrates a bot user (14 % of events in the
+    Zipfian probe) on ONE task, and the per-row Python eval makes
+    that task the straggler (×1.8 measured in sf1_skewed.json). With
+    ``split_seconds`` set (default 3600), the UDTF instead partitions
+    by ``(user_id, floor(epoch(ts)/split_seconds))`` — the hot user's
+    rows fan out across time buckets and all 32+ cores stream them in
+    parallel — and each instance emits a per-bucket summary
+    ``(sessions, events, first/last epoch)``. A JVM-side window then
+    merges bucket boundaries EXACTLY: consecutive non-empty buckets
+    whose gap ≤ 300 s belong to one session, so
+    ``sum(sessions) - sum(boundary_merges)`` reproduces the
+    unbucketed count bit-for-bit regardless of bucket width (a
+    session spanning empty buckets still meets its successor as the
+    next row in the first_e-ordered window). ``split_seconds=None``
+    restores the single-partition-per-user plan."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="user_id bigint, n_sessions int, n_events bigint")
-    class Sessionize:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+
+    if split_seconds is None:
+
+        @udtf(returnType="user_id bigint, n_sessions int, n_events bigint")
+        class Sessionize:
+            def __init__(self):
+                self.uid = None
+                self.prev = None
+                self.sessions = 0
+                self.events = 0
+
+            def eval(self, row):
+                ts = row["ts"].timestamp()
+                self.uid = row["user_id"]
+                if self.prev is None or ts - self.prev > 300.0:
+                    self.sessions += 1
+                self.prev = ts
+                self.events += 1
+
+            def terminate(self):
+                if self.uid is not None:
+                    yield (self.uid, self.sessions, self.events)
+
+        spark.udtf.register("sessionize_udtf", Sessionize)
+        ev.createOrReplaceTempView("udtf_events_v")
+        return spark.sql(
+            """
+            SELECT * FROM sessionize_udtf(
+                TABLE(udtf_events_v)
+                PARTITION BY user_id ORDER BY (ts, event_id)
+            )
+            ORDER BY user_id
+            """
+        )
+
+    @udtf(
+        returnType=(
+            "user_id bigint, first_e double, last_e double, "
+            "sessions int, events bigint"
+        )
+    )
+    class SessionizeBucket:
         def __init__(self):
             self.uid = None
+            self.first = None
             self.prev = None
             self.sessions = 0
             self.events = 0
@@ -511,6 +574,8 @@ def sql_udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             ts = row["ts"].timestamp()
             self.uid = row["user_id"]
+            if self.first is None:
+                self.first = ts
             if self.prev is None or ts - self.prev > 300.0:
                 self.sessions += 1
             self.prev = ts
@@ -518,20 +583,33 @@ def sql_udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def terminate(self):
             if self.uid is not None:
-                yield (self.uid, self.sessions, self.events)
+                yield (self.uid, self.first, self.prev,
+                       self.sessions, self.events)
 
-    spark.udtf.register("sessionize_udtf", Sessionize)
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id"
-    )
+    spark.udtf.register("sessionize_bucket_udtf", SessionizeBucket)
     ev.createOrReplaceTempView("udtf_events_v")
     return spark.sql(
-        """
-        SELECT * FROM sessionize_udtf(
-            TABLE(udtf_events_v)
-            PARTITION BY user_id ORDER BY (ts, event_id)
+        f"""
+        WITH b AS (
+            SELECT * FROM sessionize_bucket_udtf(
+                TABLE(SELECT user_id, ts, event_id,
+                             FLOOR(unix_timestamp(ts) / {int(split_seconds)})
+                                 AS bucket
+                      FROM udtf_events_v)
+                PARTITION BY (user_id, bucket) ORDER BY (ts, event_id)
+            )
+        ),
+        m AS (
+            SELECT user_id, sessions, events,
+                   CASE WHEN first_e - LAG(last_e) OVER (
+                            PARTITION BY user_id ORDER BY first_e
+                        ) <= 300.0 THEN 1 ELSE 0 END AS merged
+            FROM b
         )
-        ORDER BY user_id
+        SELECT user_id,
+               CAST(SUM(sessions) - SUM(merged) AS INT) AS n_sessions,
+               SUM(events) AS n_events
+        FROM m GROUP BY user_id ORDER BY user_id
         """
     )
 

@@ -31,6 +31,7 @@ SENSITIVE = [
     "stream_user_totals",
     "stream_session_window",
     "events_window_agg",
+    "sql_udtf_sessionize",
 ]
 
 
@@ -58,3 +59,28 @@ def skew_dir(tmp_path_factory, sf_dir):
 def test_hot_key_parity(name, spark, skew_dir):
     df = QUERIES[name](spark, skew_dir)
     assert_matches_oracle(df, ORACLES[name], skew_dir)
+
+
+def test_udtf_bucket_presplit_exact_across_widths(spark, skew_dir):
+    """The r11 hot-key mitigation buckets the UDTF partition key by
+    time and merges bucket boundaries in a JVM window. The merge is
+    EXACT for any bucket width — including widths SMALLER than the
+    300 s session gap, where one session spans several empty buckets
+    — so bucketed output must equal the unbucketed plan bit-for-bit."""
+    from etl_npl_pipeline_spark.plans.surfaces import sql_udtf_sessionize
+
+    base = [
+        tuple(r)
+        for r in sql_udtf_sessionize(
+            spark, skew_dir, split_seconds=None
+        ).collect()
+    ]
+    assert len(base) > 0
+    for width in (60, 3600):
+        got = [
+            tuple(r)
+            for r in sql_udtf_sessionize(
+                spark, skew_dir, split_seconds=width
+            ).collect()
+        ]
+        assert got == base, f"bucket width {width} diverged"
