@@ -68,6 +68,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_compacted_query": llmdata.ann_compacted_query,
         "dedup_image_phash": extras.dedup_image_phash,
         "vocab_bpe_train": llmdata.vocab_bpe_train,
+        "vocab_bpe_encode": llmdata.vocab_bpe_encode,
+        "ann_rp_topk": llmdata.ann_rp_topk,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -291,6 +293,11 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": llmdata.TEXT_LM_SCORE_SQL,
         "text_winnow": llmdata.TEXT_WINNOW_SQL,
         "ann_topk": llmdata.ANN_TOPK_SQL,
+        # ann_rp_topk (r11): the oracle embeds the SAME hash-seeded
+        # JL sign matrix as literals and replays projection +
+        # normalized dot in identical FP order — full value-hash
+        # parity despite the float pipeline
+        "ann_rp_topk": llmdata.ANN_RP_TOPK_SQL,
         "ann_index_build": llmdata.ANN_INDEX_BUILD_SQL,
         "ann_index_refresh": llmdata.ANN_INDEX_REFRESH_SQL,
         # ann_compacted_query (r10): full-probe IVF is exact, so the
@@ -306,6 +313,10 @@ def oracle_sql() -> dict[str, str]:
         # training loop as an unrolled V-stage CTE — every learned
         # merge and its count independently recomputed
         "vocab_bpe_train": llmdata.VOCAB_BPE_TRAIN_SQL,
+        # vocab_bpe_encode (r11): same unrolled replay, but the
+        # oracle tokenizes from the FINAL re-segmentation stage and
+        # independently re-counts token frequencies
+        "vocab_bpe_encode": llmdata.VOCAB_BPE_ENCODE_SQL,
         "text_scrub": llmdata.TEXT_SCRUB_SQL,
         "text_commonness": llmdata.TEXT_COMMONNESS_SQL,
         "data_split": llmdata.DATA_SPLIT_SQL,

@@ -434,7 +434,7 @@ def main() -> None:
     exact = pairs("ann_topk")
     recall = {
         name: round(len(exact & pairs(name)) / max(len(exact), 1), 4)
-        for name in ("ann_lsh", "ann_ivf", "ann_pq")
+        for name in ("ann_lsh", "ann_ivf", "ann_pq", "ann_rp_topk")
     }
 
     # Planted-pair precision/recall for the two rows-only dedup ops
@@ -456,6 +456,7 @@ def main() -> None:
         "ann_lsh": _ld.LSH_KNOBS,
         "ann_ivf": _ld.IVF_KNOBS,
         "ann_pq": _ld.PQ_KNOBS,
+        "ann_rp_topk": {"rp_dim": _ld.RP_DIM},
         "dedup_minhash": {
             "n_perm": _dd.N_PERM,
             "n_bands": _dd.N_BANDS,
@@ -481,6 +482,7 @@ def main() -> None:
     sf1_top30 = _load_sweep("sf1_top30.json")
     drift = _load_sweep("drift_adjudication.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
+    sf1_recall_grid = _load_sweep("sf1_recall_grid.json")
     adversarial = _load_sweep("adversarial_r7.json")
 
     # StreamingQueryProgress summaries captured by every drain this
@@ -533,6 +535,8 @@ def main() -> None:
         detail["drift_adjudication"] = drift
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
+    if sf1_recall_grid is not None:
+        detail["sf1_recall_grid"] = sf1_recall_grid
     if adversarial is not None:
         detail["adversarial_program"] = adversarial
     detail["streaming_progress"] = dict(DRAIN_PROGRESS)

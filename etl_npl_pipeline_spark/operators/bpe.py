@@ -75,11 +75,18 @@ def bpe_train(
     word_freq: DataFrame,
     n_merges: int,
     checkpoint_every: int = 8,
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Train ``n_merges`` BPE merges over a (w, freq) distinct-word
     table; returns the learned merge table
     (rank, lhs, rhs, merged, pair_count) — the tokenizer-training
     deliverable. Stops early when no pair remains (tiny corpora).
+
+    With ``return_state=True`` returns ``(merges, final_vocab)``
+    where final_vocab is the fully-merged segmented word table
+    (s, freq) — the corpus encoded under the learned tokenizer,
+    available for free at the end of training (the apply pass a
+    separate ``bpe_apply`` call would otherwise recompute).
 
     Cost model: each round is ONE Spark job (pair agg + TakeOrdered
     + a 1-row collect), so wall-clock is latency-bound at small
@@ -118,10 +125,13 @@ def bpe_train(
             # bound the chained-replace lineage (plan analysis cost
             # is linear in depth; re-execution would be quadratic)
             vocab = vocab.localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count long",
     )
+    if return_state:
+        return merges_df, vocab
+    return merges_df
 
 
 def bpe_apply(vocab_words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

@@ -1449,6 +1449,118 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
 
 
+# --- L67b/L68: random-projection compressed exact search -----------
+
+RP_DIM = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic Johnson-Lindenstrauss sign matrix (Achlioptas
+    2003, "Database-friendly random projections"): R[d][j] =
+    ±1/sqrt(RP_DIM), sign from the first hex digit of
+    md5("rp_{d}_{j}") — reproducible from the spec alone on any
+    system (no RNG state to ship), which is what lets the DuckDB
+    oracle embed the SAME matrix as literals. 1/sqrt(16) = 0.25 is
+    exactly representable, so the scaling is FP-exact on both
+    sides."""
+    import hashlib
+
+    return [
+        [
+            0.25
+            if int(hashlib.md5(f"rp_{d}_{j}".encode()).hexdigest()[0], 16) < 8
+            else -0.25
+            for j in range(RP_DIM)
+        ]
+        for d in range(64)
+    ]
+
+
+def _rp_project(emb_col: F.Column) -> F.Column:
+    """Project a 64-d float vector to RP_DIM doubles ENTIRELY in
+    JVM codegen — 16 left-associated multiply-add chains over the
+    sign literals, no Python worker in the hot path. Addition order
+    is ascending source dim, matching the generated SQL's
+    left-assoc `+` chain term for term, so the projected values are
+    bit-identical across engines."""
+    signs = _rp_signs()
+    outs = []
+    for j in range(RP_DIM):
+        expr = None
+        for d in range(64):
+            term = F.element_at(emb_col, d + 1).cast("double") * F.lit(
+                signs[d][j]
+            )
+            expr = term if expr is None else expr + term
+        outs.append(expr)
+    return F.array(*outs)
+
+
+def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68 (r11): EXACT top-k search in a compressed random-projection
+    space — the JL counterpart to PQ's codes: 64 float32 dims become
+    16 doubles (4x less score compute and candidate I/O),
+    search stays the plain chunked brute force. At 100 TB this is
+    the cheap first pass of a project→search→exact-rerank funnel;
+    the contract measures what the compressed space itself returns,
+    so the oracle can replay it exactly (the projection is
+    hash-seeded literals, not RNG state). Distance quality of the
+    16-d space vs the original is published by bench.py as
+    recall@5 against ann_topk."""
+    emb = _emb(spark, sf_dir)
+    proj = emb.select(
+        "vec_id", _rp_project(F.col("embedding")).alias("embedding")
+    )
+    queries = proj.where(F.col("vec_id") < ANN_N_QUERIES)
+    return S.brute_force_topk(queries, proj, k=ANN_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _rp_sql() -> str:
+    signs = _rp_signs()
+    comps = ", ".join(
+        " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({signs[d][j]})"
+            for d in range(64)
+        )
+        for j in range(RP_DIM)
+    )
+    ndot16 = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, {n}), i -> {a}[i] * {b}[i])),
+        (acc, x) -> acc + x)"""
+    return f"""
+WITH proj AS (
+    SELECT vec_id, [{comps}] AS pv FROM embeddings
+), nrm AS (
+    SELECT vec_id,
+           list_transform(pv,
+               x -> x / sqrt(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(pv, y -> y * y)),
+                   (acc, v) -> acc + v))) AS nv
+    FROM proj
+), sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {ndot16.format(n=RP_DIM + 1, a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {ANN_N_QUERIES}
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
+ANN_RP_TOPK_SQL = _rp_sql()
+
+
 # --- L7: LSH-bucketed ANN (rows-only) ------------------------------
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,13 +1953,86 @@ def _bpe_train_oracle_sql(n_merges: int) -> str:
         f" CAST(n AS BIGINT) AS pair_count FROM b{i}"
         for i in range(n_merges)
     )
+    # the final re-segmentation (merge n applied) — the train replay
+    # never needs it, but the ENCODE oracle selects tokens from it
+    stages.append(merge_stage.format(i=n_merges, prev=n_merges - 1))
     return (
-        "WITH " + ",\n".join(stages) + "\nSELECT * FROM (\n"
+        "WITH " + ",\n".join(stages[:-1]) + "\nSELECT * FROM (\n"
         + selects + "\n) ORDER BY rank"
+    ), ("WITH " + ",\n".join(stages), f"v{n_merges}")
+
+
+VOCAB_BPE_TRAIN_SQL = _bpe_train_oracle_sql(BPE_MERGES)[0]
+
+
+def _bpe_encode_oracle_sql(n_merges: int, top_n: int) -> str:
+    """Encode oracle: replay the same n_merges-stage training CTE,
+    then tokenize from the FINAL segmented vocab (v{n}) — token
+    corpus frequency weighted by word freq, plus the number of
+    distinct words containing the token (segmentation is injective,
+    so distinct s ≡ distinct w)."""
+    with_stages, final_v = _bpe_train_oracle_sql(n_merges)[1]
+    return f"""{with_stages}
+SELECT token,
+       CAST(SUM(freq) AS BIGINT) AS tok_freq,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_words
+FROM (
+    SELECT s, freq,
+           unnest(string_split(substr(s, 2, length(s) - 2),
+                               chr(1) || chr(1))) AS token
+    FROM {final_v}
+)
+GROUP BY token
+ORDER BY tok_freq DESC, token ASC
+LIMIT {top_n}
+"""
+
+
+BPE_ENCODE_MERGES = 25
+BPE_ENCODE_TOP = 30
+VOCAB_BPE_ENCODE_SQL = _bpe_encode_oracle_sql(BPE_ENCODE_MERGES, BPE_ENCODE_TOP)
+
+
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67 (r11): the tokenizer-APPLY deliverable — train
+    ``BPE_ENCODE_MERGES`` merges (half of L66's 50: the apply
+    mechanics don't change past that, and training wall-clock is
+    latency-bound per round), then tokenize the corpus with the
+    FROZEN merge list via ``bpe_apply`` (operators/bpe.py) — the
+    path a production pipeline runs per-shard against a published
+    tokenizer artifact. Output: the top-{BPE_ENCODE_TOP} learned
+    tokens by corpus frequency with the distinct-word counts
+    containing them.
+
+    Scale shape: the corpus is scanned once into the distinct-word
+    frequency table (Zipf-bounded); ``bpe_apply`` is ONE projection
+    of chained builtin replaces (codegen, no Python), so encoding
+    100 TB is a map-only pass over the vocab/shard — merges ship in
+    the plan as literals, exactly how a frozen tokenizer ships.
+    The DuckDB oracle independently re-derives all merges AND the
+    final segmentation via the unrolled CTE, then re-counts tokens.
+    """
+    from etl_npl_pipeline_spark.operators.bpe import SEP, bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).where((F.length("w") >= 2) & ~F.col("w").contains(SEP))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    merges = bpe_train(spark, wf, n_merges=BPE_ENCODE_MERGES)
+    pairs = [(r["lhs"], r["rhs"]) for r in merges.collect()]
+    toks = bpe_apply(wf, pairs).select(
+        "w", "freq", F.explode("tokens").alias("token")
     )
-
-
-VOCAB_BPE_TRAIN_SQL = _bpe_train_oracle_sql(BPE_MERGES)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.sum("freq").alias("tok_freq"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.desc("tok_freq"), F.asc("token"))
+        .limit(BPE_ENCODE_TOP)
+    )
 
 
 VOCAB_TOP_NGRAMS_SQL = f"""

@@ -119,3 +119,21 @@ def test_bpe_apply_tokenizes_with_learned_merges(spark):
     assert toks["lowest"] == ref_apply("lowest")
     assert toks["slow"] == ref_apply("slow")
     assert "".join(toks["lowest"]) == "lowest"
+
+def test_train_final_state_equals_frozen_apply(spark):
+    """bpe_train(return_state=True)'s final vocab must equal
+    re-applying the frozen merge list via bpe_apply — the two paths
+    a pipeline uses (train-side encode vs per-shard apply) cannot
+    diverge."""
+    wf = {"lower": 4, "lowest": 3, "low": 5, "banana": 2, "aab": 5}
+    merges_df, final = bpe_train(
+        spark, _wf_df(spark, wf), 6, return_state=True
+    )
+    merges = [(r.lhs, r.rhs) for r in merges_df.orderBy("rank").collect()]
+    applied = bpe_apply(_wf_df(spark, wf), merges)
+    got_final = sorted((r.s, r.freq) for r in final.collect())
+    got_apply = sorted(
+        ("\x01" + "\x01\x01".join(r.tokens) + "\x01", r.freq)
+        for r in applied.collect()
+    )
+    assert got_final == got_apply

@@ -39,6 +39,8 @@ QUERIES = entrymod.queries()
 # the six r7 sweep finds + neighbors on the same code paths
 SENSITIVE_EMPTY_TABLES = [
     "ann_topk",
+    "ann_rp_topk",
+    "vocab_bpe_encode",
     "vocab_coverage",
     "stream_session_window",
     "stream_stream_left_join",

@@ -481,3 +481,29 @@ def test_no_bnlj_or_cartesian_anywhere(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], f"BNLJ/cartesian in: {offenders}"
+
+
+def test_ann_rp_projection_stays_jvm_side(spark, sf_dir):
+    plan = _formatted(llmdata.ann_rp_topk(spark, sf_dir), execute=True)
+    # the JL projection is 16 codegen multiply-add chains over sign
+    # literals — a Python worker here (ArrowEvalPython) would put an
+    # Arrow round-trip in front of every scored vector at 100 TB
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # search itself is the chunked brute-force cogroup
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_bpe_encode_apply_is_single_projection(spark, sf_dir):
+    from etl_npl_pipeline_spark.operators.bpe import bpe_apply
+
+    words = spark.createDataFrame([("lowest",), ("slow",)], "w string")
+    plan = _formatted(
+        bpe_apply(words, [("l", "o"), ("lo", "w")]), execute=False
+    )
+    # frozen-merge tokenization must stay one map-only codegen
+    # projection: no exchange, no Python worker — that is what makes
+    # per-shard apply embarrassingly parallel at corpus scale
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan
