@@ -84,13 +84,26 @@ TIER_STREAM = [
     "stream_windowed_topk",
     "stream_anomaly_alerts",
 ]
-TIER_ANN = ["ann_index_build", "ann_lsh", "ann_pq", "ann_topk"]
+TIER_ANN = [
+    "ann_index_build",
+    "ann_lsh",
+    "ann_pq",
+    "ann_topk",
+    # r11 (VERDICT r10 #7): the r10/r11 additions get sf1 byte
+    # ratios too — compaction lifecycle, tokenizer train + frozen
+    # apply, JL-compressed exact search
+    "ann_compacted_query",
+    "ann_rp_topk",
+    "vocab_bpe_train",
+    "vocab_bpe_encode",
+]
 # the Arrow-media path: stdlib codecs inside mapInPandas. As of r8
 # the slices are doc_id % 1_000_000 < 50-100 — the same payload set
 # per REPLICA — so payload count scales linearly with sf (10x docs
 # at sf1, identical inputs at driver scales) and these ratios now
 # measure real codec-path data scaling, not just plan stability.
 TIER_MEDIA = [
+    "dedup_image_phash",
     "mm_decode_meta",
     "mm_decode_jpeg",
     "mm_audio_features",
