@@ -70,6 +70,9 @@ def queries() -> dict[str, QueryFn]:
         "vocab_bpe_train": llmdata.vocab_bpe_train,
         "vocab_bpe_encode": llmdata.vocab_bpe_encode,
         "ann_rp_topk": llmdata.ann_rp_topk,
+        "search_hybrid_rrf": llmdata.search_hybrid_rrf,
+        "data_stratified_sample": llmdata.data_stratified_sample,
+        "emb_pca": llmdata.emb_pca,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -101,6 +104,8 @@ def queries() -> dict[str, QueryFn]:
         "stream_session_window": extras.stream_session_window,
         "stream_stream_left_join": extras.stream_stream_left_join,
         "events_session_window": profiling.events_session_window,
+        # --- driver window boundary (50) ---
+        # rotated out by the r11 insertions (all have r10 evidence)
         "events_range_join": extras.events_range_join,
         "dedup_spans": llmdata.dedup_spans,
         "dedup_survivors": llmdata.dedup_survivors,
@@ -109,7 +114,6 @@ def queries() -> dict[str, QueryFn]:
         "data_cap_domains": llmdata.data_cap_domains,
         "data_pack": llmdata.data_pack,
         "data_shuffle": llmdata.data_shuffle,
-        # --- driver window boundary (50) ---
         # rotated out this round (fresh r8 driver evidence)
         "dedup_decontaminate": llmdata.dedup_decontaminate,
         "dedup_bloom": llmdata.dedup_bloom,
@@ -298,6 +302,17 @@ def oracle_sql() -> dict[str, str]:
         # normalized dot in identical FP order — full value-hash
         # parity despite the float pipeline
         "ann_rp_topk": llmdata.ANN_RP_TOPK_SQL,
+        # search_hybrid_rrf (r11): RRF fusion of the BM25 and dense
+        # top-20 lists; ranks assigned on 6-dp rounded scores with
+        # doc_id tie-break, so the fused rational is integer-exact
+        "search_hybrid_rrf": llmdata.SEARCH_HYBRID_RRF_SQL,
+        "data_stratified_sample": llmdata.DATA_STRATIFIED_SAMPLE_SQL,
+        # emb_pca (r11): the oracle re-derives the leading principal
+        # component from its own materialized 12-step power-iteration
+        # CTE chain (covariance rounded 6dp, iterates 9dp — both
+        # engines eigen-solve the same rounded matrix) and re-projects
+        # with the exact left-to-right fold
+        "emb_pca": llmdata.EMB_PCA_SQL,
         "ann_index_build": llmdata.ANN_INDEX_BUILD_SQL,
         "ann_index_refresh": llmdata.ANN_INDEX_REFRESH_SQL,
         # ann_compacted_query (r10): full-probe IVF is exact, so the

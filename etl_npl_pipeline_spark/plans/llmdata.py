@@ -4676,3 +4676,409 @@ SELECT trigram AS phrase, COUNT(DISTINCT doc_id) AS n_docs,
 FROM tri WHERE trigram = (SELECT trigram FROM top1)
 GROUP BY trigram
 """
+
+
+# --- L69: hybrid retrieval via reciprocal rank fusion -------------
+
+RRF_K = 60
+RRF_DEPTH = 20
+RRF_TOP = 10
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused with Reciprocal Rank
+    Fusion (Cormack et al. 2009): each retriever contributes
+    1/(RRF_K + rank) for the docs in its top-``RRF_DEPTH`` list, and
+    the fused score is the sum — the standard way hybrid search
+    engines (Elastic, Vespa, OpenSearch) combine BM25 with a vector
+    index without score calibration.
+
+    Scale shape — the whole point of RRF is that fusion happens on
+    the CANDIDATE LISTS, never the corpus:
+    - lexical list = ``search_bm25``'s plan unchanged (one tf
+      shuffle, TakeOrderedAndProject top-N);
+    - dense list = map-only cosine vs the broadcast query vector,
+      then TakeOrderedAndProject (map-side partial top-N, no global
+      sort; at 100 TB this is the scan-bound stage, and it prunes
+      to two columns);
+    - both lists are <= RRF_DEPTH rows -> the rank windows and the
+      full-outer fusion join run on driver-trivial data, planned as
+      a single tiny stage.
+    Ranks are assigned on the 6-dp ROUNDED retriever scores with
+    doc_id as total-order tie-break (the engine-stable top-k
+    contract), so rank — and therefore the fused score, a rational
+    in the ranks — is integer-deterministic; the fused score is
+    rounded to 9 only for display.
+    """
+    from pyspark.sql import Window
+
+    lex = (
+        search_bm25(spark, sf_dir)
+        .select("doc_id", "score")
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("lex_rank") <= RRF_DEPTH)
+        .select("doc_id", "lex_rank")
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == RAG_QUERY_VEC).select(
+        S.l2_normalize(F.col("embedding")).alias("qv")
+    )
+    dense_scored = (
+        emb.where(F.col("vec_id") != RAG_QUERY_VEC)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S.l2_normalize(F.col("embedding")).alias("nv"),
+        )
+        .withColumn("qv", qv.scalar())
+        .select(
+            "doc_id",
+            # JVM-side left-to-right fold (S.dot), not the Arrow
+            # pair_dot: this is a map-only corpus scan, and keeping
+            # it in codegen avoids a Python round-trip per vector
+            # while preserving the oracle's exact FP fold order
+            F.round(S.dot(F.col("nv"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+    )
+    dense = dense_scored.withColumn(
+        "dense_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "dense_rank")
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0)
+                ),
+                9,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )
+    return fused
+
+
+SEARCH_HYBRID_RRF_SQL = f"""
+WITH bm AS ({SEARCH_BM25_SQL}),
+lex AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+    FROM bm
+    QUALIFY lex_rank <= {RRF_DEPTH}
+),
+nrm AS ({_SQL_NORMED}),
+qv AS (SELECT nv FROM nrm WHERE vec_id = {RAG_QUERY_VEC}),
+dense_scored AS (
+    SELECT c.vec_id AS doc_id,
+           ROUND({_SQL_NDOT.format(a="c.nv", b="qv.nv")}, 6) AS cos_sim
+    FROM nrm c CROSS JOIN qv
+    WHERE c.vec_id <> {RAG_QUERY_VEC}
+    ORDER BY cos_sim DESC, doc_id LIMIT {RRF_DEPTH}
+),
+dense AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS dense_rank
+    FROM dense_scored
+)
+SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       lex_rank, dense_rank,
+       ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+             + COALESCE(1.0 / ({RRF_K} + dense_rank), 0), 9) AS rrf_score
+FROM lex FULL OUTER JOIN dense USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
+# --- L70: exact stratified sampling -------------------------------
+
+STRAT_N_PER = 5
+
+
+def data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: the first ``STRAT_N_PER`` docs per
+    (source, lang) stratum in md5(doc_id) hash order — the
+    evaluation-set / human-review draw of a curation pipeline.
+    ``df.sampleBy`` gives per-stratum Bernoulli FRACTIONS (count
+    varies run to run); training-data audits need exact-N,
+    deterministic, engine-independent draws, so the rank is a
+    row_number over the content hash (the ``data_split`` doctrine:
+    never rand(), a retry must not redraw the sample).
+
+    One shuffle total: the window's hash partition by stratum
+    assigns rank AND the stratum count in the same exchange, and the
+    per-stratum aggregate that follows reuses the partitioning
+    (Catalyst plans no second exchange). Skewed strata don't break
+    it — rank is a streaming window (sort-based, spillable), and the
+    output is one row per stratum. ``sample_id_sum`` pins WHICH rows
+    were drawn, not just how many.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source", "lang")
+    ranked = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n_total"),
+    )
+    return (
+        ranked.where(F.col("r") <= STRAT_N_PER)
+        .groupBy("source", "lang")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+            F.sum("doc_id").alias("sample_id_sum"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DATA_STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+    SELECT source, lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS r,
+           COUNT(*) OVER (PARTITION BY source, lang) AS n_total
+    FROM documents
+)
+SELECT source, lang,
+       MAX(n_total) AS n_total,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum
+FROM ranked WHERE r <= {STRAT_N_PER}
+GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+# --- L71: PCA top component via power iteration -------------------
+
+PCA_DIM = 64
+PCA_ITERS = 12
+
+
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus + the
+    per-label projection report — the embedding-drift / anisotropy
+    probe of a curation pipeline (a collapsed dominant direction is
+    the classic symptom of degenerate embeddings; per-label mean
+    projections show which slices sit where along it).
+
+    Three stages, sized for 100 TB:
+    1. DISTRIBUTED second moments: one pass computes all i<=j raw
+       moments S[i,j] = sum(x_i*x_j) (2,080 groups at d=64) via a
+       JVM HOF pair explode with map-side partial aggregation — the
+       shuffle carries O(d^2 * partitions) partial sums, never rows;
+       a second pass takes per-dim sums for the means. This is the
+       only data-sized work and it is scan-bound.
+    2. DRIVER eigensolve — a model artifact, the ivf/pq-codebook
+       pattern: covariance C = (S - N mu_i mu_j)/(N-1) (ROUNDed to
+       6dp — the determinism contract: both engines eigen-solve the
+       SAME rounded matrix), then PCA_ITERS fixed power-iteration
+       steps from v0 = 1/sqrt(d), each iterate rounded to 9dp, sign
+       fixed by the largest-|loading| dim (ties -> lowest dim).
+       Fixed iteration count, not a convergence test: the output is
+       "the 12th iterate", a well-defined value both engines reach
+       bit-identically, regardless of spectral gap.
+    3. DISTRIBUTED projection: the component ships back as a literal
+       array; proj = left-to-right JVM dot fold, aggregated per
+       label. The oracle re-derives the component INDEPENDENTLY from
+       its own unrolled CTE chain and re-projects — full value-hash
+       parity on an iterative linear-algebra pipeline.
+
+    Empty/degenerate inputs: N < 2 returns the empty relation (no
+    covariance exists), matching the oracle's WHERE n >= 2 guard.
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    d = PCA_DIM
+    v = F.col("embedding")
+    idx = F.sequence(F.lit(0), F.lit(d - 1))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(d - 1)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        (
+                            F.element_at(v, i.cast("int") + 1)
+                            * F.element_at(v, j.cast("int") + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+    ).alias("pr")
+    moments = (
+        emb.select(pair)
+        .groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
+        .agg(F.sum("pr.p").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sums = (
+        emb.select(
+            F.posexplode(v).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+        .collect()
+    )
+    if not moments or moments[0]["n"] < 2:
+        return spark.createDataFrame(
+            [],
+            "label int, n_vecs bigint, mean_proj double, "
+            "eigenvalue double, explained_ratio double",
+        )
+    n = moments[0]["n"]
+    mu = np.zeros(d)
+    for r in sums:
+        mu[r["i"]] = r["sx"] / n
+    C = np.zeros((d, d))
+    for r in moments:
+        cij = round((r["s"] - n * mu[r["i"]] * mu[r["j"]]) / (n - 1), 6)
+        C[r["i"], r["j"]] = cij
+        C[r["j"], r["i"]] = cij
+    vec = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(PCA_ITERS):
+        w = np.round(C @ vec, 9)
+        s = float(np.sqrt(np.sum(w * w)))
+        vec = np.round(w / (s if s != 0.0 else 1.0), 9)
+    # sign fix: the largest-|loading| dim (lowest dim on ties) points
+    # positive — same rule in the oracle's flip CTE
+    top = min(range(d), key=lambda i: (-abs(vec[i]), i))
+    if vec[top] < 0:
+        vec = -vec
+    lam = round(float(vec @ C @ vec), 6)
+    trace = float(np.trace(C))
+    explained = round(lam / trace, 6) if trace else 0.0
+    lit_v = F.array(*[F.lit(float(x)) for x in vec])
+    return (
+        emb.select(
+            "label",
+            F.round(S.dot(v, lit_v), 6).alias("proj"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("proj"), 6).alias("mean_proj"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "mean_proj",
+            F.lit(lam).alias("eigenvalue"),
+            F.lit(explained).alias("explained_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def _pca_oracle_sql() -> str:
+    d = PCA_DIM
+    it_ctes = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        it_ctes.append(
+            f"""w{k} AS MATERIALIZED (
+    SELECT cf.i, ROUND(SUM(cf.c * p.x), 9) AS x
+    FROM cfull cf JOIN {prev} p ON cf.j = p.i GROUP BY cf.i
+), v{k} AS MATERIALIZED (
+    SELECT i, ROUND(x / (CASE WHEN s = 0 THEN 1 ELSE s END), 9) AS x
+    FROM w{k} CROSS JOIN (SELECT sqrt(SUM(x * x)) AS s FROM w{k})
+)"""
+        )
+        prev = f"v{k}"
+    its = ",\n".join(it_ctes)
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), nn AS (SELECT COUNT(*) AS n FROM e),
+dims AS (SELECT unnest(range(1, {d + 1})) AS i),
+mu AS (
+    SELECT i, SUM(v[i]) / MAX(n) AS m
+    FROM e CROSS JOIN dims CROSS JOIN nn GROUP BY i
+),
+cov AS MATERIALIZED (
+    SELECT di.i AS i, dj.i AS j,
+           ROUND((SUM(e.v[di.i] * e.v[dj.i])
+                  - MAX(nn.n) * MAX(mi.m) * MAX(mj.m))
+                 / (MAX(nn.n) - 1), 6) AS c
+    FROM e CROSS JOIN dims di CROSS JOIN dims dj
+    JOIN mu mi ON mi.i = di.i JOIN mu mj ON mj.i = dj.i
+    CROSS JOIN nn
+    WHERE dj.i >= di.i AND nn.n >= 2
+    GROUP BY di.i, dj.i
+),
+cfull AS MATERIALIZED (
+    SELECT i, j, c FROM cov
+    UNION ALL
+    SELECT j AS i, i AS j, c FROM cov WHERE i < j
+),
+v0 AS (SELECT i, 1.0 / sqrt({d}.0) AS x FROM dims),
+{its},
+flip AS (
+    SELECT CASE WHEN (
+        SELECT x FROM v{PCA_ITERS} ORDER BY abs(x) DESC, i LIMIT 1
+    ) < 0 THEN -1.0 ELSE 1.0 END AS s
+),
+vf AS (SELECT i, x * s AS x FROM v{PCA_ITERS} CROSS JOIN flip),
+lam_ AS (
+    -- Rayleigh quotient v'Cv replayed in the same index order as
+    -- the driver's vec @ C @ vec (full matrix, arbitrary-order sum
+    -- rounded to 6)
+    SELECT ROUND(SUM(cf.c * vi.x * vj.x), 6) AS lam
+    FROM cfull cf JOIN vf vi ON vi.i = cf.i JOIN vf vj ON vj.i = cf.j
+),
+tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
+vlist AS (
+    -- the component as an ordered LIST so the projection replays
+    -- Spark's left-to-right zip_with/aggregate fold bit-identically
+    -- (arbitrary-order SUM flipped a 6dp rounding boundary at
+    -- sf0.001, label 8)
+    SELECT list(x ORDER BY i) AS xs FROM vf
+),
+proj AS (
+    SELECT e.vec_id, e.label,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, {d + 1}), i -> e.v[i] * vl.xs[i])),
+               (acc, t) -> acc + t), 6) AS p
+    FROM e CROSS JOIN vlist vl
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(p), 6) AS mean_proj,
+       (SELECT lam FROM lam_) AS eigenvalue,
+       (SELECT ROUND(lam / t, 6) FROM lam_ CROSS JOIN tr) AS explained_ratio
+FROM proj GROUP BY label ORDER BY label
+"""
+
+
+EMB_PCA_SQL = _pca_oracle_sql()

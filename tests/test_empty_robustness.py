@@ -40,6 +40,8 @@ QUERIES = entrymod.queries()
 SENSITIVE_EMPTY_TABLES = [
     "ann_topk",
     "ann_rp_topk",
+    "search_hybrid_rrf",
+    "data_stratified_sample",
     "vocab_bpe_encode",
     "vocab_coverage",
     "stream_session_window",

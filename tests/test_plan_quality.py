@@ -507,3 +507,42 @@ def test_bpe_encode_apply_is_single_projection(spark, sf_dir):
     # per-shard apply embarrassingly parallel at corpus scale
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_hybrid_rrf_fuses_candidate_lists_not_corpus(spark, sf_dir):
+    plan = _formatted(llmdata.search_hybrid_rrf(spark, sf_dir), execute=True)
+    # RRF's scale contract: fusion joins two <=RRF_DEPTH candidate
+    # lists, never corpus-sized relations — the dense side must cut
+    # to top-N via TakeOrderedAndProject (map-side partial top-k),
+    # not a global Sort feeding the join
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # whole pipeline is JVM-side: no Python worker anywhere
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+
+
+def test_stratified_sample_single_stratum_exchange(spark, sf_dir):
+    df = llmdata.data_stratified_sample(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # rank window, stratum count window, and the per-stratum
+    # aggregate all share the (source, lang) hash partitioning: ONE
+    # shuffle of row data (plus AQE's final tiny orderBy exchange).
+    # A second corpus-sized exchange would mean the window and the
+    # groupBy disagreed on partitioning.
+    body = plan.split("== Physical Plan ==")[-1]
+    n_exchanges = body.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, f"{n_exchanges} hash exchanges:\n{body}"
+    assert "ArrowEvalPython" not in plan
+
+
+def test_emb_pca_moments_stay_jvm_side(spark, sf_dir):
+    # the data-sized stage of PCA is the second-moment aggregation:
+    # a JVM HOF pair-explode with map-side partial aggregation — a
+    # Python worker or a row-pair join here would dominate at scale
+    df = llmdata.emb_pca(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
