@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_npl_pipeline_spark.plans import (
     corpus,
     extras,
+    ivm,
     lakehouse,
     llmdata,
     surfaces,
@@ -73,6 +74,9 @@ def queries() -> dict[str, QueryFn]:
         "search_hybrid_rrf": llmdata.search_hybrid_rrf,
         "data_stratified_sample": llmdata.data_stratified_sample,
         "emb_pca": llmdata.emb_pca,
+        "snapshot_diff": ivm.snapshot_diff,
+        "agg_incremental": ivm.agg_incremental,
+        "stream_agg_incremental": ivm.stream_agg_incremental,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -101,11 +105,11 @@ def queries() -> dict[str, QueryFn]:
         "data_token_budget": llmdata.data_token_budget,
         "stream_windowed_topk": extras.stream_windowed_topk,
         "stream_anomaly_alerts": extras.stream_anomaly_alerts,
+        # --- driver window boundary (50) ---
+        # rotated out by the r11 insertions (all have r10 evidence)
         "stream_session_window": extras.stream_session_window,
         "stream_stream_left_join": extras.stream_stream_left_join,
         "events_session_window": profiling.events_session_window,
-        # --- driver window boundary (50) ---
-        # rotated out by the r11 insertions (all have r10 evidence)
         "events_range_join": extras.events_range_join,
         "dedup_spans": llmdata.dedup_spans,
         "dedup_survivors": llmdata.dedup_survivors,
@@ -313,6 +317,16 @@ def oracle_sql() -> dict[str, str]:
         # engines eigen-solve the same rounded matrix) and re-projects
         # with the exact left-to-right fold
         "emb_pca": llmdata.EMB_PCA_SQL,
+        # snapshot_diff (r11): CDC change feed between two persisted
+        # snapshot versions, manifest-pruned to rewritten partitions;
+        # oracle replays the mutation batch on the base table
+        "snapshot_diff": ivm.SNAPSHOT_DIFF_SQL,
+        # agg_incremental (r11): algebraic IVM — merged partials must
+        # equal the oracle's from-scratch recompute
+        "agg_incremental": ivm.AGG_INCREMENTAL_SQL,
+        # stream_agg_incremental (r11): four real micro-batches of
+        # versioned partial-agg deltas; monoid merge == one-pass agg
+        "stream_agg_incremental": ivm.STREAM_AGG_INCREMENTAL_SQL,
         "ann_index_build": llmdata.ANN_INDEX_BUILD_SQL,
         "ann_index_refresh": llmdata.ANN_INDEX_REFRESH_SQL,
         # ann_compacted_query (r10): full-probe IVF is exact, so the

@@ -42,6 +42,8 @@ SENSITIVE_EMPTY_TABLES = [
     "ann_rp_topk",
     "search_hybrid_rrf",
     "data_stratified_sample",
+    "snapshot_diff",
+    "stream_agg_incremental",
     "vocab_bpe_encode",
     "vocab_coverage",
     "stream_session_window",
@@ -120,3 +122,21 @@ def test_empty_tables_parity(name, spark, empty_tables_dir):
 def test_empty_slices_parity(name, spark, empty_slices_dir):
     df = QUERIES[name](spark, empty_slices_dir)
     assert_matches_oracle(df, ORACLES[name], empty_slices_dir)
+
+
+def test_snapshot_diff_empty_orders(spark, tmp_path, sf_dir):
+    # 0-row orders: the manifest diff sees no partitions at all and
+    # the differ must return the typed empty relation rather than
+    # fail schema inference on a partitionless parquet dir
+    out = str(tmp_path)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+    con.execute(
+        f"""COPY (SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+             WHERE 1 = 0) TO '{out}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    assert_matches_oracle(
+        QUERIES["snapshot_diff"](spark, out), ORACLES["snapshot_diff"], out
+    )

@@ -546,3 +546,29 @@ def test_emb_pca_moments_stay_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_partition_pruning_and_key_join(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import ivm
+
+    df = ivm.snapshot_diff(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # the manifest-selected partition list must land in the parquet
+    # scan's PartitionFilters (untouched partitions: zero data read)
+    assert "PartitionFilters: [" in plan
+    assert plan.count("o_orderstatus") >= 2  # both snapshot scans
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_incremental_never_rescans_base(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import ivm
+
+    df = ivm.agg_incremental(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # the refresh plan reads the materialized STATE parquet plus the
+    # delta slice of lineitem — exactly one lineitem scan (the
+    # delta), never a second full-history pass
+    body = plan.split("== Physical Plan ==")[-1]
+    assert body.count("lineitem.parquet") == 1, body
+    assert "agg_incremental/state" in body
