@@ -77,6 +77,9 @@ def queries() -> dict[str, QueryFn]:
         "snapshot_diff": ivm.snapshot_diff,
         "agg_incremental": ivm.agg_incremental,
         "stream_agg_incremental": ivm.stream_agg_incremental,
+        "events_cep_pattern": profiling.events_cep_pattern,
+        "events_markov_transitions": profiling.events_markov_transitions,
+        "graph_label_prop": llmdata.graph_label_prop,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -102,11 +105,11 @@ def queries() -> dict[str, QueryFn]:
         "q22_global_sales": tpch_more.q22_global_sales,
         "rag_retrieve": llmdata.rag_retrieve,
         "search_phrase": llmdata.search_phrase,
+        # --- driver window boundary (50) ---
+        # rotated out by the r11 insertions (all have r10 evidence)
         "data_token_budget": llmdata.data_token_budget,
         "stream_windowed_topk": extras.stream_windowed_topk,
         "stream_anomaly_alerts": extras.stream_anomaly_alerts,
-        # --- driver window boundary (50) ---
-        # rotated out by the r11 insertions (all have r10 evidence)
         "stream_session_window": extras.stream_session_window,
         "stream_stream_left_join": extras.stream_stream_left_join,
         "events_session_window": profiling.events_session_window,
@@ -327,6 +330,14 @@ def oracle_sql() -> dict[str, str]:
         # stream_agg_incremental (r11): four real micro-batches of
         # versioned partial-agg deltas; monoid merge == one-pass agg
         "stream_agg_incremental": ivm.STREAM_AGG_INCREMENTAL_SQL,
+        # events_cep_pattern (r11): MATCH_RECOGNIZE/Flink-CEP analog —
+        # per-session regexp over the ordered type-initial sequence
+        "events_cep_pattern": profiling.EVENTS_CEP_PATTERN_SQL,
+        "events_markov_transitions": profiling.EVENTS_MARKOV_TRANSITIONS_SQL,
+        # graph_label_prop (r11): 3 unrolled synchronous rounds over
+        # the exact kNN graph, both engines derive graph AND rounds
+        # independently
+        "graph_label_prop": llmdata.GRAPH_LABEL_PROP_SQL,
         "ann_index_build": llmdata.ANN_INDEX_BUILD_SQL,
         "ann_index_refresh": llmdata.ANN_INDEX_REFRESH_SQL,
         # ann_compacted_query (r10): full-probe IVF is exact, so the

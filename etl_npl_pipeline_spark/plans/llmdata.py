@@ -5082,3 +5082,141 @@ FROM proj GROUP BY label ORDER BY label
 
 
 EMB_PCA_SQL = _pca_oracle_sql()
+
+
+# --- L72: semi-supervised label propagation on the kNN graph ------
+
+LP_K = 3
+LP_ROUNDS = 3
+LP_SEED_MOD = 5
+
+
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72: semi-supervised label propagation (Zhu & Ghahramani
+    2002, synchronous hard-label variant) over the embedding kNN
+    graph — the label-densification step of a curation pipeline
+    (propagate scarce human labels to the unlabeled bulk along
+    similarity edges), and the second composition proof for the
+    chunked exact verifier: the GRAPH comes from
+    ``brute_force_topk`` corpus-as-queries.
+
+    Semantics: seeds (vec_id % LP_SEED_MOD == 0) keep their true
+    label; each round every non-seed takes the majority label of its
+    LP_K nearest neighbors' previous-round labels (count desc, label
+    asc tie-break — integer-deterministic); nodes with no labeled
+    neighbor stay unlabeled that round. LP_ROUNDS fixed synchronous
+    rounds — the output is "round 3", well-defined on both engines.
+    Returns the (true label x propagated label) confusion matrix
+    with -1 for still-unlabeled — the label-quality report.
+
+    Scale: the kNN build is the chunked cogroup (no |Q|x|corpus| row
+    product); each round is one co-keyed edge⋈labels join (edges
+    3N rows, labels N rows, both hash-clustered on vec_id) plus a
+    vote aggregate and an argmax window on (node, label) groups.
+    Per-round volume is O(k·N) — the MLlib-iterative shape with a
+    3-round bound, no lineage growth worth checkpointing.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    edges = S.brute_force_topk(
+        emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding"
+    ).select(F.col("query_id").alias("dst"), F.col("neighbor_id").alias("src"))
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    seeds = F.col("vec_id") % LP_SEED_MOD == 0
+    labels = truth.select(
+        "vec_id",
+        F.when(seeds, F.col("true_label")).alias("lab"),
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(F.col("vec_id").alias("src"), "lab"), "src"
+            )
+            .where(F.col("lab").isNotNull())
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("vec_id"), F.col("lab").alias("blab"))
+        )
+        labels = (
+            truth.join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(seeds, F.col("true_label"))
+                .otherwise(F.col("blab"))
+                .alias("lab"),
+            )
+        )
+    return (
+        truth.join(labels, "vec_id")
+        .groupBy(
+            "true_label",
+            F.coalesce(F.col("lab"), F.lit(-1)).alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+def _label_prop_oracle_sql() -> str:
+    rounds = []
+    prev = "lp0"
+    for r in range(1, LP_ROUNDS + 1):
+        rounds.append(
+            f"""votes{r} AS MATERIALIZED (
+    SELECT e.dst, l.lab, COUNT(*) AS c
+    FROM edges e JOIN {prev} l ON l.vec_id = e.src
+    WHERE l.lab IS NOT NULL GROUP BY e.dst, l.lab
+), best{r} AS MATERIALIZED (
+    SELECT dst, lab FROM (
+        SELECT dst, lab, ROW_NUMBER() OVER (
+            PARTITION BY dst ORDER BY c DESC, lab ASC
+        ) AS rn FROM votes{r}
+    ) WHERE rn = 1
+), lp{r} AS MATERIALIZED (
+    SELECT t.vec_id,
+           CASE WHEN t.vec_id % {LP_SEED_MOD} = 0 THEN t.true_label
+                ELSE b.lab END AS lab
+    FROM truth t LEFT JOIN best{r} b ON b.dst = t.vec_id
+)"""
+        )
+        prev = f"lp{r}"
+    its = ",\n".join(rounds)
+    return f"""
+WITH nrm AS MATERIALIZED ({_SQL_NORMED}),
+sims AS MATERIALIZED (
+    SELECT q.vec_id AS dst, c.vec_id AS src,
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
+),
+edges AS MATERIALIZED (
+    SELECT dst, src FROM (
+        SELECT dst, src, ROW_NUMBER() OVER (
+            PARTITION BY dst ORDER BY cos_sim DESC, src ASC
+        ) AS rank FROM sims
+    ) WHERE rank <= {LP_K}
+),
+truth AS MATERIALIZED (
+    SELECT vec_id, label AS true_label FROM embeddings
+),
+lp0 AS MATERIALIZED (
+    SELECT vec_id,
+           CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN true_label END AS lab
+    FROM truth
+),
+{its}
+SELECT t.true_label,
+       COALESCE(l.lab, -1) AS pred_label,
+       COUNT(*) AS n
+FROM truth t JOIN lp{LP_ROUNDS} l ON l.vec_id = t.vec_id
+GROUP BY t.true_label, COALESCE(l.lab, -1)
+ORDER BY true_label, pred_label
+"""
+
+
+GRAPH_LABEL_PROP_SQL = _label_prop_oracle_sql()

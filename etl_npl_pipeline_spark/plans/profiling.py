@@ -521,3 +521,177 @@ SELECT hour_start,
        CAST(10000 * SUM(is_err) > 500 * COUNT(*) AS INT) AS sla_breach
 FROM h GROUP BY hour_start ORDER BY hour_start
 """
+
+
+# --- A48: CEP sequence-pattern matching over sessions -------------
+
+CEP_GAP_SEC = 300.0
+# view, then only views/clicks, then purchase — the conversion
+# pattern with no intervening error/signup
+CEP_PATTERN = "v[vc]*p"
+
+
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48: complex-event-processing pattern match (the
+    MATCH_RECOGNIZE / Flink-CEP capability re-expressed in
+    DataFrame algebra): per user session, does the ordered
+    event-type sequence contain ``view (view|click)* purchase``?
+
+    Shape: sessions and sequences come from ONE shuffle on user_id —
+    the gap-flag window assigns session ids, and the per-(user,
+    session) aggregation needs no second exchange because
+    HashPartitioning(user) already clusters (user, session)
+    (partitioning-is-subset-of-grouping; plan-pinned). The sequence
+    is an array_sort(collect_list(struct)) per session — O(session
+    length), bounded by the gap rule, never O(user history) — then
+    one regexp over the compact type-initial string (event types map
+    injectively to their first letters). Per-user rollup of matched
+    sessions is a tiny second aggregate on the same clustering.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("sec"),
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    sess = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec").over(w) > CEP_GAP_SEC, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    seqs = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("sec", "event_id", "ch")
+                        )
+                    ),
+                    lambda s: s.getField("ch"),
+                ),
+            ).alias("seq")
+        )
+    )
+    return (
+        seqs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.col("seq").rlike(CEP_PATTERN).cast("int")
+            ).alias("n_matched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_CEP_PATTERN_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id,
+           CAST(epoch(ts) AS DOUBLE) AS sec,
+           substr(event_type, 1, 1) AS ch
+    FROM events
+),
+marked AS (
+    SELECT *,
+           CASE WHEN sec - LAG(sec) OVER w > {CEP_GAP_SEC} THEN 1
+                ELSE 0 END AS new_session
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+    SELECT *,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM marked
+),
+seqs AS (
+    SELECT user_id, session_id,
+           string_agg(ch, '' ORDER BY sec, event_id) AS seq
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN regexp_matches(seq, '{CEP_PATTERN}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+FROM seqs GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- A49: Markov transition model over event sequences ------------
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49: first-order Markov transition matrix of user event
+    streams — P(next event type | current), the behavioral-model
+    featurizer (and the generator behind synthetic-session tools).
+    Transitions follow each user's (ts, event_id)-ordered stream
+    regardless of session boundaries (documented choice; the CEP
+    operator owns session semantics).
+
+    One shuffle on user_id for the lead window; the transition count
+    is a |types|^2-group aggregate (25 here) with map-side partials,
+    and the row-normalization runs as a window over that tiny
+    aggregate — no join, no second data-sized exchange.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("double").alias("sec"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    pairs = ev.withColumn(
+        "next_type", F.lead("event_type").over(w)
+    ).where(F.col("next_type").isNotNull())
+    counts = pairs.groupBy(
+        F.col("event_type").alias("et_from"),
+        F.col("next_type").alias("et_to"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "et_from",
+        "et_to",
+        "n",
+        F.round(
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("et_from")),
+            6,
+        ).alias("p"),
+    ).orderBy("et_from", "et_to")
+
+
+EVENTS_MARKOV_TRANSITIONS_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id, CAST(epoch(ts) AS DOUBLE) AS sec,
+           event_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS et_from,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+           ) AS et_to
+    FROM ev
+),
+counts AS (
+    SELECT et_from, et_to, COUNT(*) AS n
+    FROM pairs WHERE et_to IS NOT NULL GROUP BY et_from, et_to
+)
+SELECT et_from, et_to, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY et_from), 6) AS p
+FROM counts ORDER BY et_from, et_to
+"""

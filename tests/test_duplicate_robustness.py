@@ -37,6 +37,14 @@ SENSITIVE = [
     "q_rollup_region",
     "q_cube_status_priority",
     # tied timestamps through windows / sessions / medians / top-k
+    # (r11: CEP sequences and Markov transitions order by (sec,
+    # event_id) — the duplicated-timestamp build exercises exactly
+    # that tie-break; hybrid RRF exercises rank ties on duplicate
+    # texts; stratified sampling exercises doubled strata)
+    "events_cep_pattern",
+    "events_markov_transitions",
+    "search_hybrid_rrf",
+    "data_stratified_sample",
     "events_sessionize",
     "events_median",
     "events_windowed_topk",

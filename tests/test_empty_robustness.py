@@ -44,6 +44,9 @@ SENSITIVE_EMPTY_TABLES = [
     "data_stratified_sample",
     "snapshot_diff",
     "stream_agg_incremental",
+    "events_cep_pattern",
+    "events_markov_transitions",
+    "graph_label_prop",
     "vocab_bpe_encode",
     "vocab_coverage",
     "stream_session_window",

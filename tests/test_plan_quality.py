@@ -572,3 +572,39 @@ def test_agg_incremental_never_rescans_base(spark, sf_dir):
     body = plan.split("== Physical Plan ==")[-1]
     assert body.count("lineitem.parquet") == 1, body
     assert "agg_incremental/state" in body
+
+
+def test_cep_pattern_single_user_exchange(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import profiling as prof
+
+    df = prof.events_cep_pattern(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    body = plan.split("== Physical Plan ==")[-1]
+    # session window, per-(user,session) sequence aggregate, and the
+    # per-user rollup all cluster on user_id: HashPartitioning(user)
+    # satisfies ClusteredDistribution(user, session), so the whole
+    # pipeline needs at most ONE data-sized hash exchange
+    assert body.count("Exchange hashpartitioning") <= 1, body
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_no_data_sized_second_exchange(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import profiling as prof
+
+    df = prof.events_markov_transitions(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_prop_uses_chunked_cogroup_not_pair_join(spark, sf_dir):
+    df = llmdata.graph_label_prop(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # the kNN graph must come from the chunked brute-force cogroup —
+    # a row-level |V|x|V| join or cartesian here would be the exact
+    # scale bug the chunk grid exists to avoid
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -48,6 +48,13 @@ EXCLUDE = {
     # blocking-recall probe of 1.0; oracle equality driver-checked
     # at sf0.01)
     "dedup_simhash",
+    # r11: the label-prop oracle derives the exact kNN graph by
+    # all-pairs cosine in DuckDB (50k x 50k x 64-dim list_reduce at
+    # sf1 = 1.6e11 lambda evals) — oracle-cost exclusion only; the
+    # Spark side builds the graph with the chunked brute-force
+    # cogroup, whose sf1 behavior is measured in the recall grid and
+    # byte-linearity harnesses
+    "graph_label_prop",
     # streaming drains: the oracle replays the same batch logic the
     # batch twin already checks; sf1 drain timing/plan behavior is
     # covered by tools_bench_sf1's stream tier
