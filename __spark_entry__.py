@@ -80,6 +80,9 @@ def queries() -> dict[str, QueryFn]:
         "events_cep_pattern": profiling.events_cep_pattern,
         "events_markov_transitions": profiling.events_markov_transitions,
         "graph_label_prop": llmdata.graph_label_prop,
+        "events_ab_test": profiling.events_ab_test,
+        "q_cohort_ltv": profiling.q_cohort_ltv,
+        "text_line_boilerplate": llmdata.text_line_boilerplate,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -102,11 +105,11 @@ def queries() -> dict[str, QueryFn]:
         "text_tfidf": llmdata.text_tfidf,
         "search_bm25": llmdata.search_bm25,
         "q11_important_parts": tpch_rest.q11_important_parts,
+        # --- driver window boundary (50) ---
+        # rotated out by the r11 insertions (all have r10 evidence)
         "q22_global_sales": tpch_more.q22_global_sales,
         "rag_retrieve": llmdata.rag_retrieve,
         "search_phrase": llmdata.search_phrase,
-        # --- driver window boundary (50) ---
-        # rotated out by the r11 insertions (all have r10 evidence)
         "data_token_budget": llmdata.data_token_budget,
         "stream_windowed_topk": extras.stream_windowed_topk,
         "stream_anomaly_alerts": extras.stream_anomaly_alerts,
@@ -338,6 +341,13 @@ def oracle_sql() -> dict[str, str]:
         # the exact kNN graph, both engines derive graph AND rounds
         # independently
         "graph_label_prop": llmdata.GRAPH_LABEL_PROP_SQL,
+        # events_ab_test (r11): two-proportion z on a deterministic
+        # split; try_divide mirrors DuckDB's x/0.0 -> NULL
+        "events_ab_test": profiling.EVENTS_AB_TEST_SQL,
+        "q_cohort_ltv": profiling.Q_COHORT_LTV_SQL,
+        # text_line_boilerplate (r11): planted-footer line-frequency
+        # strip with a corpus-scaled threshold
+        "text_line_boilerplate": llmdata.TEXT_LINE_BOILERPLATE_SQL,
         "ann_index_build": llmdata.ANN_INDEX_BUILD_SQL,
         "ann_index_refresh": llmdata.ANN_INDEX_REFRESH_SQL,
         # ann_compacted_query (r10): full-probe IVF is exact, so the

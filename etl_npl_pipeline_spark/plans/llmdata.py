@@ -5220,3 +5220,116 @@ ORDER BY true_label, pred_label
 
 
 GRAPH_LABEL_PROP_SQL = _label_prop_oracle_sql()
+
+
+# --- L73: cross-document line-level boilerplate removal -----------
+
+BP_MIN_FLOOR = 5
+BP_MIN_FRAC = 0.02
+
+
+def text_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L73: line-level boilerplate detection/removal — the C4/Dolma
+    cleanup step that strips cookie banners and nav footers: a LINE
+    that recurs across many distinct documents is template, not
+    content. The fixture plants two footer lines on deterministic
+    doc slices (the text_scrub pattern: doc_id % 3 -> footer A,
+    doc_id % 5 -> footer B, both when both divide), and every
+    original text participates as a candidate line too, so the
+    doc-frequency pass runs over real data plus known planted truth.
+
+    Spark shape: split('\\n') -> posexplode, line doc-frequency =
+    one groupBy on the line text with a DISTINCT doc count (the
+    line-key shuffle; at 100 TB this is the classic boilerplate-
+    frequency job and the only data-sized exchange apart from the
+    final per-doc rollup); boilerplate lines (df >= BP_MIN_DOCS)
+    join back by line key — co-keyed, no broadcast of an unbounded
+    set — and the per-doc report aggregates kept/stripped chars.
+    Output: the per-doc rows that HAD boilerplate (doc_id < 200
+    slice), with the cleaned char count proving the strip.
+    """
+    docs = _docs(spark, sf_dir)
+    fa = F.lit("subscribe to our newsletter for updates")
+    fb = F.lit("all rights reserved contact legal team")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), fa))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), fb))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    lines = dirty.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("ln", "line"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    thresh = F.greatest(
+        F.lit(BP_MIN_FLOOR),
+        F.floor(F.lit(BP_MIN_FRAC) * n_docs.scalar()).cast("int"),
+    )
+    dfreq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("line_df")
+    )
+    flagged = lines.join(dfreq, "line").select(
+        "doc_id",
+        "ln",
+        F.length("line").alias("n_chars"),
+        (F.col("line_df") >= thresh).cast("int").alias("is_bp"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("is_bp").alias("n_bp_lines"),
+            F.sum(
+                F.when(F.col("is_bp") == 0, F.col("n_chars")).otherwise(0)
+            ).alias("clean_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .where((F.col("n_bp_lines") > 0) & (F.col("doc_id") < 200))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LINE_BOILERPLATE_SQL = f"""
+WITH dirty AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'subscribe to our newsletter for updates'
+              ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'all rights reserved contact legal team'
+              ELSE '' END AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+    FROM dirty
+),
+dfreq AS (
+    SELECT line, COUNT(DISTINCT doc_id) AS line_df
+    FROM lines GROUP BY line
+),
+flagged AS (
+    SELECT l.doc_id, length(l.line) AS n_chars,
+           CASE WHEN d.line_df >= GREATEST({BP_MIN_FLOOR},
+                CAST(FLOOR({BP_MIN_FRAC} * (SELECT COUNT(*) FROM documents))
+                     AS INT))
+                THEN 1 ELSE 0 END AS is_bp
+    FROM lines l JOIN dfreq d USING (line)
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(is_bp) AS BIGINT) AS n_bp_lines,
+       CAST(SUM(CASE WHEN is_bp = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS clean_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM flagged
+GROUP BY doc_id
+HAVING SUM(is_bp) > 0 AND doc_id < 200
+ORDER BY doc_id
+"""

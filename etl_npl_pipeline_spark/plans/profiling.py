@@ -695,3 +695,175 @@ SELECT et_from, et_to, n,
        ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY et_from), 6) AS p
 FROM counts ORDER BY et_from, et_to
 """
+
+
+# --- A50: A/B experiment readout ----------------------------------
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50: two-variant experiment readout — the experimentation-
+    platform primitive. Deterministic assignment (variant =
+    user_id % 2 — hash-stable, the data_split doctrine: never
+    rand()), per-user conversion = "did the user purchase at all",
+    then the two-proportion z statistic on the variant split.
+
+    Conversion = "purchase value total > 600.005" (the .005 offset
+    sits between the 2-decimal value grid points, so the float cut
+    can never straddle an engine-rounding boundary); "ever
+    purchased" would be degenerate here (every user buys -> pooled
+    rate 1 -> zero variance). Shape: one user-level aggregate
+    (single shuffle on user_id, map-side partials), then a 2-row
+    variant rollup; the z-score attaches via a scalar struct
+    subquery over the 2x2 integer table — no join node. try_divide
+    mirrors DuckDB's x/0.0 -> NULL, so a degenerate split reads as
+    NULL rather than an ANSI abort.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            F.col("event_type") == "purchase", F.col("value").cast("double")
+        ).otherwise(F.lit(0.0)).alias("pv"),
+    )
+    users = ev.groupBy("user_id").agg(
+        (F.round(F.sum("pv"), 6) > 600.005).cast("int").alias("converted")
+    )
+    var = (
+        users.groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_conv"),
+        )
+    )
+    # pooled two-proportion z: all inputs are the 2x2 integer table,
+    # assembled driver-free via a scalar struct subquery
+    tot = var.agg(
+        F.sum("n_users").alias("n"),
+        F.sum("n_conv").alias("c"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+    ).select(F.struct("n", "c", "c0", "n0", "c1", "n1").alias("s"))
+    t = tot.scalar()
+    p0 = t.getField("c0") / t.getField("n0")
+    p1 = t.getField("c1") / t.getField("n1")
+    pp = t.getField("c") / t.getField("n")
+    z = F.try_divide(
+        p1 - p0,
+        F.sqrt(
+            pp * (1.0 - pp)
+            * (1.0 / t.getField("n0") + 1.0 / t.getField("n1"))
+        ),
+    )
+    return (
+        var.select(
+            "variant",
+            "n_users",
+            "n_conv",
+            F.round(F.col("n_conv") / F.col("n_users"), 6).alias(
+                "conv_rate"
+            ),
+            F.round(z, 6).alias("z_score"),
+        )
+        .orderBy("variant")
+    )
+
+
+EVENTS_AB_TEST_SQL = """
+WITH users AS (
+    SELECT user_id,
+           CASE WHEN ROUND(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DOUBLE) ELSE 0.0 END), 6)
+                     > 600.005
+                THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+),
+var AS (
+    SELECT user_id % 2 AS variant,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_conv
+    FROM users GROUP BY user_id % 2
+),
+tot AS (
+    SELECT SUM(n_users) AS n, SUM(n_conv) AS c,
+           SUM(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+           SUM(CASE WHEN variant = 0 THEN n_users END) AS n0,
+           SUM(CASE WHEN variant = 1 THEN n_conv END) AS c1,
+           SUM(CASE WHEN variant = 1 THEN n_users END) AS n1
+    FROM var
+)
+SELECT variant, n_users, n_conv,
+       ROUND(CAST(n_conv AS DOUBLE) / n_users, 6) AS conv_rate,
+       ROUND((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+             / sqrt((CAST(c AS DOUBLE)/n) * (1.0 - CAST(c AS DOUBLE)/n)
+                    * (1.0/n0 + 1.0/n1)), 6) AS z_score
+FROM var CROSS JOIN tot ORDER BY variant
+"""
+
+
+# --- A51: customer cohort LTV matrix ------------------------------
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51: cohort lifetime-value matrix — customers grouped by
+    first-order quarter, revenue tracked by quarter offset since
+    acquisition (the BI retention/LTV view every warehouse serves).
+
+    Shape: the acquisition quarter is a min-over-window on ONE
+    o_custkey shuffle; the (cohort, offset) rollup reuses no row
+    data beyond (custkey, quarter, price) and aggregates to
+    |quarters|^2 cells with map-side partials. Revenue rounds at 2dp
+    (the money contract); active-customer counts are exact distinct
+    per cell.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.year("o_orderdate") * 4
+         + (F.quarter("o_orderdate") - 1)).alias("qn"),
+    )
+    w = Window.partitionBy("o_custkey")
+    coh = o.withColumn("cohort_qn", F.min("qn").over(w))
+    return (
+        coh.groupBy(
+            "cohort_qn",
+            (F.col("qn") - F.col("cohort_qn")).alias("q_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .select(
+            F.concat(
+                F.floor(F.col("cohort_qn") / 4).cast("int").cast("string"),
+                F.lit("Q"),
+                ((F.col("cohort_qn") % 4) + 1).cast("string"),
+            ).alias("cohort"),
+            "q_offset",
+            "n_active",
+            "revenue",
+        )
+        .orderBy("cohort", "q_offset")
+    )
+
+
+Q_COHORT_LTV_SQL = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           year(o_orderdate) * 4 + (quarter(o_orderdate) - 1) AS qn
+    FROM orders
+),
+coh AS (
+    SELECT *, MIN(qn) OVER (PARTITION BY o_custkey) AS cohort_qn
+    FROM o
+)
+SELECT CAST(CAST(FLOOR(cohort_qn / 4) AS INT) AS VARCHAR) || 'Q'
+           || CAST((cohort_qn % 4) + 1 AS VARCHAR) AS cohort,
+       qn - cohort_qn AS q_offset,
+       COUNT(DISTINCT o_custkey) AS n_active,
+       ROUND(SUM(price), 2) AS revenue
+FROM coh
+GROUP BY cohort_qn, qn - cohort_qn
+ORDER BY cohort, q_offset
+"""

@@ -47,6 +47,8 @@ SENSITIVE_EMPTY_TABLES = [
     "events_cep_pattern",
     "events_markov_transitions",
     "graph_label_prop",
+    "events_ab_test",
+    "text_line_boilerplate",
     "vocab_bpe_encode",
     "vocab_coverage",
     "stream_session_window",

@@ -608,3 +608,26 @@ def test_label_prop_uses_chunked_cogroup_not_pair_join(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ab_test_single_user_shuffle_no_join(spark, sf_dir):
+    from etl_npl_pipeline_spark.plans import profiling as prof
+
+    df = prof.events_ab_test(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # the 2x2 table attaches as a scalar struct subquery folded into
+    # the projection — a join node here would shuffle the variant
+    # rollup for two rows
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_threshold_is_scalar_subquery(spark, sf_dir):
+    df = llmdata.text_line_boilerplate(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # corpus size folds in as a scalar subquery; the boilerplate set
+    # joins back by line key (co-keyed) — no BNLJ, no Python
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -112,8 +112,27 @@ TIER_MEDIA = [
     "mm_frame_sample",
 ]
 
+# r11 additions: retrieval fusion, PCA moments, the kNN label-prop
+# graph (chunked brute force corpus-as-queries at 50k nodes), line
+# boilerplate, snapshot CDC diff, CEP sessions, batch + streaming IVM
+TIER_R11 = [
+    "search_hybrid_rrf",
+    "emb_pca",
+    "graph_label_prop",
+    "text_line_boilerplate",
+    "snapshot_diff",
+    "agg_incremental",
+    "stream_agg_incremental",
+    "events_cep_pattern",
+    "events_markov_transitions",
+    "q_cohort_ltv",
+    "events_ab_test",
+    "data_stratified_sample",
+]
+
 ALL_QUERIES = (
     TOP10 + TIER_DEDUP + TIER_TEXT + TIER_STREAM + TIER_ANN + TIER_MEDIA
+    + TIER_R11
 )
 
 
@@ -300,6 +319,7 @@ def main() -> None:
         "dedup": TIER_DEDUP,
         "text": TIER_TEXT,
         "stream": TIER_STREAM,
+        "r11": TIER_R11,
         "ann": TIER_ANN,
         "media": TIER_MEDIA,
     }
