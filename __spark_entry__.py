@@ -71,6 +71,7 @@ def queries() -> dict[str, QueryFn]:
         "vocab_bpe_train": llmdata.vocab_bpe_train,
         "vocab_bpe_encode": llmdata.vocab_bpe_encode,
         "ann_rp_topk": llmdata.ann_rp_topk,
+        "ann_rp_rerank": llmdata.ann_rp_rerank,
         "search_hybrid_rrf": llmdata.search_hybrid_rrf,
         "data_stratified_sample": llmdata.data_stratified_sample,
         "emb_pca": llmdata.emb_pca,
@@ -104,9 +105,9 @@ def queries() -> dict[str, QueryFn]:
         "src_rest_pages": extras.src_rest_pages,
         "text_tfidf": llmdata.text_tfidf,
         "search_bm25": llmdata.search_bm25,
-        "q11_important_parts": tpch_rest.q11_important_parts,
         # --- driver window boundary (50) ---
         # rotated out by the r11 insertions (all have r10 evidence)
+        "q11_important_parts": tpch_rest.q11_important_parts,
         "q22_global_sales": tpch_more.q22_global_sales,
         "rag_retrieve": llmdata.rag_retrieve,
         "search_phrase": llmdata.search_phrase,
@@ -312,6 +313,9 @@ def oracle_sql() -> dict[str, str]:
         # normalized dot in identical FP order — full value-hash
         # parity despite the float pipeline
         "ann_rp_topk": llmdata.ANN_RP_TOPK_SQL,
+        # ann_rp_rerank (r11): the completed JL funnel — projected
+        # top-800 overfetch (bit-identical fold) + exact 64-d rerank
+        "ann_rp_rerank": llmdata.ANN_RP_RERANK_SQL,
         # search_hybrid_rrf (r11): RRF fusion of the BM25 and dense
         # top-20 lists; ranks assigned on 6-dp rounded scores with
         # doc_id tie-break, so the fused rational is integer-exact

@@ -26,6 +26,24 @@ import __spark_entry__ as entrymod  # noqa: E402
 from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # r11 additions: retrieval fusion + JL funnel, PCA, IVM family,
+    # CEP/Markov/AB/cohort analytics, stratified sampling, label
+    # propagation, line boilerplate, BPE frozen-apply
+    "search_hybrid_rrf",
+    "ann_rp_topk",
+    "ann_rp_rerank",
+    "vocab_bpe_encode",
+    "emb_pca",
+    "graph_label_prop",
+    "data_stratified_sample",
+    "text_line_boilerplate",
+    "snapshot_diff",
+    "agg_incremental",
+    "stream_agg_incremental",
+    "events_cep_pattern",
+    "events_markov_transitions",
+    "events_ab_test",
+    "q_cohort_ltv",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -434,7 +452,13 @@ def main() -> None:
     exact = pairs("ann_topk")
     recall = {
         name: round(len(exact & pairs(name)) / max(len(exact), 1), 4)
-        for name in ("ann_lsh", "ann_ivf", "ann_pq", "ann_rp_topk")
+        for name in (
+            "ann_lsh",
+            "ann_ivf",
+            "ann_pq",
+            "ann_rp_topk",
+            "ann_rp_rerank",
+        )
     }
 
     # Planted-pair precision/recall for the two rows-only dedup ops
@@ -457,6 +481,10 @@ def main() -> None:
         "ann_ivf": _ld.IVF_KNOBS,
         "ann_pq": _ld.PQ_KNOBS,
         "ann_rp_topk": {"rp_dim": _ld.RP_DIM},
+        "ann_rp_rerank": {
+            "rp_dim": _ld.RP_DIM,
+            "overfetch": _ld.RP_OVERFETCH,
+        },
         "dedup_minhash": {
             "n_perm": _dd.N_PERM,
             "n_bands": _dd.N_BANDS,

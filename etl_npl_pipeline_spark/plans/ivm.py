@@ -200,17 +200,30 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics must come from partials, never averaged averages).
     The oracle recomputes the whole rollup from scratch; equality IS
     the IVM correctness statement.
+
+    Money stays EXACT DECIMAL through both aggregation stages (the
+    functions.exact contract): a double revenue sum at sf1 reaches
+    ~5e9 where the two-stage partial merge reorders more additions
+    than the oracle's single pass, and the accumulated ulp error
+    crossed a 2-dp rounding boundary (sf1 harness caught it —
+    rows matched, two cells off by 0.01). Decimal partials make the
+    merge bit-exact at every scale; the cast to double happens once,
+    on the exact total.
     """
+    from etl_npl_pipeline_spark.functions.exact import money, rate
+
+    one = F.lit(1).cast("decimal(4,2)")
     li = load_table(spark, sf_dir, "lineitem").select(
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
-        (
-            F.col("l_extendedprice").cast("double")
-            * (1.0 - F.col("l_discount").cast("double"))
-        ).alias("rev"),
+        (money("l_extendedprice") * (one - rate("l_discount"))).alias(
+            "rev"
+        ),
     )
     shutil.rmtree(_IVM_TMP, ignore_errors=True)
 
     def partials(df: DataFrame) -> DataFrame:
+        # p_sum stays decimal in the persisted state — parquet
+        # round-trips the exact type, so the merge adds decimals
         return df.groupBy("ship_month").agg(
             F.sum("rev").alias("p_sum"), F.count(F.lit(1)).alias("p_n")
         )
@@ -226,23 +239,27 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("p_sum").alias("s"), F.sum("p_n").alias("n_items"))
         .select(
             "ship_month",
-            F.round(F.col("s"), 2).alias("revenue"),
+            F.col("s").cast("double").alias("revenue"),
             "n_items",
-            F.round(F.col("s") / F.col("n_items"), 6).alias("avg_rev"),
+            F.round(
+                F.col("s").cast("double") / F.col("n_items"), 6
+            ).alias("avg_rev"),
         )
         .orderBy("ship_month")
     )
     return merged
 
 
-AGG_INCREMENTAL_SQL = """
+_SQL_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+AGG_INCREMENTAL_SQL = f"""
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                 * (1.0 - CAST(l_discount AS DOUBLE))), 2) AS revenue,
+       CAST(SUM({_SQL_DISC}) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items,
-       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                 * (1.0 - CAST(l_discount AS DOUBLE)))
-             / COUNT(*), 6) AS avg_rev
+       ROUND(CAST(SUM({_SQL_DISC}) AS DOUBLE) / COUNT(*), 6) AS avg_rev
 FROM lineitem
 GROUP BY ship_month ORDER BY ship_month
 """

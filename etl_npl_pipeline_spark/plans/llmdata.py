@@ -1476,24 +1476,31 @@ def _rp_signs() -> list[list[float]]:
     ]
 
 
-def _rp_project(emb_col: F.Column) -> F.Column:
+def _rp_project(emb_col: str = "embedding") -> F.Column:
     """Project a 64-d float vector to RP_DIM doubles ENTIRELY in
     JVM codegen — 16 left-associated multiply-add chains over the
     sign literals, no Python worker in the hot path. Addition order
     is ascending source dim, matching the generated SQL's
     left-assoc `+` chain term for term, so the projected values are
-    bit-identical across engines."""
+    bit-identical across engines.
+
+    Built as ONE parsed F.expr string (the r9 plan-cost doctrine the
+    first cut violated): 1,024 Column ops through py4j + analysis
+    over the duplicated subtrees cost 6.4s of DRIVER time PER PLAN —
+    bench caught ann_rp_topk at 8.3s steady where the 64-d exact
+    search runs 0.7s. One parse of the same arithmetic: ~10 ms.
+    The `D` suffix keeps every literal a DOUBLE (Spark parses bare
+    decimal literals as DECIMAL, which would change the fold)."""
     signs = _rp_signs()
-    outs = []
-    for j in range(RP_DIM):
-        expr = None
-        for d in range(64):
-            term = F.element_at(emb_col, d + 1).cast("double") * F.lit(
-                signs[d][j]
-            )
-            expr = term if expr is None else expr + term
-        outs.append(expr)
-    return F.array(*outs)
+    comps = ", ".join(
+        " + ".join(
+            f"CAST(element_at({emb_col}, {d + 1}) AS DOUBLE)"
+            f" * {signs[d][j]!r}D"
+            for d in range(64)
+        )
+        for j in range(RP_DIM)
+    )
+    return F.expr(f"array({comps})")
 
 
 def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1509,7 +1516,7 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 against ann_topk."""
     emb = _emb(spark, sf_dir)
     proj = emb.select(
-        "vec_id", _rp_project(F.col("embedding")).alias("embedding")
+        "vec_id", _rp_project("embedding").alias("embedding")
     )
     queries = proj.where(F.col("vec_id") < ANN_N_QUERIES)
     return S.brute_force_topk(queries, proj, k=ANN_K).orderBy(
@@ -4938,8 +4945,12 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).alias("pr")
+    # the pair explode is 2,080 interpreted HOF struct builds per
+    # row — a single-split scan runs it on one core (_spread: the
+    # r9 small-scan parallelism doctrine); exact integer/float sums
+    # are placement-independent
     moments = (
-        emb.select(pair)
+        _spread(spark, emb.select("embedding")).select(pair)
         .groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
         .agg(F.sum("pr.p").alias("s"), F.count(F.lit(1)).alias("n"))
         .collect()
@@ -5333,3 +5344,101 @@ GROUP BY doc_id
 HAVING SUM(is_bp) > 0 AND doc_id < 200
 ORDER BY doc_id
 """
+
+
+RP_OVERFETCH = 800
+
+
+def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68b (r11): the COMPLETED project→search→exact-rerank funnel
+    over the JL space. bench's first measurement of ann_rp_topk's
+    compressed-space recall read 0.04 — and a sweep (16/24/32/48
+    dims x 50-1600 overfetch) showed recall ~ candidate fraction at
+    every setting: these synthetic vectors are near-isotropic with
+    tiny neighbor gaps, so a ±1-sign projection has no geometry to
+    prune (the r3 IVF lesson: "on structureless vectors recall ≈
+    probed fraction"). The funnel is the architecture that survives
+    that worst case: 16-d exact search OVERFETCHES top-800 (16% of
+    this corpus — measured recall@5 0.90), then the true 64-d cosine
+    reranks only the candidates. Exact-dot work drops ~6x vs full
+    brute force; on real clustered embeddings the same funnel prunes
+    far harder. Candidate generation is the chunked cogroup; the
+    rerank joins candidates back to original vectors co-keyed and
+    scores |Q| x 800 pairs with the Arrow pair_dot (the designed
+    O(pairs) hot path)."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    proj = emb.select(
+        "vec_id", _rp_project("embedding").alias("embedding")
+    )
+    pq = proj.where(F.col("vec_id") < ANN_N_QUERIES)
+    cands = S.brute_force_topk(pq, proj, k=RP_OVERFETCH).select(
+        "query_id", "neighbor_id"
+    )
+    qv = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        S.l2_normalize(F.col("embedding")).alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S.l2_normalize(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            S.pair_dot(F.col("qn"), F.col("cn")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cs", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _rp_rerank_sql() -> str:
+    base = _rp_sql()
+    # reuse the projected-space CTE chain but cut at RP_OVERFETCH,
+    # then rerank with the exact 64-d fold
+    cand_sql = base.replace(
+        f"WHERE rank <= {ANN_K} ORDER BY query_id, rank",
+        f"WHERE rank <= {RP_OVERFETCH}",
+    ).strip()
+    return f"""
+WITH cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({cand_sql})
+),
+o AS ({_SQL_NORMED}),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cs
+    FROM cand
+    JOIN o q ON q.vec_id = cand.query_id
+    JOIN o c ON c.vec_id = cand.neighbor_id
+),
+rr AS (
+    SELECT query_id, neighbor_id, cs,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cs, 6) AS cos_sim
+FROM rr WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
+ANN_RP_RERANK_SQL = _rp_rerank_sql()

@@ -40,6 +40,7 @@ QUERIES = entrymod.queries()
 SENSITIVE_EMPTY_TABLES = [
     "ann_topk",
     "ann_rp_topk",
+    "ann_rp_rerank",
     "search_hybrid_rrf",
     "data_stratified_sample",
     "snapshot_diff",
