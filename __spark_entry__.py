@@ -84,6 +84,8 @@ def queries() -> dict[str, QueryFn]:
         "events_ab_test": profiling.events_ab_test,
         "q_cohort_ltv": profiling.q_cohort_ltv,
         "text_line_boilerplate": llmdata.text_line_boilerplate,
+        "dedup_containment": llmdata.dedup_containment,
+        "stream_cdc_scd2": ivm.stream_cdc_scd2,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
         "ann_pq": llmdata.ann_pq,
@@ -103,10 +105,10 @@ def queries() -> dict[str, QueryFn]:
         "profile_orders": profiling.profile_orders,
         "events_anomalies": profiling.events_anomalies,
         "src_rest_pages": extras.src_rest_pages,
-        "text_tfidf": llmdata.text_tfidf,
-        "search_bm25": llmdata.search_bm25,
         # --- driver window boundary (50) ---
         # rotated out by the r11 insertions (all have r10 evidence)
+        "text_tfidf": llmdata.text_tfidf,
+        "search_bm25": llmdata.search_bm25,
         "q11_important_parts": tpch_rest.q11_important_parts,
         "q22_global_sales": tpch_more.q22_global_sales,
         "rag_retrieve": llmdata.rag_retrieve,
@@ -352,6 +354,13 @@ def oracle_sql() -> dict[str, str]:
         # text_line_boilerplate (r11): planted-footer line-frequency
         # strip with a corpus-scaled threshold
         "text_line_boilerplate": llmdata.TEXT_LINE_BOILERPLATE_SQL,
+        # dedup_containment (r11): asymmetric Broder containment over
+        # the shingle index — planted snippet docs give id-arithmetic
+        # truth
+        "dedup_containment": llmdata.DEDUP_CONTAINMENT_SQL,
+        # stream_cdc_scd2 (r11): ordered CDC batches streamed into a
+        # type-2 dimension; oracle = unrolled 3-batch tri-state chain
+        "stream_cdc_scd2": ivm.STREAM_CDC_SCD2_SQL,
         "ann_index_build": llmdata.ANN_INDEX_BUILD_SQL,
         "ann_index_refresh": llmdata.ANN_INDEX_REFRESH_SQL,
         # ann_compacted_query (r10): full-probe IVF is exact, so the

@@ -44,6 +44,8 @@ HEADLINE = [
     "events_markov_transitions",
     "events_ab_test",
     "q_cohort_ltv",
+    "dedup_containment",
+    "stream_cdc_scd2",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -770,3 +770,63 @@ def simhash_verified(
             "doc_a", "doc_b", "hamming", F.round("jaccard", 6).alias("jaccard")
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over the same inverted index as
+    ``jaccard_pairs``: C(A→B) = |S(A) ∩ S(B)| / |S(A)|. Catches the
+    snippet-inclusion near-dups Jaccard structurally misses — a
+    short quote fully contained in a long source has C ≈ 1 but
+    Jaccard ≈ |snippet|/|source| (Broder's containment measure,
+    the Lee et al. 2022 "partial overlap" case).
+
+    Same scale machinery as jaccard_pairs: one shingle-key exchange
+    shared by the df window and the posting self-join, stop-shingle
+    cap bounding the quadratic term, lazy localCheckpoint feeding
+    the diamond consumers. A pair survives if EITHER direction's
+    containment clears ``threshold``.
+    """
+    from pyspark.sql import Window
+
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    wfreq = Window.partitionBy("shingle")
+    sh = sh.withColumn("df_", F.count(F.lit(1)).over(wfreq))
+    if max_shingle_freq is not None:
+        sh = sh.where(F.col("df_") <= max_shingle_freq)
+    sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter") / F.col("n_a"), 6).alias("cont_a"),
+            F.round(F.col("inter") / F.col("n_b"), 6).alias("cont_b"),
+        )
+    )
+    return scored.where(
+        F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold
+    )

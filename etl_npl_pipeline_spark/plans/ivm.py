@@ -343,3 +343,223 @@ SELECT event_type,
 FROM events
 GROUP BY event_type ORDER BY event_type
 """
+
+
+_CDC_TMP = "/root/repo/.tmp/stream_cdc_scd2"
+_CDC_BATCHES = [
+    ("2021-07-01", 1),
+    ("2022-01-01", 2),
+    ("2022-07-01", 3),
+]
+
+
+def _apply_cdc_batch(spark: SparkSession, batch_df: DataFrame) -> None:
+    """One micro-batch of the ST13 sink: order change rows by
+    batch_seq WITHIN the batch, apply one scd2_apply per seq against
+    the persisted state chain, and REJECT out-of-order delivery (a
+    seq whose predecessor state does not exist). Module-level so the
+    ordering guard is unit-testable outside a streaming query."""
+    import os
+
+    from etl_npl_pipeline_spark.operators.quality import scd2_apply
+
+    ts_by_seq = {s: t for t, s in _CDC_BATCHES}
+    seqs = sorted(
+        r["batch_seq"]
+        for r in batch_df.select("batch_seq").distinct().collect()
+    )
+    if not seqs:
+        return
+    done = {
+        int(d.rsplit("state_seq", 1)[1])
+        for d in os.listdir(_CDC_TMP)
+        if d.startswith("state_seq")
+    }
+    for seq in seqs:
+        # replay of an already-applied seq is allowed (idempotent
+        # rewrite of its state dir); a seq whose predecessor state
+        # does not exist is out-of-order delivery — hard error
+        if seq - 1 not in done:
+            raise RuntimeError(
+                f"CDC out-of-order: batch seq {seq} arrived before "
+                f"seq {seq - 1} was applied (have {sorted(done)})"
+            )
+        cur = spark.read.parquet(f"{_CDC_TMP}/state_seq{seq - 1}")
+        chg = batch_df.where(F.col("batch_seq") == seq).select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        out = scd2_apply(
+            cur,
+            chg,
+            key_cols=["c_custkey"],
+            attr_cols=["c_mktsegment", "c_nationkey"],
+            batch_ts=ts_by_seq[seq],
+        )
+        out.write.mode("overwrite").parquet(f"{_CDC_TMP}/state_seq{seq}")
+        done.add(seq)
+
+
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13: streaming CDC apply into a TYPE-2 versioned dimension —
+    the streaming twin of T20's scd2_history. Three ordered change
+    batches arrive as a file stream (maxFilesPerTrigger=1, ascending
+    mtimes); each micro-batch applies via quality.scd2_apply to the
+    persisted dimension state and writes the next state version.
+
+    The ordering contract is explicit, not assumed: SCD2 apply does
+    NOT commute across batches, so the sink (a) orders change rows
+    WITHIN a micro-batch by batch_seq and applies one scd2_apply per
+    seq (a catch-up batch containing several files still lands in
+    order), and (b) asserts seqs arrive monotonically non-decreasing
+    across micro-batches — out-of-order delivery is a hard error,
+    the same contract every CDC consumer (Debezium -> MERGE) runs
+    under. Replay safety: a replayed batch re-applies at the same
+    batch_ts and scd2_apply is a no-op on equal attrs, and the state
+    version dir for that seq is simply rewritten — exactly-once
+    history without a transaction log.
+
+    Batches (applied to base = keys %3 != 0, open 2020-01-01):
+    seq1: even keys, %4==0 -> segment RELOCATED (inserts the even
+    %3==0 keys); seq2: %5==0 -> segment STREAMED; seq3: %7==0 ->
+    nationkey+1 with ORIGINAL segment (attribute reversion — still a
+    change). The oracle replays all three as an unrolled tri-state
+    CTE chain.
+    """
+    import os
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    shutil.rmtree(_CDC_TMP, ignore_errors=True)
+    base = (
+        cust.where(F.col("c_custkey") % 3 != 0)
+        .withColumn("valid_from", F.lit("2020-01-01"))
+        .withColumn("valid_to", F.lit("9999-12-31"))
+    )
+    base.write.parquet(f"{_CDC_TMP}/state_seq0")
+
+    b1 = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.lit(1).alias("batch_seq"),
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+    )
+    b2 = cust.where(F.col("c_custkey") % 5 == 0).select(
+        F.lit(2).alias("batch_seq"),
+        "c_custkey",
+        F.lit("STREAMED").alias("c_mktsegment"),
+        "c_nationkey",
+    )
+    b3 = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.lit(3).alias("batch_seq"),
+        "c_custkey",
+        F.col("c_mktsegment"),
+        (F.col("c_nationkey") + 1).alias("c_nationkey"),
+    )
+    for i, b in enumerate([b1, b2, b3], start=1):
+        path = f"{_CDC_TMP}/in/s={i}"
+        b.coalesce(1).write.parquet(path)
+        # ascending mtimes make the file source deliver batches in
+        # seq order; the sink still asserts it
+        for root, _, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (1000000 + i, 1000000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "batch_seq int, c_custkey bigint, c_mktsegment string, "
+            "c_nationkey int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{_CDC_TMP}/in")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_cdc_batch(spark, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{_CDC_TMP}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = max(
+        int(d.rsplit("state_seq", 1)[1])
+        for d in os.listdir(_CDC_TMP)
+        if d.startswith("state_seq")
+    )
+    return (
+        spark.read.parquet(f"{_CDC_TMP}/state_seq{final}")
+        .select(
+            "c_custkey", "c_mktsegment", "c_nationkey",
+            "valid_from", "valid_to",
+        )
+        .orderBy("c_custkey", "valid_from")
+    )
+
+
+def _cdc_scd2_oracle_sql() -> str:
+    batches = {
+        1: """SELECT c_custkey,
+                 CASE WHEN c_custkey % 4 = 0 THEN 'RELOCATED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 c_nationkey
+          FROM cust WHERE c_custkey % 2 = 0""",
+        2: """SELECT c_custkey, 'STREAMED' AS c_mktsegment, c_nationkey
+          FROM cust WHERE c_custkey % 5 = 0""",
+        3: """SELECT c_custkey, c_mktsegment, c_nationkey + 1 AS c_nationkey
+          FROM cust WHERE c_custkey % 7 = 0""",
+    }
+    stages = []
+    for ts, seq in _CDC_BATCHES:
+        prev = f"hist{seq - 1}"
+        stages.append(f"""chg{seq} AS MATERIALIZED ({batches[seq]}),
+hist{seq} AS MATERIALIZED (
+    -- closed history + untouched/no-op open versions pass through
+    SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
+           h.valid_from, h.valid_to
+    FROM {prev} h LEFT JOIN chg{seq} c
+      ON h.c_custkey = c.c_custkey AND h.valid_to = '9999-12-31'
+    WHERE c.c_custkey IS NULL
+       OR (c.c_mktsegment = h.c_mktsegment
+           AND c.c_nationkey = h.c_nationkey)
+    UNION ALL
+    -- open versions closed by this batch
+    SELECT h.c_custkey, h.c_mktsegment, h.c_nationkey,
+           h.valid_from, '{ts}'
+    FROM {prev} h JOIN chg{seq} c ON h.c_custkey = c.c_custkey
+    WHERE h.valid_to = '9999-12-31'
+      AND (c.c_mktsegment <> h.c_mktsegment
+           OR c.c_nationkey <> h.c_nationkey)
+    UNION ALL
+    -- new open versions (changed keys + brand-new keys)
+    SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+           '{ts}', '9999-12-31'
+    FROM chg{seq} c LEFT JOIN (
+        SELECT * FROM {prev} WHERE valid_to = '9999-12-31'
+    ) o ON c.c_custkey = o.c_custkey
+    WHERE o.c_custkey IS NULL
+       OR c.c_mktsegment <> o.c_mktsegment
+       OR c.c_nationkey <> o.c_nationkey
+)""")
+    chain = ",\n".join(stages)
+    return f"""
+WITH cust AS MATERIALIZED (
+    SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+),
+hist0 AS MATERIALIZED (
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           '2020-01-01' AS valid_from, '9999-12-31' AS valid_to
+    FROM cust WHERE c_custkey % 3 <> 0
+),
+{chain}
+SELECT * FROM hist3 ORDER BY c_custkey, valid_from
+"""
+
+
+STREAM_CDC_SCD2_SQL = _cdc_scd2_oracle_sql()

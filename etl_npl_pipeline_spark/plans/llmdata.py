@@ -5442,3 +5442,86 @@ FROM rr WHERE rank <= {ANN_K} ORDER BY query_id, rank
 
 
 ANN_RP_RERANK_SQL = _rp_rerank_sql()
+
+
+# --- L74: asymmetric containment dedup ----------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+SNIPPET_TOKENS = 25
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74: snippet-inclusion near-dup detection via Broder
+    CONTAINMENT — C(A→B) = |S(A)∩S(B)| / |S(A)| — the asymmetric
+    measure Jaccard structurally misses: a 25-token quote fully
+    inside a long source doc has C ≈ 1 but Jaccard ≈ 0.1, so it
+    sails under every symmetric threshold (the Lee et al. 2022
+    partial-overlap case). The fixture plants one snippet doc
+    (first ``SNIPPET_TOKENS`` tokens, id+100000) for every 11th
+    document on top of the real corpus, so detection is measured
+    against id-arithmetic truth while the posting machinery runs
+    over the full real shingle distribution.
+
+    Same single shingle-exchange shape as L4 (operators/dedup.py
+    containment_pairs); output keeps both directions' containments
+    so the consumer can tell quote-of from superset-of.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    snips = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, SNIPPET_TOKENS)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snips)
+    return D.containment_pairs(
+        corpus,
+        "text",
+        "doc_id",
+        n=3,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).orderBy("doc_a", "doc_b")
+
+
+_SQL_SNIP_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string({_SQL_SNIP_TOKS}[1:{SNIPPET_TOKENS}], ' ') AS text
+    FROM documents WHERE doc_id % 11 = 0
+),
+sh_all AS (
+    SELECT doc_id AS doc,
+           unnest(list_distinct(list_transform(
+               range(1, len({_SQL_SNIP_TOKS}) - 1),
+               i -> {_SQL_SNIP_TOKS}[i] || ' ' || {_SQL_SNIP_TOKS}[i+1]
+                    || ' ' || {_SQL_SNIP_TOKS}[i+2]
+           ))) AS shingle
+    FROM corpus
+),
+freq AS (SELECT shingle, COUNT(*) AS df_ FROM sh_all GROUP BY shingle),
+sh AS (
+    SELECT doc, sh_all.shingle FROM sh_all
+    JOIN freq ON sh_all.shingle = freq.shingle
+    WHERE df_ <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       ROUND(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+       ROUND(CAST(inter AS DOUBLE) / sb.n_sh, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc
+JOIN sizes sb ON doc_b = sb.doc
+WHERE GREATEST(ROUND(CAST(inter AS DOUBLE) / sa.n_sh, 6),
+               ROUND(CAST(inter AS DOUBLE) / sb.n_sh, 6))
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""

@@ -50,6 +50,7 @@ SENSITIVE_EMPTY_TABLES = [
     "graph_label_prop",
     "events_ab_test",
     "text_line_boilerplate",
+    "dedup_containment",
     "vocab_bpe_encode",
     "vocab_coverage",
     "stream_session_window",

@@ -631,3 +631,49 @@ def test_boilerplate_threshold_is_scalar_subquery(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_containment_single_shingle_exchange_shape(spark, sf_dir):
+    df = llmdata.dedup_containment(spark, sf_dir)
+    plan = _formatted(df, execute=True)
+    # same scale contract as jaccard_pairs: inverted-index self-join
+    # on the shingle key, no row-level cartesian, no Python
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_stream_cdc_scd2_rejects_out_of_order(spark, sf_dir):
+    # the ordering contract is load-bearing: a seq-2 batch arriving
+    # while only state_seq0 exists must raise, not corrupt history —
+    # drives the REAL sink body (_apply_cdc_batch)
+    import os
+    import shutil as sh
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etl_npl_pipeline_spark.plans import ivm
+
+    sh.rmtree(ivm._CDC_TMP, ignore_errors=True)
+    os.makedirs(ivm._CDC_TMP)
+    spark.range(1).select(
+        F.lit(1).cast("bigint").alias("c_custkey"),
+        F.lit("A").alias("c_mktsegment"),
+        F.lit(0).alias("c_nationkey"),
+        F.lit("2020-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    ).write.parquet(f"{ivm._CDC_TMP}/state_seq0")
+    bad_batch = spark.range(1).select(
+        F.lit(2).cast("int").alias("batch_seq"),
+        F.lit(1).cast("bigint").alias("c_custkey"),
+        F.lit("B").alias("c_mktsegment"),
+        F.lit(0).alias("c_nationkey"),
+    )
+    with _pytest.raises(RuntimeError, match="CDC out-of-order"):
+        ivm._apply_cdc_batch(spark, bad_batch)
+    # and the in-order batch applies cleanly through the same path
+    good = bad_batch.withColumn("batch_seq", F.lit(1).cast("int"))
+    ivm._apply_cdc_batch(spark, good)
+    hist = spark.read.parquet(f"{ivm._CDC_TMP}/state_seq1")
+    assert hist.count() == 2  # closed original + new open version

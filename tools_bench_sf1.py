@@ -128,6 +128,8 @@ TIER_R11 = [
     "q_cohort_ltv",
     "events_ab_test",
     "data_stratified_sample",
+    "dedup_containment",
+    "stream_cdc_scd2",
 ]
 
 ALL_QUERIES = (
