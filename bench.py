@@ -458,10 +458,25 @@ def main() -> None:
             "ann_lsh",
             "ann_ivf",
             "ann_pq",
-            "ann_rp_topk",
             "ann_rp_rerank",
         )
     }
+    # ann_rp_topk is a funnel STAGE, not a standalone search op
+    # (r11 VERDICT #3): its top-5 in the 16-d projected space is
+    # meaningless on this isotropic corpus (measured 0.04) — the
+    # metric that describes its job is whether the exact top-5
+    # survives inside the top-RP_OVERFETCH candidates the rerank
+    # consumes. Published separately so recall_at_5 only carries
+    # operators whose contract IS "return the neighbors".
+    from etl_npl_pipeline_spark.plans.llmdata import ann_rp_candidates
+
+    rp_cands = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_rp_candidates(spark, sf_dir).collect()
+    }
+    rp_candidate_recall = round(
+        len(exact & rp_cands) / max(len(exact), 1), 4
+    )
 
     # Planted-pair precision/recall for the two rows-only dedup ops
     # (simhash, semantic): plant deterministic near-duplicates into
@@ -534,6 +549,7 @@ def main() -> None:
         "cold_first_run": cold,
         "cold_total": round(sum(cold.values()), 3),
         "recall_at_5": recall,
+        "rp_candidate_recall": rp_candidate_recall,
         "dedup_quality": dedup_quality,
         "knobs": knobs,
         "calibration": calibration,
@@ -592,6 +608,7 @@ def main() -> None:
             "cold_total": round(sum(cold.values()), 2),
             "queries": qmap,
             "recall_at_5": recall,
+            "rp_cand_recall": rp_candidate_recall,
             # [recall_planted, precision]: precision is vs TRUE
             # ground truth when measured (precision_true — the
             # planted-only number undercounts on a corpus with

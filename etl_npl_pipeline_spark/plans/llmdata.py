@@ -1504,16 +1504,23 @@ def _rp_project(emb_col: str = "embedding") -> F.Column:
 
 
 def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L68 (r11): EXACT top-k search in a compressed random-projection
-    space — the JL counterpart to PQ's codes: 64 float32 dims become
-    16 doubles (4x less score compute and candidate I/O),
-    search stays the plain chunked brute force. At 100 TB this is
-    the cheap first pass of a project→search→exact-rerank funnel;
-    the contract measures what the compressed space itself returns,
-    so the oracle can replay it exactly (the projection is
-    hash-seeded literals, not RNG state). Distance quality of the
-    16-d space vs the original is published by bench.py as
-    recall@5 against ann_topk."""
+    """L68 (r11, contract re-scoped r12): EXACT top-k search in a
+    compressed random-projection space — the JL counterpart to PQ's
+    codes: 64 float32 dims become 16 doubles (4x less score compute
+    and candidate I/O), search stays the plain chunked brute force.
+
+    This is a FUNNEL STAGE, not a standalone search operator (r11
+    VERDICT #3): on this near-isotropic synthetic corpus a 16-d
+    projection's top-5 ≈ a random draw (measured recall@5 0.04 — a
+    sweep over 16-48 dims x 50-1600 overfetch showed recall ~
+    candidate fraction at every setting, the "no geometry to prune"
+    worst case), so publishing its top-5 recall as a search-quality
+    headline was misleading. The number that describes the stage's
+    real job — does the exact top-5 survive inside the top-800
+    candidate overfetch ann_rp_rerank reranks? — is published by
+    bench.py as rp_candidate_recall (0.90 here). The oracle-backed
+    contract is unchanged: the query computes exactly the top-k of
+    the hash-seeded projected space, replayable from literals."""
     emb = _emb(spark, sf_dir)
     proj = emb.select(
         "vec_id", _rp_project("embedding").alias("embedding")
@@ -2012,30 +2019,42 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing them.
 
     Scale shape: the corpus is scanned once into the distinct-word
-    frequency table (Zipf-bounded); ``bpe_apply`` is ONE projection
-    of chained builtin replaces (codegen, no Python), so encoding
-    100 TB is a map-only pass over the vocab/shard — merges ship in
-    the plan as literals, exactly how a frozen tokenizer ships.
+    frequency table (Zipf-bounded); the encoded segmentation is the
+    trainer's FINAL STATE (``bpe_train(return_state=True)`` — the
+    fully-merged vocab falls out of the last merge round for free;
+    r11 VERDICT #5: re-deriving it through a fresh ``bpe_apply``
+    chain doubled the query's replace work). A production shard
+    encode still ships the frozen merge list as plan literals via
+    ``bpe_apply`` — tests/test_bpe.py pins apply(train().merges) ==
+    train().state so the two paths can't drift.
     The DuckDB oracle independently re-derives all merges AND the
     final segmentation via the unrolled CTE, then re-counts tokens.
     """
-    from etl_npl_pipeline_spark.operators.bpe import SEP, bpe_apply, bpe_train
+    from etl_npl_pipeline_spark.operators.bpe import SEP, bpe_train
 
     docs = _docs(spark, sf_dir)
     words = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     ).where((F.length("w") >= 2) & ~F.col("w").contains(SEP))
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    merges = bpe_train(spark, wf, n_merges=BPE_ENCODE_MERGES)
-    pairs = [(r["lhs"], r["rhs"]) for r in merges.collect()]
-    toks = bpe_apply(wf, pairs).select(
-        "w", "freq", F.explode("tokens").alias("token")
+    _, final_vocab = bpe_train(
+        spark, wf, n_merges=BPE_ENCODE_MERGES, return_state=True
+    )
+    # segmentation is injective (every \x01-wrapped symbol string
+    # decodes to exactly one word), so distinct s ≡ distinct w —
+    # the oracle counts DISTINCT s for the same reason
+    toks = final_vocab.select(
+        "s",
+        "freq",
+        F.explode(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP)
+        ).alias("token"),
     )
     return (
         toks.groupBy("token")
         .agg(
             F.sum("freq").alias("tok_freq"),
-            F.countDistinct("w").alias("n_words"),
+            F.countDistinct("s").alias("n_words"),
         )
         .orderBy(F.desc("tok_freq"), F.asc("token"))
         .limit(BPE_ENCODE_TOP)
@@ -4897,12 +4916,17 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections show which slices sit where along it).
 
     Three stages, sized for 100 TB:
-    1. DISTRIBUTED second moments: one pass computes all i<=j raw
-       moments S[i,j] = sum(x_i*x_j) (2,080 groups at d=64) via a
-       JVM HOF pair explode with map-side partial aggregation — the
-       shuffle carries O(d^2 * partitions) partial sums, never rows;
-       a second pass takes per-dim sums for the means. This is the
-       only data-sized work and it is scan-bound.
+    1. DISTRIBUTED second moments: ONE Arrow ``mapInPandas`` pass
+       emits per-partition upper-triangle ``X.T @ X`` partials plus
+       per-dim column sums as long-form (i, j, s, n) rows — the
+       r11 rewrite of the first cut's 2,080-struct interpreted HOF
+       pair explode (sublinear in bytes but compute-bound: Catalyst
+       evaluates lambda HOFs interpreted, per element). numpy does
+       the d^2 work vectorized per batch; the shuffle carries
+       O(d^2 * partitions) partial sums, never rows. Products are
+       float64 (matching the oracle's v::DOUBLE[] products); the
+       6-dp covariance round absorbs partial-merge order, exactly
+       as it absorbed the HOF path's float32 products.
     2. DRIVER eigensolve — a model artifact, the ivf/pq-codebook
        pattern: covariance C = (S - N mu_i mu_j)/(N-1) (ROUNDed to
        6dp — the determinism contract: both engines eigen-solve the
@@ -4926,43 +4950,45 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     d = PCA_DIM
     v = F.col("embedding")
-    idx = F.sequence(F.lit(0), F.lit(d - 1))
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(d - 1)),
-                    lambda j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        (
-                            F.element_at(v, i.cast("int") + 1)
-                            * F.element_at(v, j.cast("int") + 1)
-                        ).alias("p"),
-                    ),
-                ),
+
+    def _moment_partials(batches):
+        # per-PARTITION accumulator: one (d*(d+1)/2 + d)-row emit
+        # per task, however many Arrow batches stream through it
+        import pandas as pd
+
+        S = np.zeros((d, d))
+        col = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            S += X.T @ X
+            col += X.sum(axis=0)
+            n += X.shape[0]
+        if n:
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    # j = -1 rows carry the per-dim column sums for
+                    # the mean pass — same long-form relation, one
+                    # scan for both moments
+                    "i": np.concatenate([iu, np.arange(d)]),
+                    "j": np.concatenate([ju, np.full(d, -1)]),
+                    "s": np.concatenate([S[iu, ju], col]),
+                    "n": np.full(d * (d + 1) // 2 + d, n, dtype=np.int64),
+                }
             )
-        )
-    ).alias("pr")
-    # the pair explode is 2,080 interpreted HOF struct builds per
-    # row — a single-split scan runs it on one core (_spread: the
-    # r9 small-scan parallelism doctrine); exact integer/float sums
-    # are placement-independent
-    moments = (
-        _spread(spark, emb.select("embedding")).select(pair)
-        .groupBy(F.col("pr.i").alias("i"), F.col("pr.j").alias("j"))
-        .agg(F.sum("pr.p").alias("s"), F.count(F.lit(1)).alias("n"))
+
+    partials = (
+        _spread(spark, emb.select("embedding"))
+        .mapInPandas(_moment_partials, "i int, j int, s double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()
     )
-    sums = (
-        emb.select(
-            F.posexplode(v).alias("i", "x")
-        )
-        .groupBy("i")
-        .agg(F.sum("x").alias("sx"))
-        .collect()
-    )
+    moments = [r for r in partials if r["j"] >= 0]
+    sums = [{"i": r["i"], "sx": r["s"]} for r in partials if r["j"] == -1]
     if not moments or moments[0]["n"] < 2:
         return spark.createDataFrame(
             [],
@@ -5078,11 +5104,16 @@ vlist AS (
     SELECT list(x ORDER BY i) AS xs FROM vf
 ),
 proj AS (
+    -- gated on n >= 2 like cov (r11 ADVICE: with exactly one
+    -- embedding row cov is empty but an ungated proj still emits
+    -- one NULL row per label while the engine returns the empty
+    -- relation — both sides must agree on the n < 2 degenerate)
     SELECT e.vec_id, e.label,
            ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                list_transform(range(1, {d + 1}), i -> e.v[i] * vl.xs[i])),
                (acc, t) -> acc + t), 6) AS p
-    FROM e CROSS JOIN vlist vl
+    FROM e CROSS JOIN vlist vl CROSS JOIN nn
+    WHERE nn.n >= 2
 )
 SELECT label, COUNT(*) AS n_vecs,
        ROUND(AVG(p), 6) AS mean_proj,
@@ -5120,20 +5151,32 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the (true label x propagated label) confusion matrix
     with -1 for still-unlabeled — the label-quality report.
 
-    Scale: the kNN build is the chunked cogroup (no |Q|x|corpus| row
-    product); each round is one co-keyed edge⋈labels join (edges
-    3N rows, labels N rows, both hash-clustered on vec_id) plus a
-    vote aggregate and an argmax window on (node, label) groups.
-    Per-round volume is O(k·N) — the MLlib-iterative shape with a
-    3-round bound, no lineage growth worth checkpointing.
+    Scale: the propagation rounds are bytes-linear (each is one
+    co-keyed edge⋈labels join — edges 3N rows, labels N rows — plus
+    a vote aggregate and an argmax window; the MLlib-iterative shape
+    with a 3-round bound, no lineage growth worth checkpointing).
+    The EXACT kNN graph build, however, is the chunked cogroup whose
+    shuffle bytes measured ×46.9 at 10× data (sf1_top30) — this
+    contract is therefore the accuracy YARDSTICK; the production
+    path at scale is ``graph_label_prop_indexed`` below (r12,
+    VERDICT r11 #1), which serves the same rounds from the persisted
+    ANN index at O(N·cell) build cost.
     """
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
     edges = S.brute_force_topk(
         emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding"
     ).select(F.col("query_id").alias("dst"), F.col("neighbor_id").alias("src"))
     truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    return _lp_propagate(truth, edges)
+
+
+def _lp_propagate(truth: DataFrame, edges: DataFrame) -> DataFrame:
+    """The shared synchronous-propagation rounds + confusion-matrix
+    report of L72/L72b — takes (vec_id, true_label) and a
+    (dst, src) kNN edge set; only the GRAPH BUILD differs between
+    the exact and the index-served contract."""
+    from pyspark.sql import Window
+
     seeds = F.col("vec_id") % LP_SEED_MOD == 0
     labels = truth.select(
         "vec_id",
@@ -5349,6 +5392,24 @@ ORDER BY doc_id
 RP_OVERFETCH = 800
 
 
+def ann_rp_candidates(
+    spark: SparkSession, sf_dir: str, k: int = RP_OVERFETCH
+) -> DataFrame:
+    """The funnel's CANDIDATE stage: exact top-k search in the 16-d
+    JL space, returning (query_id, neighbor_id) overfetch pairs.
+    Shared by ann_rp_rerank and bench.py's candidate-recall metric
+    so the published number measures exactly the stage the funnel
+    runs."""
+    emb = _emb(spark, sf_dir)
+    proj = emb.select(
+        "vec_id", _rp_project("embedding").alias("embedding")
+    )
+    pq = proj.where(F.col("vec_id") < ANN_N_QUERIES)
+    return S.brute_force_topk(pq, proj, k=k).select(
+        "query_id", "neighbor_id"
+    )
+
+
 def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L68b (r11): the COMPLETED project→search→exact-rerank funnel
     over the JL space. bench's first measurement of ann_rp_topk's
@@ -5369,13 +5430,7 @@ def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    proj = emb.select(
-        "vec_id", _rp_project("embedding").alias("embedding")
-    )
-    pq = proj.where(F.col("vec_id") < ANN_N_QUERIES)
-    cands = S.brute_force_topk(pq, proj, k=RP_OVERFETCH).select(
-        "query_id", "neighbor_id"
-    )
+    cands = ann_rp_candidates(spark, sf_dir)
     qv = emb.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         S.l2_normalize(F.col("embedding")).alias("qn"),
@@ -5448,6 +5503,11 @@ ANN_RP_RERANK_SQL = _rp_rerank_sql()
 
 CONTAINMENT_THRESHOLD = 0.9
 SNIPPET_TOKENS = 25
+# the suite-wide planted-id offset (r11 ADVICE: the first cut's
+# +100000 collides with real doc_ids at sf>=2 — sf1 already holds
+# 50k docs and the id space grows with sf; 1e6 matches the sibling
+# fixtures and stays clear through sf~200)
+SNIPPET_ID_OFFSET = 1_000_000
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5457,8 +5517,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a long source doc has C ≈ 1 but Jaccard ≈ 0.1, so it
     sails under every symmetric threshold (the Lee et al. 2022
     partial-overlap case). The fixture plants one snippet doc
-    (first ``SNIPPET_TOKENS`` tokens, id+100000) for every 11th
-    document on top of the real corpus, so detection is measured
+    (first ``SNIPPET_TOKENS`` tokens, id + SNIPPET_ID_OFFSET) for
+    every 11th document on top of the real corpus, so detection is
+    measured
     against id-arithmetic truth while the posting machinery runs
     over the full real shingle distribution.
 
@@ -5469,7 +5530,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     snips = docs.where(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + SNIPPET_ID_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, SNIPPET_TOKENS)).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(snips)
@@ -5489,7 +5550,7 @@ DEDUP_CONTAINMENT_SQL = f"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
+    SELECT doc_id + {SNIPPET_ID_OFFSET} AS doc_id,
            array_to_string({_SQL_SNIP_TOKS}[1:{SNIPPET_TOKENS}], ' ') AS text
     FROM documents WHERE doc_id % 11 = 0
 ),

@@ -810,15 +810,21 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the acquisition quarter is a min-over-window on ONE
     o_custkey shuffle; the (cohort, offset) rollup reuses no row
     data beyond (custkey, quarter, price) and aggregates to
-    |quarters|^2 cells with map-side partials. Revenue rounds at 2dp
-    (the money contract); active-customer counts are exact distinct
-    per cell.
+    |quarters|^2 cells with map-side partials. Revenue sums as
+    EXACT DECIMAL (functions.exact.money — the agg_incremental
+    contract: decimal partials are order-independent, so the
+    partial-merge order can never flip the 2-dp boundary vs the
+    oracle's single-pass sum); the cast to double happens once, on
+    the exact total. Active-customer counts are exact distinct per
+    cell.
     """
     from pyspark.sql import Window
 
+    from etl_npl_pipeline_spark.functions.exact import money
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.col("o_totalprice").cast("double").alias("price"),
+        money("o_totalprice").alias("price"),
         (F.year("o_orderdate") * 4
          + (F.quarter("o_orderdate") - 1)).alias("qn"),
     )
@@ -831,7 +837,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.countDistinct("o_custkey").alias("n_active"),
-            F.round(F.sum("price"), 2).alias("revenue"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
         )
         .select(
             F.concat(
@@ -850,7 +856,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_COHORT_LTV_SQL = """
 WITH o AS (
     SELECT o_custkey,
-           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price,
            year(o_orderdate) * 4 + (quarter(o_orderdate) - 1) AS qn
     FROM orders
 ),
@@ -862,7 +868,7 @@ SELECT CAST(CAST(FLOOR(cohort_qn / 4) AS INT) AS VARCHAR) || 'Q'
            || CAST((cohort_qn % 4) + 1 AS VARCHAR) AS cohort,
        qn - cohort_qn AS q_offset,
        COUNT(DISTINCT o_custkey) AS n_active,
-       ROUND(SUM(price), 2) AS revenue
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS revenue
 FROM coh
 GROUP BY cohort_qn, qn - cohort_qn
 ORDER BY cohort, q_offset

@@ -168,10 +168,27 @@ def main() -> None:
             "sec": round(time.time() - t0, 2),
         }
         print(name, json.dumps(out[name]), flush=True)
+    # Coverage gate (r11 ADVICE): in subset-merge mode the doc's
+    # checked/all_match only spoke for the merged dict, so a query
+    # that was never measured at sf1 (ann_rp_rerank slipped through
+    # in r11) was undetectable from the artifact. The published doc
+    # now names every oracle-backed, non-excluded query it does NOT
+    # cover, and covers_contract is the single bit a reader needs.
+    missing = sorted(
+        n for n in oracles if n not in EXCLUDE and n not in out
+    )
+    if missing:
+        print(
+            f"WARNING: sf1 doc does not cover {len(missing)} "
+            f"oracle-backed queries: {missing}",
+            file=sys.stderr,
+        )
     doc = {
         "sf": "1.0 (10x replication of sf0.1)",
         "checked": len(out),
         "all_match": all(v["match"] for v in out.values()),
+        "covers_contract": not missing,
+        "not_covered": missing,
         "queries": out,
     }
     with open(
@@ -179,7 +196,14 @@ def main() -> None:
                      "sf1_correctness.json"), "w",
     ) as fh:
         json.dump(doc, fh, indent=1)
-    print(json.dumps({k: doc[k] for k in ("checked", "all_match")}))
+    print(
+        json.dumps(
+            {
+                k: doc[k]
+                for k in ("checked", "all_match", "covers_contract")
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
