@@ -81,10 +81,12 @@ def queries() -> dict[str, QueryFn]:
         "events_cep_pattern": profiling.events_cep_pattern,
         "events_markov_transitions": profiling.events_markov_transitions,
         "graph_label_prop": llmdata.graph_label_prop,
+        "graph_label_prop_indexed": llmdata.graph_label_prop_indexed,
         "events_ab_test": profiling.events_ab_test,
         "q_cohort_ltv": profiling.q_cohort_ltv,
         "text_line_boilerplate": llmdata.text_line_boilerplate,
         "dedup_containment": llmdata.dedup_containment,
+        "dedup_containment_bottomk": llmdata.dedup_containment_bottomk,
         "stream_cdc_scd2": ivm.stream_cdc_scd2,
         "ann_lsh": llmdata.ann_lsh,
         "ann_ivf": llmdata.ann_ivf,
@@ -347,6 +349,11 @@ def oracle_sql() -> dict[str, str]:
         # the exact kNN graph, both engines derive graph AND rounds
         # independently
         "graph_label_prop": llmdata.GRAPH_LABEL_PROP_SQL,
+        # graph_label_prop_indexed (r12): same rounds, kNN graph
+        # served from the persisted IVF index over the planted-grid
+        # corpus — the oracle replays the grid's id-arithmetic edge
+        # truth (exact kNN by construction) through the same rounds
+        "graph_label_prop_indexed": llmdata.GRAPH_LABEL_PROP_INDEXED_SQL,
         # events_ab_test (r11): two-proportion z on a deterministic
         # split; try_divide mirrors DuckDB's x/0.0 -> NULL
         "events_ab_test": profiling.EVENTS_AB_TEST_SQL,
@@ -358,6 +365,10 @@ def oracle_sql() -> dict[str, str]:
         # the shingle index — planted snippet docs give id-arithmetic
         # truth
         "dedup_containment": llmdata.DEDUP_CONTAINMENT_SQL,
+        # dedup_containment_bottomk (r12): the sketch path — oracle
+        # replays the md5-ordered bottom-k sampling, the probe
+        # cutoff, and the exact verify
+        "dedup_containment_bottomk": llmdata.DEDUP_CONTAINMENT_BOTTOMK_SQL,
         # stream_cdc_scd2 (r11): ordered CDC batches streamed into a
         # type-2 dimension; oracle = unrolled 3-batch tri-state chain
         "stream_cdc_scd2": ivm.STREAM_CDC_SCD2_SQL,

@@ -35,6 +35,8 @@ HEADLINE = [
     "vocab_bpe_encode",
     "emb_pca",
     "graph_label_prop",
+    "graph_label_prop_indexed",
+    "dedup_containment_bottomk",
     "data_stratified_sample",
     "text_line_boilerplate",
     "snapshot_diff",

@@ -830,3 +830,113 @@ def containment_pairs(
     return scored.where(
         F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold
     )
+
+
+BOTTOMK_K = 16
+
+
+def containment_bottomk_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = BOTTOMK_K,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Containment at SKETCH cost (r12, VERDICT r11 #6): the bottom-k
+    containment estimate (Broder 1997's sample-and-probe form). Where
+    ``containment_pairs`` joins EVERY df>=2 posting pair before
+    thresholding — candidate volume Θ(Σ df²), the quadratic term the
+    df-cap merely bounds — this probes only each doc's k smallest
+    shingle hashes against the inverted index:
+
+      est C(A→B) = |bottomk(S(A)) ∩ S(B)| / min(k, |S(A)|)
+
+    an unbiased estimate because bottom-k by a uniform hash is a
+    uniform sample of S(A), and membership in S(B) is exact on the
+    probe side. Probe volume is k·N rows regardless of document
+    length, so candidate volume is bounded by k·N·cap — the same
+    "cost tracks the sketch, not the corpus" shape as MinHash-LSH
+    band buckets, reached without symmetric banding (which cannot
+    see asymmetric containment: the snippet's bands are computed
+    over S(A)∪S(B)-scale signatures where a contained snippet's
+    Jaccard is near zero).
+
+    Surviving candidates are re-checked with EXACT containment over
+    the capped shingle sets (the simhash_verified doctrine: sketch =
+    necessary signal, exact verify = sufficient), so an emitted pair
+    is always exactly-thresholded; the sketch can only MISS a pair
+    whose true containment sits near the threshold (a fully
+    contained snippet estimates 1.0 — every probe hits). The hash
+    is md5 hex order — engine-portable, so a SQL oracle replays the
+    sampling, the probe, the cutoff, and the verify bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    sh = _exploded_shingles(df, text_col, id_col, n)
+    wfreq = Window.partitionBy("shingle")
+    sh = sh.withColumn("df_", F.count(F.lit(1)).over(wfreq))
+    if max_shingle_freq is not None:
+        sh = sh.where(F.col("df_") <= max_shingle_freq)
+    sh = sh.select("doc", "shingle").localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    wdoc = Window.partitionBy("doc").orderBy(
+        F.md5("shingle").asc(), F.col("shingle").asc()
+    )
+    probes = (
+        sh.withColumn("rn", F.row_number().over(wdoc))
+        .where(F.col("rn") <= k)
+        .select(F.col("doc").alias("src"), "shingle")
+    )
+    hits = (
+        probes.join(
+            sh.select(F.col("doc").alias("dst"), "shingle"), "shingle"
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    est = hits.join(
+        sizes.select(F.col("doc").alias("src"), "n_sh"), "src"
+    ).select(
+        "src",
+        "dst",
+        (F.col("h") / F.least(F.lit(k), F.col("n_sh"))).alias("e"),
+    )
+    cand = (
+        est.where(F.col("e") >= threshold)
+        .select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # exact verify over the capped shingle sets — identical scoring
+    # to containment_pairs, restricted to the sketch's candidates
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter") / F.col("n_a"), 6).alias("cont_a"),
+            F.round(F.col("inter") / F.col("n_b"), 6).alias("cont_b"),
+        )
+    )
+    return scored.where(
+        F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold
+    )

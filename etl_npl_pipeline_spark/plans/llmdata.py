@@ -5217,7 +5217,11 @@ def _lp_propagate(truth: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def _label_prop_oracle_sql() -> str:
+def _lp_rounds_sql() -> str:
+    """The shared propagation-round + confusion-report CTE tail —
+    expects ``edges (dst, src)`` and ``truth (vec_id, true_label)``
+    CTEs in the prologue (exact-kNN for L72, the planted-grid group
+    graph for L72b)."""
     rounds = []
     prev = "lp0"
     for r in range(1, LP_ROUNDS + 1):
@@ -5241,6 +5245,22 @@ def _label_prop_oracle_sql() -> str:
         )
         prev = f"lp{r}"
     its = ",\n".join(rounds)
+    return f"""lp0 AS MATERIALIZED (
+    SELECT vec_id,
+           CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN true_label END AS lab
+    FROM truth
+),
+{its}
+SELECT t.true_label,
+       COALESCE(l.lab, -1) AS pred_label,
+       COUNT(*) AS n
+FROM truth t JOIN lp{LP_ROUNDS} l ON l.vec_id = t.vec_id
+GROUP BY t.true_label, COALESCE(l.lab, -1)
+ORDER BY true_label, pred_label
+"""
+
+
+def _label_prop_oracle_sql() -> str:
     return f"""
 WITH nrm AS MATERIALIZED ({_SQL_NORMED}),
 sims AS MATERIALIZED (
@@ -5258,22 +5278,112 @@ edges AS MATERIALIZED (
 truth AS MATERIALIZED (
     SELECT vec_id, label AS true_label FROM embeddings
 ),
-lp0 AS MATERIALIZED (
-    SELECT vec_id,
-           CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN true_label END AS lab
-    FROM truth
-),
-{its}
-SELECT t.true_label,
-       COALESCE(l.lab, -1) AS pred_label,
-       COUNT(*) AS n
-FROM truth t JOIN lp{LP_ROUNDS} l ON l.vec_id = t.vec_id
-GROUP BY t.true_label, COALESCE(l.lab, -1)
-ORDER BY true_label, pred_label
-"""
+{_lp_rounds_sql()}"""
 
 
 GRAPH_LABEL_PROP_SQL = _label_prop_oracle_sql()
+
+
+# --- L72b: label propagation served from the persisted ANN index ---
+
+LP_GRID_COPIES = 4
+LP_GRID_STRIDE = 8
+
+
+def graph_label_prop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L72b (r12, VERDICT r11 #1 — the one measured scale-killer):
+    the SAME synchronous label-propagation rounds as L72, but the
+    kNN graph is served from the persisted IVF index
+    (operators/ann_index.ivf_query, n_probe=1) instead of the exact
+    chunked cogroup whose shuffle bytes measured ×46.9 at 10× data.
+    Per-query graph-build work is O(cell size) — cells stay bounded
+    because n_clusters scales as ceil(n / SEMDEDUP_TARGET_CELL), the
+    ann_semantic_sweep doctrine — so edge construction is
+    bytes-linear in the corpus.
+
+    Deterministic oracle on an approximate index (the
+    ann_semantic_sweep argument): the graph runs over a PLANTED-GRID
+    corpus derived from the embeddings table — LP_GRID_COPIES exact
+    copies of every vector at ids vec_id*LP_GRID_STRIDE + j. Exact
+    copies are assigned by the frozen quantizer to the SAME cell
+    (identical input → identical argmin), each copy's own cell is
+    its n_probe=1 probe, and cos = 1.0 against its group beats every
+    cross-group score, so with k = LP_GRID_COPIES - 1 the served kNN
+    graph IS the complete within-group graph — exact kNN, derivable
+    by id arithmetic alone, which is what the DuckDB oracle replays
+    (tests/test_label_prop_indexed.py additionally pins served edges
+    == brute-force edges on this fixture). Seeds (id % LP_SEED_MOD)
+    land in 4 of 5 groups by residue arithmetic, so the report shows
+    both converged groups (diagonal) and unreachable ones (-1) —
+    the real shape of a label-densification readout."""
+    import os
+
+    from etl_npl_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        ivf_query,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(LP_GRID_COPIES - 1))
+        ).alias("j"),
+    ).select(
+        (F.col("vec_id") * LP_GRID_STRIDE + F.col("j")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    n = emb.count()
+    n_clusters = max(
+        SEMDEDUP_CLUSTERS,
+        -(-(n * LP_GRID_COPIES) // SEMDEDUP_TARGET_CELL),
+    )
+    idx = build_ann_index(
+        spark,
+        corpus,
+        os.path.realpath(sf_dir.rstrip("/")) + "#lp-grid",
+        n_clusters=n_clusters,
+        pq_m=PQ_KNOBS["m_subspaces"],
+        pq_k=PQ_KNOBS["k_codes"],
+        lsh_planes=LSH_KNOBS["n_planes"],
+        lsh_tables=LSH_KNOBS["n_tables"],
+    )
+    served = ivf_query(
+        spark, idx, corpus, k=LP_GRID_COPIES - 1, n_probe=1
+    )
+    edges = served.select(
+        F.col("query_id").alias("dst"), F.col("neighbor_id").alias("src")
+    )
+    truth = corpus.select("vec_id", F.col("label").alias("true_label"))
+    return _lp_propagate(truth, edges)
+
+
+def _label_prop_indexed_oracle_sql() -> str:
+    js = ", ".join(f"({j})" for j in range(LP_GRID_COPIES))
+    return f"""
+WITH nodes AS MATERIALIZED (
+    SELECT e.vec_id * {LP_GRID_STRIDE} + t.j AS vec_id,
+           e.vec_id AS grp, e.label AS true_label
+    FROM embeddings e CROSS JOIN (VALUES {js}) t(j)
+),
+edges AS MATERIALIZED (
+    -- the planted-grid kNN truth: with k = copies-1 and cos = 1.0
+    -- within a group of exact copies, every node's neighbor set is
+    -- exactly the rest of its group
+    SELECT a.vec_id AS dst, b.vec_id AS src
+    FROM nodes a JOIN nodes b
+      ON a.grp = b.grp AND a.vec_id != b.vec_id
+),
+truth AS MATERIALIZED (
+    SELECT vec_id, true_label FROM nodes
+),
+{_lp_rounds_sql()}"""
+
+
+GRAPH_LABEL_PROP_INDEXED_SQL = _label_prop_indexed_oracle_sql()
 
 
 # --- L73: cross-document line-level boilerplate removal -----------
@@ -5586,3 +5696,111 @@ WHERE GREATEST(ROUND(CAST(inter AS DOUBLE) / sa.n_sh, 6),
       >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+# --- L74b: containment at sketch cost (bottom-k sample-and-probe) --
+
+def dedup_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L74b (r12, VERDICT r11 #6): the 100 TB path for containment —
+    the bottom-k sample-and-probe sketch
+    (operators/dedup.containment_bottomk_pairs): each doc probes only
+    its k = BOTTOMK_K = 16 smallest md5-ordered shingles against the
+    inverted index (probe volume k·N, independent of document
+    length), estimates C(src→dst) = hits / min(k, |S|), and
+    exact-verifies the survivors over the capped shingle sets. L74's
+    all-postings join is the exactness yardstick; this is what runs
+    on a crawl where documents are pages and snippets are quotes.
+
+    Same planted fixture as L74 (snippet doc per 11th document at
+    id + SNIPPET_ID_OFFSET): a fully contained snippet estimates
+    exactly 1.0 — every sampled shingle of S(snippet) is in
+    S(source) — so planted recall is 1.0 BY CONSTRUCTION, not by
+    luck, and the sketch's only approximation (missing pairs whose
+    true containment sits near the threshold) is measured against
+    L74's exact output in tests/test_dedup_buckets.py. The oracle
+    replays sampling, probe, cutoff, and verify — md5-hex sampling
+    order is engine-portable."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    snips = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + SNIPPET_ID_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, SNIPPET_TOKENS)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snips)
+    return D.containment_bottomk_pairs(
+        corpus,
+        "text",
+        "doc_id",
+        n=3,
+        threshold=CONTAINMENT_THRESHOLD,
+        k=D.BOTTOMK_K,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _containment_bottomk_sql() -> str:
+    from etl_npl_pipeline_spark.operators.dedup import BOTTOMK_K
+
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {SNIPPET_ID_OFFSET} AS doc_id,
+           array_to_string({_SQL_SNIP_TOKS}[1:{SNIPPET_TOKENS}], ' ') AS text
+    FROM documents WHERE doc_id % 11 = 0
+),
+sh_all AS (
+    SELECT doc_id AS doc,
+           unnest(list_distinct(list_transform(
+               range(1, len({_SQL_SNIP_TOKS}) - 1),
+               i -> {_SQL_SNIP_TOKS}[i] || ' ' || {_SQL_SNIP_TOKS}[i+1]
+                    || ' ' || {_SQL_SNIP_TOKS}[i+2]
+           ))) AS shingle
+    FROM corpus
+),
+freq AS (SELECT shingle, COUNT(*) AS df_ FROM sh_all GROUP BY shingle),
+sh AS MATERIALIZED (
+    SELECT doc, sh_all.shingle FROM sh_all
+    JOIN freq ON sh_all.shingle = freq.shingle
+    WHERE df_ <= {MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+probes AS (
+    SELECT doc AS src, shingle FROM (
+        SELECT doc, shingle, ROW_NUMBER() OVER (
+            PARTITION BY doc ORDER BY md5(shingle) ASC, shingle ASC
+        ) AS rn FROM sh
+    ) WHERE rn <= {BOTTOMK_K}
+),
+hits AS (
+    SELECT p.src, s.doc AS dst, COUNT(*) AS h
+    FROM probes p JOIN sh s ON p.shingle = s.shingle AND p.src != s.doc
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b
+    FROM hits JOIN sizes ON sizes.doc = hits.src
+    WHERE CAST(h AS DOUBLE) / LEAST({BOTTOMK_K}, n_sh)
+          >= {CONTAINMENT_THRESHOLD}
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.doc = c.doc_a
+    JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter,
+       ROUND(CAST(i.inter AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+       ROUND(CAST(i.inter AS DOUBLE) / sb.n_sh, 6) AS cont_b
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc
+JOIN sizes sb ON i.doc_b = sb.doc
+WHERE GREATEST(ROUND(CAST(i.inter AS DOUBLE) / sa.n_sh, 6),
+               ROUND(CAST(i.inter AS DOUBLE) / sb.n_sh, 6))
+      >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_CONTAINMENT_BOTTOMK_SQL = _containment_bottomk_sql()

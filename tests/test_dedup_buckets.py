@@ -112,3 +112,52 @@ def test_embedding_block_cap_quarantines_hub_label(spark):
         df, "label", threshold=0.9, max_block=1000
     )
     assert uncapped.count() == 28 + 1
+
+
+def test_containment_bottomk_recall_vs_exact(spark, sf_dir):
+    """L74b sketch vs L74 exact on the planted-snippet fixture: every
+    planted (source, snippet) pair must survive the bottom-k probe
+    (a fully contained snippet estimates exactly 1.0 — every sampled
+    shingle hits), and every emitted pair must also be in the exact
+    path's output (the verify stage re-scores exactly, so the sketch
+    can only MISS, never invent)."""
+    from etl_npl_pipeline_spark.plans import llmdata
+
+    exact = {
+        (r.doc_a, r.doc_b, r.inter, r.cont_a, r.cont_b)
+        for r in llmdata.dedup_containment(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r.doc_a, r.doc_b, r.inter, r.cont_a, r.cont_b)
+        for r in llmdata.dedup_containment_bottomk(spark, sf_dir).collect()
+    }
+    assert sketch <= exact
+    planted = {
+        (a, b) for a, b, *_ in exact if b - a == llmdata.SNIPPET_ID_OFFSET
+    }
+    got_planted = {
+        (a, b) for a, b, *_ in sketch if b - a == llmdata.SNIPPET_ID_OFFSET
+    }
+    assert planted and got_planted == planted
+
+
+def test_containment_bottomk_probe_volume_bounded(spark):
+    """The sketch's scale claim: probe rows per doc <= k no matter
+    how long the document is (a 10,000-shingle doc contributes 16
+    probe rows, not 10,000 posting rows)."""
+    from etl_npl_pipeline_spark.operators.dedup import (
+        BOTTOMK_K,
+        containment_bottomk_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(500))
+    quote = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, long_doc), (2, quote), (3, "totally different text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_bottomk_pairs(
+        df, "text", "doc_id", threshold=0.9, k=BOTTOMK_K
+    ).collect()
+    got = {(r.doc_a, r.doc_b): (r.cont_a, r.cont_b) for r in out}
+    assert set(got) == {(1, 2)}
+    # snippet fully contained: cont_b (the smaller side) == 1.0
+    assert got[(1, 2)][1] == 1.0

@@ -48,6 +48,7 @@ SENSITIVE_EMPTY_TABLES = [
     "events_cep_pattern",
     "events_markov_transitions",
     "graph_label_prop",
+    "graph_label_prop_indexed",
     "emb_pca",
     "events_ab_test",
     "text_line_boilerplate",
