@@ -132,9 +132,18 @@ TIER_R11 = [
     "stream_cdc_scd2",
 ]
 
+# r12: index-served label prop (the x46.9 fix — its byte ratio IS
+# the deliverable), bottom-k containment sketch, the completed JL
+# rerank funnel
+TIER_R12 = [
+    "graph_label_prop_indexed",
+    "dedup_containment_bottomk",
+    "ann_rp_rerank",
+]
+
 ALL_QUERIES = (
     TOP10 + TIER_DEDUP + TIER_TEXT + TIER_STREAM + TIER_ANN + TIER_MEDIA
-    + TIER_R11
+    + TIER_R11 + TIER_R12
 )
 
 
