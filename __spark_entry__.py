@@ -56,6 +56,9 @@ def queries() -> dict[str, QueryFn]:
     return {
         "graph_label_prop_indexed": llmdata.graph_label_prop_indexed,
         "dedup_containment_bottomk": llmdata.dedup_containment_bottomk,
+        "text_pii_audit": llmdata.text_pii_audit,
+        "emb_drift_report": llmdata.emb_drift_report,
+        "events_attribution": profiling.events_attribution,
         "dedup_containment": llmdata.dedup_containment,
         "q_cohort_ltv": profiling.q_cohort_ltv,
         "emb_pca": llmdata.emb_pca,
@@ -350,6 +353,14 @@ def oracle_sql() -> dict[str, str]:
         # corpus — the oracle replays the grid's id-arithmetic edge
         # truth (exact kNN by construction) through the same rounds
         "graph_label_prop_indexed": llmdata.GRAPH_LABEL_PROP_INDEXED_SQL,
+        # r12 additions: typed PII audit (planted classes, fixed
+        # redaction order, residual recount), per-dim embedding
+        # drift between vec_id-parity snapshot halves, and
+        # multi-touch attribution (first/last/linear-ppm integer
+        # credit + decimal revenue)
+        "text_pii_audit": llmdata.TEXT_PII_AUDIT_SQL,
+        "emb_drift_report": llmdata.EMB_DRIFT_REPORT_SQL,
+        "events_attribution": profiling.EVENTS_ATTRIBUTION_SQL,
         # events_ab_test (r11): two-proportion z on a deterministic
         # split; try_divide mirrors DuckDB's x/0.0 -> NULL
         "events_ab_test": profiling.EVENTS_AB_TEST_SQL,

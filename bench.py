@@ -37,6 +37,9 @@ HEADLINE = [
     "graph_label_prop",
     "graph_label_prop_indexed",
     "dedup_containment_bottomk",
+    "text_pii_audit",
+    "emb_drift_report",
+    "events_attribution",
     "data_stratified_sample",
     "text_line_boilerplate",
     "snapshot_diff",

@@ -5804,3 +5804,225 @@ ORDER BY doc_a, doc_b
 
 
 DEDUP_CONTAINMENT_BOTTOMK_SQL = _containment_bottomk_sql()
+
+
+# --- L75: typed PII detection / redaction audit ---------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 dialect (char classes,
+# bounded repetition, \b word boundaries — no lookaround, no
+# backrefs) so Spark and the DuckDB oracle match the SAME spans.
+PII_PATTERNS = [
+    ("card16", r"\b[0-9]{16}\b"),
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"),
+]
+
+
+def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L75 (r12): typed PII detection + redaction audit — the
+    pre-training privacy pass every public corpus pipeline runs
+    (C4 strips lines by badword/PII heuristics; BigCode/StarCoder
+    redact emails/keys with typed placeholder tokens — the shape
+    implemented here). Four PII classes (16-digit card runs, emails,
+    IPv4s, dashed phone numbers) are planted on disjoint
+    deterministic doc slices (%7 email w/ doc_id-derived localpart,
+    %9 TWO phone numbers, %11==3 IPv4, %13==5 card) on top of the
+    real text, then:
+
+    - detected: per-class regexp_count over the dirty text;
+    - redacted: each class replaced by its typed token in a FIXED
+      class order (card16 first — its digit runs must not be eaten
+      as ipv4/phone substrings by a later pass);
+    - audited: per-class chars removed (len dirty - len stripped),
+      and residual_hits = re-running detection on the fully
+      redacted text — the "did the scrub actually converge" gate a
+      privacy review asks for (0 for planted classes by
+      construction; both engines replay the same residue).
+
+    Everything is map-only JVM regexp codegen over one scan; the
+    final per-class rollup aggregates 4 rows per doc via stack() —
+    shuffle volume is O(4 x partitions) partials, never text. 100 TB
+    = one pass, no exchange of document bytes.
+    """
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact agent"),
+                did.cast("string"),
+                F.lit("@mail.example for access"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0, F.lit(" call 555-201-3344 or 555-201-3345 now")
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 3, F.lit(" node 10.2.30.44 unreachable")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 5, F.lit(" card 4111222233334444 declined")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = docs.select(did.alias("doc_id"), dirty.alias("t"))
+    redacted = F.col("t")
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    cols = []
+    for name, pat in PII_PATTERNS:
+        cols += [
+            F.regexp_count("t", F.lit(pat)).alias(f"cnt_{name}"),
+            (
+                F.length("t") - F.length(F.regexp_replace("t", pat, ""))
+            ).alias(f"chars_{name}"),
+        ]
+    d = d.select("doc_id", redacted.alias("red"), *cols)
+    resid = [
+        F.regexp_count("red", F.lit(pat)).alias(f"res_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    d = d.select("*", *resid)
+    stack_args = ", ".join(
+        f"'{name}', cnt_{name}, chars_{name}, res_{name}"
+        for name, _ in PII_PATTERNS
+    )
+    long = d.select(
+        F.expr(
+            f"stack({len(PII_PATTERNS)}, {stack_args})"
+            " AS (pii_type, cnt, chars, res)"
+        )
+    )
+    return (
+        long.groupBy("pii_type")
+        .agg(
+            F.sum("cnt").alias("n_hits"),
+            F.sum((F.col("cnt") > 0).cast("long")).alias("n_docs"),
+            F.sum("chars").alias("chars_redacted"),
+            F.sum("res").alias("residual_hits"),
+        )
+        .orderBy("pii_type")
+    )
+
+
+def _pii_sql() -> str:
+    plant = """SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' contact agent' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example for access' ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                THEN ' call 555-201-3344 or 555-201-3345 now' ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                THEN ' node 10.2.30.44 unreachable' ELSE '' END
+           || CASE WHEN doc_id % 13 = 5
+                THEN ' card 4111222233334444 declined' ELSE '' END AS t
+    FROM documents"""
+    red = "t"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    unions = []
+    for name, pat in PII_PATTERNS:
+        unions.append(
+            f"""SELECT '{name}' AS pii_type,
+       len(regexp_extract_all(t, '{pat}')) AS cnt,
+       len(t) - len(regexp_replace(t, '{pat}', '', 'g')) AS chars,
+       len(regexp_extract_all(red, '{pat}')) AS res
+    FROM d"""
+        )
+    u = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH planted AS ({plant}),
+d AS (SELECT doc_id, t, {red} AS red FROM planted),
+long AS (
+{u}
+)
+SELECT pii_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS chars_redacted,
+       CAST(SUM(res) AS BIGINT) AS residual_hits
+FROM long GROUP BY pii_type ORDER BY pii_type
+"""
+
+
+TEXT_PII_AUDIT_SQL = _pii_sql()
+
+
+# --- L76: embedding drift report ------------------------------------
+
+def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L76 (r12): per-dimension embedding drift between two corpus
+    snapshots — the monitoring report a production embedding pipeline
+    publishes when the encoder or the crawl mix changes (a drifted
+    dimension upstream poisons every ANN/centroid consumer
+    downstream). Snapshots are the deterministic vec_id-parity
+    halves (even = reference, odd = candidate — stable at every sf).
+
+    Per dim: mean and (population) variance of both halves from ONE
+    pass of sum/sumsq partials, drift = |mu_ref - mu_cand| /
+    sqrt((var_ref + var_cand) / 2) — the pooled-sigma z the simple
+    two-sample drift monitors use, 6-dp rounded on identical
+    operands. Shape: posexplode + groupBy(dim, half) carries
+    O(64 x 2 x partitions) partial sums; document vectors never
+    shuffle. 100 TB = scan-bound, like emb_pca's moment pass.
+    """
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    agg = e.groupBy("dim", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("double")).alias("s"),
+        F.sum((F.col("x").cast("double")) ** 2).alias("sq"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = F.col("sq") / F.col("n") - mu * mu
+    stats = agg.select("dim", "half", mu.alias("mu"), var.alias("var"))
+    ref = stats.where(F.col("half") == 0).select(
+        "dim", F.col("mu").alias("mu_ref"), F.col("var").alias("var_ref")
+    )
+    cand = stats.where(F.col("half") == 1).select(
+        "dim", F.col("mu").alias("mu_cand"), F.col("var").alias("var_cand")
+    )
+    drift = F.abs(F.col("mu_ref") - F.col("mu_cand")) / F.sqrt(
+        (F.col("var_ref") + F.col("var_cand")) / 2.0
+    )
+    return (
+        ref.join(cand, "dim")
+        .select(
+            "dim",
+            F.round("mu_ref", 6).alias("mu_ref"),
+            F.round("mu_cand", 6).alias("mu_cand"),
+            F.round(drift, 6).alias("drift_z"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMB_DRIFT_REPORT_SQL = """
+WITH e AS (
+    SELECT vec_id % 2 AS half, u.i - 1 AS dim,
+           CAST(embedding[u.i] AS DOUBLE) AS x
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+),
+agg AS (
+    SELECT dim, half, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sq
+    FROM e GROUP BY dim, half
+),
+stats AS (
+    SELECT dim, half, s / n AS mu, sq / n - (s / n) * (s / n) AS var
+    FROM agg
+)
+SELECT r.dim,
+       ROUND(r.mu, 6) AS mu_ref,
+       ROUND(c.mu, 6) AS mu_cand,
+       ROUND(ABS(r.mu - c.mu) / SQRT((r.var + c.var) / 2.0), 6) AS drift_z
+FROM stats r JOIN stats c ON r.dim = c.dim
+WHERE r.half = 0 AND c.half = 1
+ORDER BY r.dim
+"""

@@ -873,3 +873,199 @@ FROM coh
 GROUP BY cohort_qn, qn - cohort_qn
 ORDER BY cohort, q_offset
 """
+
+
+# --- A52: multi-touch attribution ----------------------------------
+
+ATTR_LOOKBACK_HOURS = 72
+ATTR_TOUCH_TYPES = ("click", "signup", "view")
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 (r12): multi-touch conversion attribution — for every
+    purchase, the touch events (view/click/signup) by the same user
+    in the preceding ATTR_LOOKBACK_HOURS window, credited under the
+    three standard models marketing warehouses serve side by side:
+    first-touch, last-touch (with revenue), and linear.
+
+    Determinism contract: touch order is (ts, event_id) — event_id
+    breaks timestamp ties identically on both engines. Linear credit
+    is EXACT INTEGER arithmetic: each conversion distributes
+    1,000,000 ppm as floor(1e6 * touches_in_channel / n_touches)
+    per channel (a double division whose operands are exact integers
+    far from any representable-boundary hazard — quotients are
+    rationals with denominator n, never within 1e-4 of an integer
+    unless exact), so SUM(ppm) is order-independent. Revenue sums as
+    exact decimal money. Conversions with NO touch in the window
+    keep their mass in the '(none)' row — credit is conserved:
+    SUM(linear_ppm) + untouched rounding loss accounts for exactly
+    1e6 per conversion (pinned in tests).
+
+    Scale shape: ONE user_id exchange co-partitions conversions and
+    touches; the lookback band join runs inside user groups (per-user
+    event counts are bounded — no skew explosion), and the three
+    models reuse the same joined relation: per-conversion windows
+    (first/last) plus one (conv, channel) rollup. 100 TB = the
+    sessionize/funnel shape, a single keyed shuffle.
+    """
+    from pyspark.sql import Window
+
+    from etl_npl_pipeline_spark.functions.exact import money
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        money("value").alias("rev"),
+    )
+    touch = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+    )
+    j = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.col("tts")
+            >= F.col("cts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_HOURS} HOURS")
+        ),
+        "left",
+    ).select("conv_id", "cts", "rev", "tts", "tid", "channel")
+
+    wa = Window.partitionBy("conv_id").orderBy(
+        F.asc("tts"), F.asc("tid")
+    )
+    wd = Window.partitionBy("conv_id").orderBy(
+        F.desc("tts"), F.desc("tid")
+    )
+    ranked = j.select(
+        "conv_id",
+        "rev",
+        "channel",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    firsts = (
+        ranked.where(F.col("rn_a") == 1)
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("first_touch"))
+    )
+    lasts = (
+        ranked.where(F.col("rn_d") == 1)
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("last_touch"),
+            F.round(F.sum("rev").cast("double"), 2).alias("last_touch_rev"),
+        )
+    )
+    per_cc = (
+        j.where(F.col("channel").isNotNull())
+        .groupBy("conv_id", "channel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_c = per_cc.groupBy("conv_id").agg(F.sum("cnt").alias("n"))
+    linear = (
+        per_cc.join(per_c, "conv_id")
+        .select(
+            "channel",
+            F.floor(
+                F.lit(1000000) * F.col("cnt").cast("double") / F.col("n")
+            ).alias("ppm"),
+        )
+        .groupBy("channel")
+        .agg(F.sum("ppm").alias("linear_ppm"))
+    )
+    untouched = (
+        j.groupBy("conv_id")
+        .agg(F.max("channel").alias("any_ch"))
+        .where(F.col("any_ch").isNull())
+        .agg(
+            (F.count(F.lit(1)) * F.lit(1000000)).alias("linear_ppm")
+        )
+        .select(F.lit("(none)").alias("channel"), "linear_ppm")
+        .where(F.col("linear_ppm") > 0)
+    )
+    linear = linear.unionByName(untouched)
+    return (
+        firsts.join(lasts, "channel", "full")
+        .join(linear, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+            F.coalesce("linear_ppm", F.lit(0)).alias("linear_ppm"),
+            F.coalesce("last_touch_rev", F.lit(0.0)).alias("last_touch_rev"),
+        )
+        .orderBy("channel")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH conv AS (
+    SELECT event_id AS conv_id, user_id, ts AS cts,
+           CAST(value AS DECIMAL(12,2)) AS rev
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
+    FROM events WHERE event_type IN ('click', 'signup', 'view')
+),
+j AS (
+    SELECT c.conv_id, c.rev, t.tts, t.tid, t.channel
+    FROM conv c LEFT JOIN touch t
+      ON t.user_id = c.user_id
+     AND t.tts < c.cts
+     AND t.tts >= c.cts - INTERVAL {ATTR_LOOKBACK_HOURS} HOURS
+),
+ranked AS (
+    SELECT conv_id, rev, channel,
+           ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY tts ASC, tid ASC
+           ) AS rn_a,
+           ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY tts DESC, tid DESC
+           ) AS rn_d
+    FROM j
+),
+firsts AS (
+    SELECT COALESCE(channel, '(none)') AS channel,
+           COUNT(*) AS first_touch
+    FROM ranked WHERE rn_a = 1 GROUP BY 1
+),
+lasts AS (
+    SELECT COALESCE(channel, '(none)') AS channel,
+           COUNT(*) AS last_touch,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS last_touch_rev
+    FROM ranked WHERE rn_d = 1 GROUP BY 1
+),
+per_cc AS (
+    SELECT conv_id, channel, COUNT(*) AS cnt
+    FROM j WHERE channel IS NOT NULL GROUP BY 1, 2
+),
+per_c AS (SELECT conv_id, SUM(cnt) AS n FROM per_cc GROUP BY 1),
+linear AS (
+    SELECT channel,
+           SUM(FLOOR(1000000 * CAST(cnt AS DOUBLE) / n)) AS linear_ppm
+    FROM per_cc JOIN per_c USING (conv_id) GROUP BY channel
+    UNION ALL
+    SELECT '(none)' AS channel, COUNT(*) * 1000000 AS linear_ppm
+    FROM (
+        SELECT conv_id FROM j GROUP BY conv_id
+        HAVING MAX(channel) IS NULL
+    )
+    HAVING COUNT(*) > 0
+)
+SELECT COALESCE(f.channel, l.channel, ln.channel) AS channel,
+       COALESCE(f.first_touch, 0) AS first_touch,
+       COALESCE(l.last_touch, 0) AS last_touch,
+       CAST(COALESCE(ln.linear_ppm, 0) AS BIGINT) AS linear_ppm,
+       COALESCE(l.last_touch_rev, 0.0) AS last_touch_rev
+FROM firsts f
+FULL JOIN lasts l ON l.channel = f.channel
+FULL JOIN linear ln ON ln.channel = COALESCE(f.channel, l.channel)
+ORDER BY channel
+"""

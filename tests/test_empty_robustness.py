@@ -50,6 +50,10 @@ SENSITIVE_EMPTY_TABLES = [
     "graph_label_prop",
     "graph_label_prop_indexed",
     "emb_pca",
+    "emb_drift_report",
+    "text_pii_audit",
+    "events_attribution",
+    "dedup_containment_bottomk",
     "events_ab_test",
     "text_line_boilerplate",
     "dedup_containment",
