@@ -59,6 +59,8 @@ def queries() -> dict[str, QueryFn]:
         "text_pii_audit": llmdata.text_pii_audit,
         "emb_drift_report": llmdata.emb_drift_report,
         "events_attribution": profiling.events_attribution,
+        "ann_filtered_topk": llmdata.ann_filtered_topk,
+        "events_ohlc_bars": profiling.events_ohlc_bars,
         "dedup_containment": llmdata.dedup_containment,
         "q_cohort_ltv": profiling.q_cohort_ltv,
         "emb_pca": llmdata.emb_pca,
@@ -361,6 +363,12 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_audit": llmdata.TEXT_PII_AUDIT_SQL,
         "emb_drift_report": llmdata.EMB_DRIFT_REPORT_SQL,
         "events_attribution": profiling.EVENTS_ATTRIBUTION_SQL,
+        # metadata-filtered vector search: full-probe + allowed-ids
+        # pushdown == exact filtered kNN, oracle = filtered brute
+        # force; OHLC hourly bars: (ts, event_id)-deterministic
+        # open/close picks on one (type, bucket) exchange
+        "ann_filtered_topk": llmdata.ANN_FILTERED_TOPK_SQL,
+        "events_ohlc_bars": profiling.EVENTS_OHLC_BARS_SQL,
         # events_ab_test (r11): two-proportion z on a deterministic
         # split; try_divide mirrors DuckDB's x/0.0 -> NULL
         "events_ab_test": profiling.EVENTS_AB_TEST_SQL,

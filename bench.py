@@ -40,6 +40,8 @@ HEADLINE = [
     "text_pii_audit",
     "emb_drift_report",
     "events_attribution",
+    "ann_filtered_topk",
+    "events_ohlc_bars",
     "data_stratified_sample",
     "text_line_boilerplate",
     "snapshot_diff",

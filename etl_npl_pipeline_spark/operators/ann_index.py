@@ -766,11 +766,20 @@ def ivf_query(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search against a persisted index: probe-list UDF over the
     (tiny, driver-loaded) centroid matrix, equi-join on cell against
     the cell-partitioned vectors artifact, exact re-rank. No
-    training, no corpus re-encode."""
+    training, no corpus re-encode.
+
+    ``allowed_ids`` (optional, one ``neighbor_id`` column) is the
+    metadata-filtered-search pushdown every production vector store
+    ships: the predicate semi-joins the candidate POSTINGS before
+    any scoring, so top-k ranks only over the allowed subset
+    (pre-filter semantics — a post-filter of an unfiltered top-k
+    would silently return < k or miss allowed neighbors entirely)
+    and the distance work shrinks with the filter's selectivity."""
     if queries.isEmpty():
         return _empty_result(spark)
     crows = sorted(
@@ -794,8 +803,13 @@ def ivf_query(
         l2_normalize(F.col(vec_col)).alias("qv"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
+    vectors = _vectors(spark, index_dir)
+    if allowed_ids is not None:
+        vectors = vectors.join(
+            allowed_ids.select("neighbor_id"), "neighbor_id", "left_semi"
+        )
     cand = (
-        q.join(_vectors(spark, index_dir), "cell")
+        q.join(vectors, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -6026,3 +6026,70 @@ FROM stats r JOIN stats c ON r.dim = c.dim
 WHERE r.half = 0 AND c.half = 1
 ORDER BY r.dim
 """
+
+
+# --- L77: metadata-filtered vector search ---------------------------
+
+ANN_FILTER_MAX_LABEL = 2
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L77 (r12): metadata-FILTERED vector search served from the
+    persisted index — the feature every production vector store
+    ships (search only documents matching a predicate: tenant,
+    language, license tier). Pre-filter semantics: the predicate
+    (label <= ANN_FILTER_MAX_LABEL, the allowed-ids relation)
+    semi-joins the index POSTINGS before any scoring, so top-k ranks
+    over the allowed subset — a post-filter of unfiltered top-k
+    would return < k rows or miss allowed neighbors whose global
+    rank exceeds k (the classic filtered-ANN correctness trap).
+
+    Exactness: full probe (n_probe = every cell) makes the served
+    result EXACT filtered kNN — persisted doubles round-trip exactly
+    and pair_dot accumulates in the same fold order — so the oracle
+    is plain filtered brute force (the ann_topk construction with
+    the WHERE pushed into the candidate side). At production scale
+    the same pushdown runs at n_probe<<cells, where candidate work
+    shrinks WITH selectivity (a 3%-selective filter scores ~3% of a
+    cell) instead of post-filter's wasted full ranking."""
+    from etl_npl_pipeline_spark.operators.ann_index import ivf_query
+
+    idx = _ann_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    allowed = emb.where(F.col("label") <= ANN_FILTER_MAX_LABEL).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    return ivf_query(
+        spark,
+        idx,
+        queries,
+        k=ANN_K,
+        n_probe=IVF_KNOBS["n_clusters"],
+        allowed_ids=allowed,
+    ).orderBy("query_id", "rank")
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH nrm AS ({_SQL_NORMED}),
+allowed AS (
+    SELECT vec_id FROM embeddings WHERE label <= {ANN_FILTER_MAX_LABEL}
+),
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q
+    JOIN nrm c ON q.vec_id != c.vec_id
+    JOIN allowed a ON a.vec_id = c.vec_id
+    WHERE q.vec_id < {ANN_N_QUERIES}
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""

@@ -1069,3 +1069,89 @@ FULL JOIN lasts l ON l.channel = f.channel
 FULL JOIN linear ln ON ln.channel = COALESCE(f.channel, l.channel)
 ORDER BY channel
 """
+
+
+# --- A53: OHLC time-bucket downsampling -----------------------------
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 (r12): hourly OHLC bars per event_type — the
+    continuous-aggregate / downsampling shape time-series stores
+    (metrics rollups, candlestick feeds) serve: open = value at the
+    first event in the bucket, close = at the last, high/low =
+    max/min, n = volume. First/last are tie-broken by (ts, event_id)
+    — fully deterministic on both engines; value high/low/sums need
+    no rounding (2-dp doubles compare exactly, and open/close are
+    single picked values, not aggregates).
+
+    Shape: ONE (event_type, bucket) exchange; open/close come from
+    row_number windows over the same partitioning the aggregate
+    uses, so Catalyst reuses the exchange (window + partial agg on
+    one shuffle). Downsampling 100 TB of raw gauges to hourly bars
+    is exactly this plan, scan-bound with O(types x buckets) output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "bucket")
+    ranked = ev.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("rn_a"),
+        F.row_number()
+        .over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("bucket").cast("long").alias("bucket_epoch"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
+
+
+EVENTS_OHLC_BARS_SQL = """
+WITH e AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+    FROM events
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, bucket ORDER BY ts ASC, event_id ASC
+           ) AS rn_a,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC
+           ) AS rn_d
+    FROM e
+)
+SELECT event_type,
+       CAST(epoch(bucket) AS BIGINT) AS bucket_epoch,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM ranked GROUP BY event_type, bucket
+ORDER BY event_type, bucket_epoch
+"""

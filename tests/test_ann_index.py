@@ -562,3 +562,61 @@ def test_commit_lock_eperm_holder_is_treated_alive(tmp_path, monkeypatch):
     os.unlink(lock_path)
     t.join(timeout=5.0)
     assert acquired.is_set()
+
+
+def test_filtered_query_is_prefilter_not_postfilter(spark, sf_dir):
+    """L77: allowed_ids must semi-join the postings BEFORE ranking.
+    Pins (a) every returned neighbor satisfies the predicate,
+    (b) the result equals brute-force kNN over the filtered corpus,
+    (c) on this data the distinction is REAL: some query's
+    post-filtered unfiltered top-k differs from the pre-filtered
+    top-k (otherwise this test would pass vacuously)."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark.operators import similarity as S
+    from etl_npl_pipeline_spark.operators.ann_index import ivf_query
+    from etl_npl_pipeline_spark.plans import llmdata
+
+    idx = llmdata._ann_index(spark, sf_dir)
+    emb = llmdata._emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < llmdata.ANN_N_QUERIES)
+    allowed_df = emb.where(
+        F.col("label") <= llmdata.ANN_FILTER_MAX_LABEL
+    )
+    allowed_ids = {r.vec_id for r in allowed_df.select("vec_id").collect()}
+
+    served = ivf_query(
+        spark, idx, queries, k=llmdata.ANN_K,
+        n_probe=llmdata.IVF_KNOBS["n_clusters"],
+        allowed_ids=allowed_df.select(
+            F.col("vec_id").alias("neighbor_id")
+        ),
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id for r in served.collect()
+    }
+    assert got and all(n in allowed_ids for n in got.values())
+
+    exact = S.brute_force_topk(queries, allowed_df, k=llmdata.ANN_K)
+    want = {
+        (r.query_id, r.rank): r.neighbor_id for r in exact.collect()
+    }
+    # self-exclusion: a query outside the filter never appears; one
+    # inside it is excluded by ivf_query's query_id != neighbor_id
+    # and by brute_force's identical rule
+    assert got == want
+
+    unfiltered = ivf_query(
+        spark, idx, queries, k=llmdata.ANN_K,
+        n_probe=llmdata.IVF_KNOBS["n_clusters"],
+    )
+    post = {}
+    for r in unfiltered.collect():
+        if r.neighbor_id in allowed_ids:
+            post.setdefault(r.query_id, []).append(r.neighbor_id)
+    pre = {}
+    for (q, _), n in sorted(got.items()):
+        pre.setdefault(q, []).append(n)
+    assert any(post.get(q, []) != pre[q] for q in pre), (
+        "post-filter == pre-filter everywhere; fixture too easy"
+    )

@@ -53,6 +53,8 @@ SENSITIVE_EMPTY_TABLES = [
     "emb_drift_report",
     "text_pii_audit",
     "events_attribution",
+    "events_ohlc_bars",
+    "ann_filtered_topk",
     "dedup_containment_bottomk",
     "events_ab_test",
     "text_line_boilerplate",
