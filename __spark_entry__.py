@@ -61,6 +61,7 @@ def queries() -> dict[str, QueryFn]:
         "events_attribution": profiling.events_attribution,
         "ann_filtered_topk": llmdata.ann_filtered_topk,
         "events_ohlc_bars": profiling.events_ohlc_bars,
+        "stream_ohlc_bars": extras.stream_ohlc_bars,
         "dedup_containment": llmdata.dedup_containment,
         "q_cohort_ltv": profiling.q_cohort_ltv,
         "emb_pca": llmdata.emb_pca,
@@ -369,6 +370,9 @@ def oracle_sql() -> dict[str, str]:
         # open/close picks on one (type, bucket) exchange
         "ann_filtered_topk": llmdata.ANN_FILTERED_TOPK_SQL,
         "events_ohlc_bars": profiling.EVENTS_OHLC_BARS_SQL,
+        # the streaming drain must reproduce the SAME batch OHLC
+        # relation, tie-breaks included
+        "stream_ohlc_bars": profiling.EVENTS_OHLC_BARS_SQL,
         # events_ab_test (r11): two-proportion z on a deterministic
         # split; try_divide mirrors DuckDB's x/0.0 -> NULL
         "events_ab_test": profiling.EVENTS_AB_TEST_SQL,

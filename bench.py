@@ -42,6 +42,7 @@ HEADLINE = [
     "events_attribution",
     "ann_filtered_topk",
     "events_ohlc_bars",
+    "stream_ohlc_bars",
     "data_stratified_sample",
     "text_line_boilerplate",
     "snapshot_diff",

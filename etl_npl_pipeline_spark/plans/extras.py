@@ -1792,3 +1792,48 @@ FROM counts c JOIN s2 ON c.event_type = s2.event_type
 WHERE abs(n - mu) > 2 * sigma
 ORDER BY win_start, c.event_type
 """
+
+
+# --- ST14: streaming OHLC downsampling bars -------------------------
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14 (r12): the streaming twin of A53 events_ohlc_bars —
+    hourly OHLC bars maintained by a watermarked windowed aggregate.
+    open/close are ``min_by``/``max_by`` over the (ts, event_id)
+    struct — DECLARATIVE aggregates with partial merge, so the state
+    store holds one (argmin, argmax, max, min, count) tuple per
+    (window, type) group and late/out-of-order arrivals within the
+    watermark fold in correctly (the property a lag()-based
+    formulation cannot have in a stream). Oracle = the batch OHLC
+    SQL: the availableNow drain must reproduce batch semantics
+    exactly, tie-breaks included."""
+    from etl_npl_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    pick = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.min_by("value", pick).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", pick).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").cast("long").alias("bucket_epoch"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+    return run_stream_to_memory(
+        agg, output_mode="complete", label="stream_ohlc_bars"
+    ).orderBy("event_type", "bucket_epoch")

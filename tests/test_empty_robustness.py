@@ -54,6 +54,7 @@ SENSITIVE_EMPTY_TABLES = [
     "text_pii_audit",
     "events_attribution",
     "events_ohlc_bars",
+    "stream_ohlc_bars",
     "ann_filtered_topk",
     "dedup_containment_bottomk",
     "events_ab_test",
