@@ -882,11 +882,24 @@ ATTR_TOUCH_TYPES = ("click", "signup", "view")
 
 
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A52 (r12): multi-touch conversion attribution — for every
-    purchase, the touch events (view/click/signup) by the same user
-    in the preceding ATTR_LOOKBACK_HOURS window, credited under the
+    """A52 (r12): multi-touch conversion attribution — PATH-BASED
+    (the GA-style model): every touch (view/click/signup) belongs to
+    exactly one conversion path — the NEXT purchase by the same user
+    in (ts, event_id) order — and is credited iff it falls inside
+    that conversion's ATTR_LOOKBACK_HOURS window. Per path, the
     three standard models marketing warehouses serve side by side:
     first-touch, last-touch (with revenue), and linear.
+
+    Path assignment WITHOUT a band join: grp = reverse cumulative
+    purchase count per user (SUM(is_purchase) ordered by (ts,
+    event_id) DESC) — a purchase and exactly the touches that
+    precede it back to the previous purchase share one grp value, so
+    conversions⋈touches is a 1:1-group EQUI-join on (user_id, grp).
+    The lookback-window formulation ("every conversion looks back
+    72h") joins each touch to EVERY conversion in its future window
+    — Θ(touches × conversions-per-window) per user, quadratic in a
+    hot user's (bot) activity. This shape is linear in events no
+    matter how the keys skew: each touch row joins at most once.
 
     Determinism contract: touch order is (ts, event_id) — event_id
     breaks timestamp ties identically on both engines. Linear credit
@@ -896,39 +909,53 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     far from any representable-boundary hazard — quotients are
     rationals with denominator n, never within 1e-4 of an integer
     unless exact), so SUM(ppm) is order-independent. Revenue sums as
-    exact decimal money. Conversions with NO touch in the window
-    keep their mass in the '(none)' row — credit is conserved:
-    SUM(linear_ppm) + untouched rounding loss accounts for exactly
-    1e6 per conversion (pinned in tests).
+    exact decimal money. Conversions with NO credited touch keep
+    their mass in the '(none)' row — credit is conserved:
+    SUM(linear_ppm) + floor loss accounts for exactly 1e6 per
+    conversion (pinned in tests).
 
-    Scale shape: ONE user_id exchange co-partitions conversions and
-    touches; the lookback band join runs inside user groups (per-user
-    event counts are bounded — no skew explosion), and the three
-    models reuse the same joined relation: per-conversion windows
-    (first/last) plus one (conv, channel) rollup. 100 TB = the
-    sessionize/funnel shape, a single keyed shuffle.
+    Scale shape: ONE user_id exchange serves the grp window, the
+    conversions⋈touches equi-join, and the per-path windows
+    (first/last) — the sessionize/funnel shape, a single keyed
+    shuffle, skew-linear by construction.
     """
     from pyspark.sql import Window
 
     from etl_npl_pipeline_spark.functions.exact import money
 
     ev = load_table(spark, sf_dir, "events")
-    conv = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("conv_id"),
+    is_conv = (F.col("event_type") == "purchase").cast("long")
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e2 = ev.select(
         "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(is_conv).over(wg).alias("grp"),
+    )
+    conv = e2.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "grp",
+        F.col("event_id").alias("conv_id"),
         F.col("ts").alias("cts"),
         money("value").alias("rev"),
     )
-    touch = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
-        "user_id",
+    touch = e2.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("grp").alias("t_grp"),
         F.col("ts").alias("tts"),
         F.col("event_id").alias("tid"),
         F.col("event_type").alias("channel"),
     )
     j = conv.join(
         touch,
-        (conv.user_id == touch.user_id)
-        & (F.col("tts") < F.col("cts"))
+        (conv.user_id == touch.t_user)
+        & (conv.grp == touch.t_grp)
         & (
             F.col("tts")
             >= F.col("cts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_HOURS} HOURS")
@@ -1005,20 +1032,29 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ATTRIBUTION_SQL = f"""
-WITH conv AS (
-    SELECT event_id AS conv_id, user_id, ts AS cts,
+WITH e2 AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM events
+),
+conv AS (
+    SELECT user_id, grp, event_id AS conv_id, ts AS cts,
            CAST(value AS DECIMAL(12,2)) AS rev
-    FROM events WHERE event_type = 'purchase'
+    FROM e2 WHERE event_type = 'purchase'
 ),
 touch AS (
-    SELECT user_id, ts AS tts, event_id AS tid, event_type AS channel
-    FROM events WHERE event_type IN ('click', 'signup', 'view')
+    SELECT user_id, grp, ts AS tts, event_id AS tid,
+           event_type AS channel
+    FROM e2 WHERE event_type IN ('click', 'signup', 'view')
 ),
 j AS (
     SELECT c.conv_id, c.rev, t.tts, t.tid, t.channel
     FROM conv c LEFT JOIN touch t
       ON t.user_id = c.user_id
-     AND t.tts < c.cts
+     AND t.grp = c.grp
      AND t.tts >= c.cts - INTERVAL {ATTR_LOOKBACK_HOURS} HOURS
 ),
 ranked AS (
