@@ -5614,10 +5614,12 @@ ANN_RP_RERANK_SQL = _rp_rerank_sql()
 CONTAINMENT_THRESHOLD = 0.9
 SNIPPET_TOKENS = 25
 # the suite-wide planted-id offset (r11 ADVICE: the first cut's
-# +100000 collides with real doc_ids at sf>=2 — sf1 already holds
-# 50k docs and the id space grows with sf; 1e6 matches the sibling
-# fixtures and stays clear through sf~200)
-SNIPPET_ID_OFFSET = 1_000_000
+# +100000 collides with real doc_ids at sf>=2). NOT 1e6: the sf
+# replication tools shift replica keys by i * 1e6, so a +1e6 offset
+# maps replica i's snippets ONTO replica i+1's real ids (measured at
+# sf1: the planted pair count halved). SEMDEDUP_PLANTED_OFFSET's 1e9
+# is the sibling convention — clear of real ids through sf~10,000.
+SNIPPET_ID_OFFSET = 1_000_000_000
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

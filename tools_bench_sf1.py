@@ -139,6 +139,12 @@ TIER_R12 = [
     "graph_label_prop_indexed",
     "dedup_containment_bottomk",
     "ann_rp_rerank",
+    "text_pii_audit",
+    "emb_drift_report",
+    "events_attribution",
+    "ann_filtered_topk",
+    "events_ohlc_bars",
+    "stream_ohlc_bars",
 ]
 
 ALL_QUERIES = (

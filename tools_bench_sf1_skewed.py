@@ -78,7 +78,16 @@ SKEWED_SHAPES = [
     "events_sessionize",
     "stream_user_totals",
 ]
-ALL_QUERIES = HEAVY + DEDUP + SKEWED_SHAPES
+# r12: the bot user (14% of events) is the designed stress for the
+# path-based attribution equi-join and the OHLC per-bucket windows;
+# hub documents stress the bottom-k containment probe volume
+R12_SHAPES = [
+    "events_attribution",
+    "events_ohlc_bars",
+    "dedup_containment_bottomk",
+    "q_cohort_ltv",
+]
+ALL_QUERIES = HEAVY + DEDUP + SKEWED_SHAPES + R12_SHAPES
 
 
 def main() -> None:
