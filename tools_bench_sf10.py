@@ -55,6 +55,11 @@ TIER = [
     "mm_decode_jpeg",
     "mm_decode_meta",
     "mm_audio_features",
+    # r12: the second measured decade for the index-served label-prop
+    # graph (the x46.9 exact-path fix — bytes must stay ~linear at
+    # x100 too) and the skew-linear attribution equi-join
+    "graph_label_prop_indexed",
+    "events_attribution",
 ]
 
 

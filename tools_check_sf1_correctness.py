@@ -76,6 +76,7 @@ EXCLUDE = {
     "stream_windowed_topk",
     "stream_anomaly_alerts",
     "stream_upsert_read",
+    "stream_ohlc_bars",
     # fixture-rebuild queries: they manufacture their own inputs
     # (excel/CSV/REST loopback, MOR/CoW/SCD2 warehouse builds, the
     # zorder rewrite, full-pipeline segmented writes) — sf_dir only
