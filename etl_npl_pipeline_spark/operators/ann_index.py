@@ -78,6 +78,15 @@ def _warehouse_dir(spark: SparkSession) -> str:
 
 MANIFEST = "_MANIFEST.json"
 
+# ivf_query batches above this size take the cell-keyed cogroup
+# instead of the row-wise join (see ivf_query's docstring — the sf10
+# spill find). 1,000 cleanly separates the two real regimes — tens
+# of queries (serving: broadcast + cell partition pruning wins) vs
+# corpus-as-queries sweeps (thousands+: candidate pairs must never
+# exist as rows) — and keeps each query SHAPE on one strategy at
+# every measured sf, so decade byte ratios compare like with like.
+LARGE_QUERY_BATCH = 1_000
+
 
 def _content_fingerprint(corpus_key: str) -> str:
     """Cheap content identity of the corpus behind ``corpus_key``:
@@ -779,8 +788,29 @@ def ivf_query(
     any scoring, so top-k ranks only over the allowed subset
     (pre-filter semantics — a post-filter of an unfiltered top-k
     would silently return < k or miss allowed neighbors entirely)
-    and the distance work shrinks with the filter's selectivity."""
-    if queries.isEmpty():
+    and the distance work shrinks with the filter's selectivity.
+
+    Execution strategy by batch size (r12, the sf10 spill find): a
+    SMALL query batch (the serving case) joins cells row-wise and
+    broadcasts naturally — optimal, and partition pruning on the
+    cell-partitioned artifact reads only the probed cells. A
+    CORPUS-AS-QUERIES batch must not run that shape: Catalyst's size
+    estimate through the Arrow probe UDF undercounts, so it happily
+    broadcast 800k queries x 64-d vectors (~440 MB) into the vector
+    scan's file splits, and even with the join fixed the row-wise
+    path MATERIALIZES every (query, candidate) pair into the top-k
+    window's sort — measured 10.7 GB of sort spill at sf10 (205M
+    pair rows). Above LARGE_QUERY_BATCH the plan switches to a
+    cell-keyed COGROUP (the brute_force_topk machinery with the IVF
+    cell as the block key): queries and cell vectors co-partition
+    once, numpy scores each cell block and emits only its per-query
+    top-k, and the final window merges n_probe * k rows per query.
+    Candidate pairs never exist as Spark rows — no candidate
+    shuffle, no candidate sort, no spill. Scores accumulate in
+    ascending dim order (the pair_dot fold), so both paths are
+    bit-identical."""
+    n_queries = queries.count()
+    if n_queries == 0:
         return _empty_result(spark)
     crows = sorted(
         _read_artifact(spark, index_dir, "ivf_centroids").collect(),
@@ -798,16 +828,85 @@ def ivf_query(
         order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int64)
         return pd.Series(list(order))
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        l2_normalize(F.col(vec_col)).alias("qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
-    )
     vectors = _vectors(spark, index_dir)
     if allowed_ids is not None:
         vectors = vectors.join(
             allowed_ids.select("neighbor_id"), "neighbor_id", "left_semi"
         )
+
+    if n_queries > LARGE_QUERY_BATCH:
+        q_raw = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv_raw"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+
+        def _score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype(
+                {
+                    "query_id": np.int64,
+                    "neighbor_id": np.int64,
+                    "cos_sim": np.float64,
+                }
+            )
+            if not len(qpdf) or not len(cpdf):
+                return empty
+            qids = qpdf["query_id"].to_numpy()
+            qm = np.concatenate(qpdf["qv_raw"].to_numpy()).astype(
+                np.float64
+            ).reshape(len(qpdf), -1)
+            # dim-ordered normalization — bit-identical to the JVM
+            # l2_normalize fold (the brute_force_topk contract)
+            nn = np.zeros(len(qm))
+            for d in range(qm.shape[1]):
+                nn = nn + qm[:, d] * qm[:, d]
+            qm = qm / np.sqrt(np.where(nn == 0.0, 1.0, nn))[:, None]
+            # corpus vectors come PRE-normalized from the artifact —
+            # used as stored, exactly like the row-wise pair_dot path
+            cids = cpdf["neighbor_id"].to_numpy()
+            cm = np.concatenate(cpdf["cv"].to_numpy()).astype(
+                np.float64
+            ).reshape(len(cpdf), -1)
+            out_q, out_n, out_s = [], [], []
+            for lo in range(0, len(qids), 256):
+                qs = qm[lo : lo + 256]
+                scores = np.zeros((len(cids), len(qs)))
+                for d in range(qm.shape[1]):
+                    scores = scores + np.outer(cm[:, d], qs[:, d])
+                for j in range(len(qs)):
+                    col = scores[:, j]
+                    mask = cids != qids[lo + j]
+                    cid, cs = cids[mask], col[mask]
+                    top = min(k, len(cid))
+                    order = np.lexsort((cid, -cs))[:top]
+                    out_q.append(np.full(top, qids[lo + j]))
+                    out_n.append(cid[order])
+                    out_s.append(cs[order])
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+        sims = (
+            q_raw.groupby("cell")
+            .cogroup(vectors.groupby("cell"))
+            .applyInPandas(
+                _score_cell,
+                schema="query_id long, neighbor_id long, cos_sim double",
+            )
+        )
+        return _topk(sims, k)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
     cand = (
         q.join(vectors, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -620,3 +620,34 @@ def test_filtered_query_is_prefilter_not_postfilter(spark, sf_dir):
     assert any(post.get(q, []) != pre[q] for q in pre), (
         "post-filter == pre-filter everywhere; fixture too easy"
     )
+
+
+def test_large_batch_cogroup_path_equals_rowwise_path(spark, sf_dir, monkeypatch):
+    """The LARGE_QUERY_BATCH cogroup path must return BIT-IDENTICAL
+    rows to the row-wise pair_dot path — same normalization fold,
+    same ascending-dim score accumulation, same (score desc, id asc)
+    order. Run both on the same index by toggling the threshold."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark.operators import ann_index as ai
+    from etl_npl_pipeline_spark.plans import llmdata
+
+    idx = llmdata._ann_index(spark, sf_dir)
+    emb = llmdata._emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 40)
+
+    monkeypatch.setattr(ai, "LARGE_QUERY_BATCH", 10**9)
+    small = [
+        tuple(r)
+        for r in ai.ivf_query(spark, idx, queries, k=5, n_probe=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    monkeypatch.setattr(ai, "LARGE_QUERY_BATCH", 0)
+    large = [
+        tuple(r)
+        for r in ai.ivf_query(spark, idx, queries, k=5, n_probe=3)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert small and small == large

@@ -87,12 +87,25 @@ def main() -> None:
     if subset and os.path.exists(out_path):
         with open(out_path) as fh:
             out = json.load(fh)["queries"]
+    # Index-lifecycle queries build a PERSISTED artifact on first
+    # touch of a corpus; metering that first run charges the
+    # train-once cost (k-means + artifact writes, including their
+    # sort-spill) to the query and breaks the decade comparison —
+    # the sf1 side usually finds its index already published in the
+    # warehouse while the sf10 side never does. One unmetered warm
+    # pass per dir puts both measurements in the steady serve regime
+    # (the sf1 harness's steady-run convention, and the production
+    # regime: built once, served many).
+    WARM_FIRST = {"graph_label_prop_indexed"}
     for name in run_queries:
         fn = queries[name]
 
         def _noop(d):
             fn(spark, d).write.format("noop").mode("overwrite").save()
 
+        if name in WARM_FIRST:
+            _noop(SF1_DIR)
+            _noop(SF10_DIR)
         m1 = run_with_metrics(spark, lambda: _noop(SF1_DIR))
         plan1 = _plan(fn(spark, SF1_DIR))
         m10 = run_with_metrics(spark, lambda: _noop(SF10_DIR))
@@ -141,6 +154,15 @@ def main() -> None:
                 "with autoBroadcastJoinThreshold=-1 at both scales "
                 "the ratio is x9.86 (see q21_smj_probe) — linear "
                 "within the SMJ regime"
+            ),
+            "events_attribution": (
+                "bytes x15.55 with exchange growth 29->34 is the "
+                "same broadcast phase change (five sub-joins "
+                "broadcastable at sf1, shuffled at sf10); probed "
+                "r12 with autoBroadcastJoinThreshold=-1 at both "
+                "scales: x10.06 bytes, 34 exchanges at BOTH scales, "
+                "zero spill — exactly linear within the shuffle "
+                "regime (probe: sf1 123.8 MB / sf10 1245.2 MB)"
             ),
         },
         "queries": out,
