@@ -809,7 +809,10 @@ def ivf_query(
     shuffle, no candidate sort, no spill. Scores accumulate in
     ascending dim order (the pair_dot fold), so both paths are
     bit-identical."""
-    n_queries = queries.count()
+    # bounded size probe: the branch only needs "0, <=threshold, or
+    # more" — limit() stops the scan at threshold+1 rows instead of
+    # counting a corpus-sized batch (and replaces the old isEmpty)
+    n_queries = queries.limit(LARGE_QUERY_BATCH + 1).count()
     if n_queries == 0:
         return _empty_result(spark)
     crows = sorted(
