@@ -38,28 +38,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     # The driver's CORRECTNESS check covers the first 50 entries.
-    # r12 window rotation (VERDICT r11 #7: 133 of 183 sat out the
-    # r11 window — rotate the least-recently-checked forward): the
-    # front is this round's NEW contracts (graph_label_prop_indexed:
-    # the index-served kNN graph; dedup_containment_bottomk: the
-    # sample-and-probe containment sketch), then every query whose
-    # BEHAVIOR changed in r12 (dedup_containment's 1e6 snippet
-    # offset, q_cohort_ltv's decimal money partials, emb_pca's
-    # Arrow moment pass, vocab_bpe_encode's train-state reuse, the
-    # ann_rp funnel re-scope, graph_label_prop's shared-rounds
-    # refactor), the rows-only trio (window-pinned by
-    # test_driver_window), and then the 38 queries with the OLDEST
-    # driver evidence on file — q_salted_join (last seen r3), the
-    # full r4 block, and the oldest of the r5 block. Every window
-    # row below is therefore either new, changed, rows-only, or
-    # last driver-checked in r3-r5.
+    # r13 window rotation (VERDICT r12 #5: 141 of 191 sat out the
+    # r12 window — keep rotating the least-recently-checked forward):
+    # the front is this round's NEW contract (ann_filtered_pq: the
+    # allowed_ids pushdown on the PQ serving path, exact-by-
+    # construction via k' >= |allowed|), then every query whose
+    # BEHAVIOR changed in r13 (text_pii_audit: 7 classes incl.
+    # checksum-validated Thai IDs + sequential chars attribution;
+    # emb_drift_report: variance clamp; graph_label_prop_indexed and
+    # ann_semantic_sweep: n_queries_hint skips the size-probe job;
+    # ann_filtered_topk: shares the widened ivf_query signature),
+    # the rows-only trio (window-pinned by test_driver_window), and
+    # then the 41 queries with the OLDEST driver evidence on file —
+    # the full r5 and r6 blocks and the 7 oldest of the r7 block
+    # (events_gapfill..dedup_minhash; emb_centroids and
+    # doc_length_hist roll to r14).
     return {
-        "graph_label_prop_indexed": llmdata.graph_label_prop_indexed,
-        "dedup_containment_bottomk": llmdata.dedup_containment_bottomk,
+        "ann_filtered_pq": llmdata.ann_filtered_pq,
         "text_pii_audit": llmdata.text_pii_audit,
         "emb_drift_report": llmdata.emb_drift_report,
-        "events_attribution": profiling.events_attribution,
+        "graph_label_prop_indexed": llmdata.graph_label_prop_indexed,
+        "ann_semantic_sweep": llmdata.ann_semantic_sweep,
         "ann_filtered_topk": llmdata.ann_filtered_topk,
+        "ann_lsh": llmdata.ann_lsh,
+        "ann_ivf": llmdata.ann_ivf,
+        "ann_pq": llmdata.ann_pq,
+        "q14_promo_revenue": tpch_extra.q14_promo_revenue,
+        "q_rollup_region": tpch_extra.q_rollup_region,
+        "q13_order_distribution": tpch_more.q13_order_distribution,
+        "text_scrub": llmdata.text_scrub,
+        "text_commonness": llmdata.text_commonness,
+        "data_split": llmdata.data_split,
+        "data_mixture": llmdata.data_mixture,
+        "text_repetition": llmdata.text_repetition,
+        "text_winnow": llmdata.text_winnow,
+        "join_bucketed": surfaces.join_bucketed,
+        "q3_shipping_priority": tpch.q3_shipping_priority,
+        "q5_local_supplier": tpch.q5_local_supplier,
+        "q18_large_orders": tpch.q18_large_orders,
+        "q4_order_priority": tpch_extra.q4_order_priority,
+        "q12_priority_shipping": tpch_extra.q12_priority_shipping,
+        "q19_disjunctive": tpch_extra.q19_disjunctive,
+        "q7_nation_volume": tpch_more.q7_nation_volume,
+        "q8_market_share": tpch_more.q8_market_share,
+        "q9_product_profit": tpch_more.q9_product_profit,
+        "q15_top_supplier": tpch_more.q15_top_supplier,
+        "q_top_parts_per_brand": tpch_extra.q_top_parts_per_brand,
+        "corpus_curation": corpus.corpus_curation,
+        "dedup_components": llmdata.dedup_components,
+        "dedup_components_star": llmdata.dedup_components_star,
+        "dedup_embedding": llmdata.dedup_embedding,
+        "stream_events_window": extras.stream_events_window,
+        "stream_sessionize": extras.stream_sessionize_q,
+        "stream_dedup_events": extras.stream_dedup_events,
+        "stream_user_totals": extras.stream_user_totals_q,
+        "stream_static_join": extras.stream_static_join,
+        "stream_stream_join": extras.stream_stream_join,
+        "events_quantiles": profiling.events_quantiles,
+        "dq_orders": profiling.dq_orders,
+        "events_hopping_window": profiling.events_hopping_window,
+        "events_gapfill": extras.events_gapfill,
+        "events_funnel": extras.events_funnel,
+        "events_retention": extras.events_retention,
+        "vocab_top_ngrams": llmdata.vocab_top_ngrams,
+        "corpus_prune": llmdata.corpus_prune,
+        "doc_chunks": llmdata.doc_chunks,
+        "dedup_minhash": llmdata.dedup_minhash,
+        "dedup_containment_bottomk": llmdata.dedup_containment_bottomk,
+        "events_attribution": profiling.events_attribution,
         "events_ohlc_bars": profiling.events_ohlc_bars,
         "stream_ohlc_bars": extras.stream_ohlc_bars,
         "dedup_containment": llmdata.dedup_containment,
@@ -69,9 +115,6 @@ def queries() -> dict[str, QueryFn]:
         "ann_rp_topk": llmdata.ann_rp_topk,
         "ann_rp_rerank": llmdata.ann_rp_rerank,
         "graph_label_prop": llmdata.graph_label_prop,
-        "ann_lsh": llmdata.ann_lsh,
-        "ann_ivf": llmdata.ann_ivf,
-        "ann_pq": llmdata.ann_pq,
         "q_salted_join": extras.q_salted_join,
         "data_interleave": llmdata.data_interleave,
         "data_zorder": llmdata.data_zorder,
@@ -104,13 +147,6 @@ def queries() -> dict[str, QueryFn]:
         "dedup_ngram_jaccard": llmdata.dedup_ngram_jaccard,
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
-        "q14_promo_revenue": tpch_extra.q14_promo_revenue,
-        "q_rollup_region": tpch_extra.q_rollup_region,
-        "q13_order_distribution": tpch_more.q13_order_distribution,
-        "text_scrub": llmdata.text_scrub,
-        "text_commonness": llmdata.text_commonness,
-        "data_split": llmdata.data_split,
-        "ann_semantic_sweep": llmdata.ann_semantic_sweep,
         "stream_index_refresh": llmdata.stream_index_refresh,
         "text_gopher_multiscript": llmdata.text_gopher_multiscript,
         "dedup_simhash": llmdata.dedup_simhash,
@@ -208,43 +244,8 @@ def queries() -> dict[str, QueryFn]:
         "q_set_ops": tpch_rest.q_set_ops,
         "src_csv_roundtrip": extras.src_csv_roundtrip,
         "src_excel_roundtrip": extras.src_excel_roundtrip,
-        "events_gapfill": extras.events_gapfill,
-        "events_funnel": extras.events_funnel,
-        "events_retention": extras.events_retention,
-        "vocab_top_ngrams": llmdata.vocab_top_ngrams,
-        "corpus_prune": llmdata.corpus_prune,
-        "doc_chunks": llmdata.doc_chunks,
-        "dedup_minhash": llmdata.dedup_minhash,
         "emb_centroids": llmdata.emb_centroids,
         "doc_length_hist": llmdata.doc_length_hist,
-        "join_bucketed": surfaces.join_bucketed,
-        "q3_shipping_priority": tpch.q3_shipping_priority,
-        "q5_local_supplier": tpch.q5_local_supplier,
-        "q18_large_orders": tpch.q18_large_orders,
-        "q4_order_priority": tpch_extra.q4_order_priority,
-        "q12_priority_shipping": tpch_extra.q12_priority_shipping,
-        "q19_disjunctive": tpch_extra.q19_disjunctive,
-        "q7_nation_volume": tpch_more.q7_nation_volume,
-        "q8_market_share": tpch_more.q8_market_share,
-        "q9_product_profit": tpch_more.q9_product_profit,
-        "q15_top_supplier": tpch_more.q15_top_supplier,
-        "q_top_parts_per_brand": tpch_extra.q_top_parts_per_brand,
-        "corpus_curation": corpus.corpus_curation,
-        "dedup_components": llmdata.dedup_components,
-        "dedup_components_star": llmdata.dedup_components_star,
-        "dedup_embedding": llmdata.dedup_embedding,
-        "stream_events_window": extras.stream_events_window,
-        "stream_sessionize": extras.stream_sessionize_q,
-        "stream_dedup_events": extras.stream_dedup_events,
-        "stream_user_totals": extras.stream_user_totals_q,
-        "stream_static_join": extras.stream_static_join,
-        "stream_stream_join": extras.stream_stream_join,
-        "events_quantiles": profiling.events_quantiles,
-        "dq_orders": profiling.dq_orders,
-        "events_hopping_window": profiling.events_hopping_window,
-        "data_mixture": llmdata.data_mixture,
-        "text_repetition": llmdata.text_repetition,
-        "text_winnow": llmdata.text_winnow,
     }
 
 
@@ -369,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         # force; OHLC hourly bars: (ts, event_id)-deterministic
         # open/close picks on one (type, bucket) exchange
         "ann_filtered_topk": llmdata.ANN_FILTERED_TOPK_SQL,
+        "ann_filtered_pq": llmdata.ANN_FILTERED_PQ_SQL,
         "events_ohlc_bars": profiling.EVENTS_OHLC_BARS_SQL,
         # the streaming drain must reproduce the SAME batch OHLC
         # relation, tie-breaks included

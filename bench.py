@@ -534,6 +534,7 @@ def main() -> None:
     sf1_top10 = _load_sweep("sf1_top10.json")
     sf1_top30 = _load_sweep("sf1_top30.json")
     drift = _load_sweep("drift_adjudication.json")
+    stream_adj = _load_sweep("stream_adjudication.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
     sf1_recall_grid = _load_sweep("sf1_recall_grid.json")
     adversarial = _load_sweep("adversarial_r7.json")
@@ -587,6 +588,8 @@ def main() -> None:
         detail["sf1_top30"] = sf1_top30
     if drift is not None:
         detail["drift_adjudication"] = drift
+    if stream_adj is not None:
+        detail["stream_adjudication"] = stream_adj
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
     if sf1_recall_grid is not None:
@@ -710,9 +713,15 @@ def main() -> None:
         # a cleared flag stays VISIBLE in
         # regressions_vs_self_baseline with status=noise_cleared —
         # the clearing is auditable, not a silent delete.
+        # Streaming drains are adjudicated regardless of baseline
+        # magnitude: their per-micro-batch state-store open/commit
+        # floor is I/O-latency-bound, not shuffle-bound, so the
+        # shuffle-probe machine_scale under-corrects them on a slow
+        # host (r12 shipped stream_stream_join flagged at 7.85s that
+        # read 2.71s in exclusive isolation — stream_adjudication.json).
         adjudications = {}
         for k in list(violators):
-            if base[k] >= 2.0:
+            if base[k] >= 2.0 and not k.startswith("stream_"):
                 continue
             iso_runs = []
             for _ in range(2):

@@ -776,6 +776,7 @@ def ivf_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
+    n_queries_hint: int | None = None,
 ) -> DataFrame:
     """IVF search against a persisted index: probe-list UDF over the
     (tiny, driver-loaded) centroid matrix, equi-join on cell against
@@ -811,8 +812,16 @@ def ivf_query(
     bit-identical."""
     # bounded size probe: the branch only needs "0, <=threshold, or
     # more" — limit() stops the scan at threshold+1 rows instead of
-    # counting a corpus-sized batch (and replaces the old isEmpty)
-    n_queries = queries.limit(LARGE_QUERY_BATCH + 1).count()
+    # counting a corpus-sized batch (and replaces the old isEmpty).
+    # Callers that know their batch size (serving paths with a fixed
+    # query set, corpus-as-queries plans) pass n_queries_hint to skip
+    # the probe job entirely — the probe re-executes the upstream
+    # query plan, which for an exploded grid corpus is not free.
+    n_queries = (
+        n_queries_hint
+        if n_queries_hint is not None
+        else queries.limit(LARGE_QUERY_BATCH + 1).count()
+    )
     if n_queries == 0:
         return _empty_result(spark)
     crows = sorted(
@@ -932,9 +941,23 @@ def pq_query(
     vec_col: str = "embedding",
     query_chunk_rows: int = 10_000,
     code_chunk_rows: int = 200_000,
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search over the persisted code table + exact re-rank
     against the persisted normalized vectors.
+
+    ``allowed_ids`` (optional, one ``neighbor_id`` column) applies
+    metadata-filtered-search pushdown with PRE-filter semantics (the
+    ivf_query contract): the predicate semi-joins the CODE TABLE
+    before any ADC work, so the lookup-table scoring, the candidate
+    window and the exact re-rank all run over the allowed subset
+    only — ADC work shrinks with the filter's selectivity, and
+    top-k ranks over allowed vectors (a post-filter would return
+    < k or miss allowed neighbors ranked past k' globally).
+    Exactness lever: with rerank_factor sized so k' >= |allowed|,
+    every allowed vector survives the ADC cut and the exact re-rank
+    makes the result EXACT filtered kNN — the construction the
+    oracle-backed ann_filtered_pq contract uses.
 
     FULLY DISTRIBUTED query batches (r9, VERDICT r8 #3): r8 collected
     the query set to the driver and precomputed all LUTs there, which
@@ -978,6 +1001,10 @@ def pq_query(
     if n_q == 0:
         return _empty_result(spark)
     codes = _read_artifact(spark, index_dir, "pq_codes")
+    if allowed_ids is not None:
+        codes = codes.join(
+            allowed_ids.select("neighbor_id"), "neighbor_id", "left_semi"
+        )
     n_c = codes.count()
     n_qc = max(1, -(-n_q // query_chunk_rows))
     n_cc = max(1, -(-n_c // code_chunk_rows))
@@ -1084,9 +1111,18 @@ def lsh_query(
     probe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-table multiprobe LSH against the persisted bucket
-    postings. Query signatures regenerate from the shared seed (the
+    postings.
+
+    ``allowed_ids`` (optional, one ``neighbor_id`` column) applies
+    metadata-filtered-search pushdown with PRE-filter semantics (the
+    ivf_query contract): the predicate semi-joins the bucket
+    POSTINGS before the probe join, so candidate generation and the
+    exact scoring both run over the allowed subset only — top-k
+    ranks over allowed vectors, and probe-join fan-out shrinks with
+    the filter's selectivity. Query signatures regenerate from the shared seed (the
     planes are stateless); only the corpus-side postings were worth
     persisting — at scale they are the L-rows-per-vector artifact
     you never want to rebuild per query batch. Caller knobs are
@@ -1109,6 +1145,10 @@ def lsh_query(
         "query_id", "t", F.explode(F.array(*probes)).alias("sig")
     )
     buckets = _read_artifact(spark, index_dir, "lsh_buckets")
+    if allowed_ids is not None:
+        buckets = buckets.join(
+            allowed_ids.select("neighbor_id"), "neighbor_id", "left_semi"
+        )
     cand = (
         q_idx.join(buckets, ["t", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))

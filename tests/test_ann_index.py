@@ -651,3 +651,100 @@ def test_large_batch_cogroup_path_equals_rowwise_path(spark, sf_dir, monkeypatch
         .collect()
     ]
     assert small and small == large
+
+
+def test_filtered_pq_is_prefilter_not_postfilter(spark, sf_dir):
+    """L77b (r13): the PQ path's allowed_ids must semi-join the CODE
+    TABLE before ADC. With rerank_factor sized so k' >= |allowed|,
+    the served result must EQUAL brute-force kNN over the filtered
+    corpus (the exactness construction ann_filtered_pq's oracle
+    relies on); and the unfiltered top-k post-filtered must differ
+    somewhere (pre-filter is observably not post-filter)."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark.operators import similarity as S
+    from etl_npl_pipeline_spark.operators.ann_index import pq_query
+    from etl_npl_pipeline_spark.plans import llmdata
+
+    idx = llmdata._ann_index(spark, sf_dir)
+    emb = llmdata._emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < llmdata.ANN_N_QUERIES)
+    allowed_df = emb.where(F.col("label") <= llmdata.ANN_FILTER_MAX_LABEL)
+    allowed_ids = {r.vec_id for r in allowed_df.select("vec_id").collect()}
+    rf = max(1, -(-len(allowed_ids) // llmdata.ANN_K))
+
+    served = pq_query(
+        spark, idx, queries, k=llmdata.ANN_K, rerank_factor=rf,
+        allowed_ids=allowed_df.select(F.col("vec_id").alias("neighbor_id")),
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in served.collect()}
+    assert got and all(n in allowed_ids for n in got.values())
+
+    exact = S.brute_force_topk(queries, allowed_df, k=llmdata.ANN_K)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    assert got == want
+
+    unfiltered = pq_query(
+        spark, idx, queries, k=llmdata.ANN_K, rerank_factor=rf
+    )
+    post = {}
+    for r in unfiltered.collect():
+        if r.neighbor_id in allowed_ids:
+            post.setdefault(r.query_id, []).append(r.neighbor_id)
+    pre = {}
+    for (q, _), n in sorted(got.items()):
+        pre.setdefault(q, []).append(n)
+    assert any(post.get(q, []) != pre[q] for q in pre), (
+        "post-filter == pre-filter everywhere; fixture too easy"
+    )
+
+
+def test_filtered_lsh_prefilters_postings(spark, sf_dir):
+    """L77b (r13): the LSH path's allowed_ids must semi-join the
+    bucket POSTINGS before the probe join. LSH is approximate (a
+    filtered pair may share no bucket), so the pins are (a) every
+    returned neighbor satisfies the predicate, (b) each query that
+    returns rows ranks them by exact cos over allowed candidates
+    only (rank 1 scores >= rank 2 scores), and (c) the filtered
+    result differs from post-filtering the unfiltered top-k for at
+    least one query."""
+    import pyspark.sql.functions as F
+
+    from etl_npl_pipeline_spark.operators.ann_index import lsh_query
+    from etl_npl_pipeline_spark.plans import llmdata
+
+    idx = llmdata._ann_index(spark, sf_dir)
+    emb = llmdata._emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < llmdata.ANN_N_QUERIES)
+    allowed_df = emb.where(F.col("label") <= llmdata.ANN_FILTER_MAX_LABEL)
+    allowed_ids = {r.vec_id for r in allowed_df.select("vec_id").collect()}
+
+    kn = llmdata.LSH_KNOBS
+    served = lsh_query(
+        spark, idx, queries, k=llmdata.ANN_K,
+        n_planes=kn["n_planes"], n_tables=kn["n_tables"],
+        allowed_ids=allowed_df.select(F.col("vec_id").alias("neighbor_id")),
+    ).collect()
+    assert served and all(r.neighbor_id in allowed_ids for r in served)
+    by_q = {}
+    for r in served:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), (q, rows)
+
+    unfiltered = lsh_query(
+        spark, idx, queries, k=llmdata.ANN_K,
+        n_planes=kn["n_planes"], n_tables=kn["n_tables"],
+    ).collect()
+    post = {}
+    for r in unfiltered:
+        if r.neighbor_id in allowed_ids:
+            post.setdefault(r.query_id, []).append(r.neighbor_id)
+    pre = {}
+    for r in sorted(served, key=lambda r: (r.query_id, r.rank)):
+        pre.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert any(post.get(q, []) != pre[q] for q in pre), (
+        "post-filter == pre-filter everywhere; fixture too easy"
+    )

@@ -116,3 +116,21 @@ def test_confusion_matrix_group_semantics(spark, sf_dir):
         exp[key] = exp.get(key, 0) + c
     got = {(r["true_label"], r["pred_label"]): r["n"] for r in rows}
     assert got == exp
+
+
+def test_base_embeddings_have_no_cross_group_cos_ties(spark, sf_dir):
+    """Fixture precondition behind the oracle (ADVICE r12): the
+    served kNN tie-breaks by neighbor_id ACROSS groups, while the
+    DuckDB oracle replays the id-arithmetic WITHIN-group graph. The
+    two agree only because no cross-group pair ties the within-group
+    cos of exactly 1.0 — i.e. the base embeddings are pairwise
+    distinct after normalization. Pin max cross-base cos < 1.0 so a
+    future fixture regen with duplicate (or colinear) vectors fails
+    HERE instead of silently diverging in the driver window."""
+    emb = llmdata._emb(spark, sf_dir).select("vec_id", "embedding")
+    top1 = S.brute_force_topk(emb, emb, k=1)
+    max_cos = top1.agg(F.max("cos_sim").alias("m")).collect()[0]["m"]
+    assert max_cos < 1.0 - 1e-12, (
+        f"duplicate/colinear base embeddings (max cross cos={max_cos}) "
+        "break the L72b oracle's no-cross-group-tie invariant"
+    )
