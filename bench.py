@@ -535,6 +535,8 @@ def main() -> None:
     sf1_top30 = _load_sweep("sf1_top30.json")
     drift = _load_sweep("drift_adjudication.json")
     stream_adj = _load_sweep("stream_adjudication.json")
+    filter_sweep = _load_sweep("ann_filter_sweep.json")
+    lp_grid = _load_sweep("lp_recall_grid.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
     sf1_recall_grid = _load_sweep("sf1_recall_grid.json")
     adversarial = _load_sweep("adversarial_r7.json")
@@ -590,6 +592,10 @@ def main() -> None:
         detail["drift_adjudication"] = drift
     if stream_adj is not None:
         detail["stream_adjudication"] = stream_adj
+    if filter_sweep is not None:
+        detail["ann_filter_sweep"] = filter_sweep
+    if lp_grid is not None:
+        detail["lp_recall_grid"] = lp_grid
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
     if sf1_recall_grid is not None:

@@ -1806,7 +1806,13 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark fold in correctly (the property a lag()-based
     formulation cannot have in a stream). Oracle = the batch OHLC
     SQL: the availableNow drain must reproduce batch semantics
-    exactly, tie-breaks included."""
+    exactly, tie-breaks included. The late/too-late claim is PROVEN
+    (not asserted) by tests/test_ohlc_late_data.py: an append-mode
+    multi-batch drain folds an in-watermark out-of-order row into
+    its still-open bar and drops a too-late row with
+    numRowsDroppedByWatermark == 1 and no duplicate bar emission
+    (incl. the SPARK-40925 one-batch lag between the late-events
+    and eviction watermarks)."""
     from etl_npl_pipeline_spark.streaming.events import (
         events_stream,
         run_stream_to_memory,

@@ -5177,11 +5177,13 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lp_propagate(truth, edges)
 
 
-def _lp_propagate(truth: DataFrame, edges: DataFrame) -> DataFrame:
-    """The shared synchronous-propagation rounds + confusion-matrix
-    report of L72/L72b — takes (vec_id, true_label) and a
-    (dst, src) kNN edge set; only the GRAPH BUILD differs between
-    the exact and the index-served contract."""
+def _lp_labels(truth: DataFrame, edges: DataFrame) -> DataFrame:
+    """Final per-node labels after LP_ROUNDS synchronous rounds —
+    (vec_id, lab) with lab NULL for still-unlabeled. Factored from
+    _lp_propagate so the L72-vs-L72b accuracy grid
+    (tools_lp_recall_grid.py) can compare NODE-level predictions
+    between the exact and index-served graphs, not just the
+    confusion rollup."""
     from pyspark.sql import Window
 
     seeds = F.col("vec_id") % LP_SEED_MOD == 0
@@ -5213,6 +5215,15 @@ def _lp_propagate(truth: DataFrame, edges: DataFrame) -> DataFrame:
                 .alias("lab"),
             )
         )
+    return labels
+
+
+def _lp_propagate(truth: DataFrame, edges: DataFrame) -> DataFrame:
+    """The shared synchronous-propagation rounds + confusion-matrix
+    report of L72/L72b — takes (vec_id, true_label) and a
+    (dst, src) kNN edge set; only the GRAPH BUILD differs between
+    the exact and the index-served contract."""
+    labels = _lp_labels(truth, edges)
     return (
         truth.join(labels, "vec_id")
         .groupBy(

@@ -57,14 +57,9 @@ def main() -> None:
     # per-query probed cells (same centroid assignment the operator
     # computes) — reused to count ivf candidate postings per filter
     cents = _read_artifact(spark, idx, "ivf_centroids")
-    vectors = _read_artifact(spark, idx, "ivf_vectors")
     n_probe = llmdata.IVF_KNOBS["n_probe"]
-    probed = (
-        ivf_query(spark, idx, queries, k=1, n_probe=n_probe)
-        .select("query_id")
-        .distinct()
-    )  # warms the index read; probed cells counted below via rebuild
-    probed.count()
+    # warm the index read + Arrow workers
+    ivf_query(spark, idx, queries, k=1, n_probe=n_probe).count()
 
     out: dict[str, dict] = {}
     for sel in SELECTIVITIES:

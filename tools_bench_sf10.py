@@ -60,6 +60,11 @@ TIER = [
     # x100 too) and the skew-linear attribution equi-join
     "graph_label_prop_indexed",
     "events_attribution",
+    # r13 (VERDICT r12 #8): the r12 heavy additions — bottomk's k·N
+    # probe claim and the filtered search's candidate-shrink claim
+    # are exactly the shapes to measure at the second decade
+    "dedup_containment_bottomk",
+    "ann_filtered_topk",
 ]
 
 
@@ -96,7 +101,7 @@ def main() -> None:
     # pass per dir puts both measurements in the steady serve regime
     # (the sf1 harness's steady-run convention, and the production
     # regime: built once, served many).
-    WARM_FIRST = {"graph_label_prop_indexed"}
+    WARM_FIRST = {"graph_label_prop_indexed", "ann_filtered_topk"}
     for name in run_queries:
         fn = queries[name]
 
