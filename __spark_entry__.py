@@ -40,21 +40,27 @@ def queries() -> dict[str, QueryFn]:
     # The driver's CORRECTNESS check covers the first 50 entries.
     # r13 window rotation (VERDICT r12 #5: 141 of 191 sat out the
     # r12 window — keep rotating the least-recently-checked forward):
-    # the front is this round's NEW contract (ann_filtered_pq: the
+    # the front is this round's NEW contracts (ann_filtered_pq: the
     # allowed_ids pushdown on the PQ serving path, exact-by-
-    # construction via k' >= |allowed|), then every query whose
+    # construction via k' >= |allowed|; search_mmr: MMR diversified
+    # re-ranking with the unrolled greedy-round oracle;
+    # text_quality_probe: linear quality-probe regression — exact
+    # integer sufficient statistics + bit-identical unrolled GD),
+    # then every query whose
     # BEHAVIOR changed in r13 (text_pii_audit: 7 classes incl.
     # checksum-validated Thai IDs + sequential chars attribution;
     # emb_drift_report: variance clamp; graph_label_prop_indexed and
     # ann_semantic_sweep: n_queries_hint skips the size-probe job;
     # ann_filtered_topk: shares the widened ivf_query signature),
     # the rows-only trio (window-pinned by test_driver_window), and
-    # then the 41 queries with the OLDEST driver evidence on file —
-    # the full r5 and r6 blocks and the 7 oldest of the r7 block
-    # (events_gapfill..dedup_minhash; emb_centroids and
-    # doc_length_hist roll to r14).
+    # then the 39 queries with the OLDEST driver evidence on file —
+    # the full r5 and r6 blocks and the 5 oldest of the r7 block
+    # (events_gapfill..corpus_prune; doc_chunks, dedup_minhash,
+    # emb_centroids and doc_length_hist roll to r14).
     return {
         "ann_filtered_pq": llmdata.ann_filtered_pq,
+        "search_mmr": llmdata.search_mmr,
+        "text_quality_probe": llmdata.text_quality_probe,
         "text_pii_audit": llmdata.text_pii_audit,
         "emb_drift_report": llmdata.emb_drift_report,
         "graph_label_prop_indexed": llmdata.graph_label_prop_indexed,
@@ -371,6 +377,8 @@ def oracle_sql() -> dict[str, str]:
         # open/close picks on one (type, bucket) exchange
         "ann_filtered_topk": llmdata.ANN_FILTERED_TOPK_SQL,
         "ann_filtered_pq": llmdata.ANN_FILTERED_PQ_SQL,
+        "search_mmr": llmdata.SEARCH_MMR_SQL,
+        "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "events_ohlc_bars": profiling.EVENTS_OHLC_BARS_SQL,
         # the streaming drain must reproduce the SAME batch OHLC
         # relation, tie-breaks included

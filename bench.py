@@ -41,6 +41,9 @@ HEADLINE = [
     "emb_drift_report",
     "events_attribution",
     "ann_filtered_topk",
+    "ann_filtered_pq",
+    "search_mmr",
+    "text_quality_probe",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",
@@ -537,6 +540,7 @@ def main() -> None:
     stream_adj = _load_sweep("stream_adjudication.json")
     filter_sweep = _load_sweep("ann_filter_sweep.json")
     lp_grid = _load_sweep("lp_recall_grid.json")
+    cont_ledger = _load_sweep("containment_ledger.json")
     sf1_correct = _load_sweep("sf1_correctness.json")
     sf1_recall_grid = _load_sweep("sf1_recall_grid.json")
     adversarial = _load_sweep("adversarial_r7.json")
@@ -596,6 +600,8 @@ def main() -> None:
         detail["ann_filter_sweep"] = filter_sweep
     if lp_grid is not None:
         detail["lp_recall_grid"] = lp_grid
+    if cont_ledger is not None:
+        detail["containment_ledger"] = cont_ledger
     if sf1_correct is not None:
         detail["sf1_correctness"] = sf1_correct
     if sf1_recall_grid is not None:

@@ -803,7 +803,15 @@ def containment_pairs(
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
-    a = joinable.alias("a")
+    # shuffle_hash hints on every join touching a POSTING-sized or
+    # corpus-sized relation (r13, the sf10 probe find): AQE sees the
+    # COMPRESSED shuffle bytes of the posting relation (short
+    # repetitive shingles compress far below the 64MB broadcast
+    # threshold) and converts the SMJ to a broadcast whose in-heap
+    # HashedRelation is GiB-scale — measured OOM at sf1 under an 8g
+    # driver. A hinted shuffle-hash join builds only its partition's
+    # hash table: scale-safe at any corpus size, no sort.
+    a = joinable.alias("a").hint("shuffle_hash")
     b = joinable.alias("b")
     inter = (
         a.join(
@@ -817,8 +825,8 @@ def containment_pairs(
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     scored = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -890,8 +898,14 @@ def containment_bottomk_pairs(
         .where(F.col("rn") <= k)
         .select(F.col("doc").alias("src"), "shingle")
     )
+    # shuffle_hash hints wherever a posting/corpus-sized relation
+    # joins (see containment_pairs): AQE's compressed-bytes estimate
+    # of the checkpointed posting relation sits under the 64MB
+    # broadcast threshold while its in-heap HashedRelation is
+    # GiB-scale — measured OOM at sf1 (r13 sf10 probe). The hinted
+    # side's per-partition hash build is bounded at any corpus size.
     hits = (
-        probes.join(
+        probes.hint("shuffle_hash").join(
             sh.select(F.col("doc").alias("dst"), "shingle"), "shingle"
         )
         .where(F.col("src") != F.col("dst"))
@@ -899,7 +913,10 @@ def containment_bottomk_pairs(
         .agg(F.count(F.lit(1)).alias("h"))
     )
     est = hits.join(
-        sizes.select(F.col("doc").alias("src"), "n_sh"), "src"
+        sizes.select(F.col("doc").alias("src"), "n_sh").hint(
+            "shuffle_hash"
+        ),
+        "src",
     ).select(
         "src",
         "dst",
@@ -919,7 +936,9 @@ def containment_bottomk_pairs(
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
-        cand.join(a, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(a, "doc_a")
+        .hint("shuffle_hash")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -927,8 +946,8 @@ def containment_bottomk_pairs(
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     scored = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -3296,6 +3296,439 @@ ORDER BY cos_sim DESC, doc_id LIMIT {RAG_TOP}
 """
 
 
+# --- L78: MMR diversified re-ranking --------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_CAND = 12
+MMR_N_QUERIES = 4
+
+
+def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L78 (r13): maximal marginal relevance re-ranking (Carbonell &
+    Goldstein 1998) — the diversify step every RAG/retrieval stack
+    runs between candidate generation and the context window: greedy
+    selection of k results maximizing
+    ``lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s)``,
+    so near-duplicate candidates don't crowd out coverage.
+
+    Two-stage shape (the rag_retrieve doctrine): candidates come
+    from the persisted IVF index at FULL probe (exact top-MMR_CAND
+    per query — ann_filtered_topk's exactness construction), so the
+    expensive work is index-served and candidate-bounded; MMR then
+    runs MMR_K fixed greedy rounds as co-keyed DataFrame ops (per
+    round: anti-join selected, join the per-pair sims, per-query
+    max + argmax window — all partitioned by query_id, never a
+    collect). Candidate sets are O(k) per query, so round cost is
+    O(|Q| * MMR_CAND * |selected|) rows — at 100 TB the corpus
+    never touches the loop; only candidates do.
+
+    Determinism across engines: rel and pairwise sims are 6-dp
+    ROUNDED before any comparison (both engines then run identical
+    IEEE ops — the emb_pca rounded-operand doctrine), ties break by
+    neighbor_id asc, and the first pick's mmr score is defined as
+    lambda * rel (max-sim term zero on an empty selected set). The
+    DuckDB oracle unrolls the same MMR_K rounds as CTE stages
+    (sel1..selK), mirroring the power-iteration oracle's unrolled
+    chain."""
+    from etl_npl_pipeline_spark.operators.ann_index import ivf_query
+    from pyspark.sql import Window
+
+    idx = _ann_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < MMR_N_QUERIES)
+    cands = (
+        ivf_query(
+            spark, idx, queries, k=MMR_CAND,
+            n_probe=IVF_KNOBS["n_clusters"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("rel"),
+        )
+    )
+    nv = emb.select(
+        "vec_id", S.l2_normalize(F.col("embedding")).alias("nv")
+    )
+    a = cands.select("query_id", F.col("neighbor_id").alias("id_a"))
+    b = cands.select("query_id", F.col("neighbor_id").alias("id_b"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .join(nv.select(F.col("vec_id").alias("id_a"),
+                        F.col("nv").alias("nv_a")), "id_a")
+        .join(nv.select(F.col("vec_id").alias("id_b"),
+                        F.col("nv").alias("nv_b")), "id_b")
+        .select(
+            "query_id", "id_a", "id_b",
+            F.round(S.pair_dot(F.col("nv_a"), F.col("nv_b")), 6)
+            .alias("sim"),
+        )
+    )
+    lam = float(MMR_LAMBDA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr"), F.asc("neighbor_id")
+    )
+    # round 1: pure relevance argmax
+    selected = (
+        cands.withColumn("mmr", F.lit(lam) * F.col("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("rank"),
+                "mmr")
+    )
+    for step in range(2, MMR_K + 1):
+        remaining = cands.join(
+            selected.select(
+                F.col("query_id").alias("q_s"),
+                F.col("neighbor_id").alias("sel_id"),
+            ),
+            (F.col("query_id") == F.col("q_s"))
+            & (F.col("neighbor_id") == F.col("sel_id")),
+            "left_anti",
+        )
+        maxsim = (
+            remaining.join(
+                selected.select(
+                    F.col("query_id").alias("query_id"),
+                    F.col("neighbor_id").alias("id_b"),
+                ),
+                "query_id",
+            )
+            .join(
+                sims.select(
+                    "query_id",
+                    F.col("id_a").alias("neighbor_id"),
+                    "id_b",
+                    "sim",
+                ),
+                ["query_id", "neighbor_id", "id_b"],
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            maxsim.withColumn(
+                "mmr",
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.col("ms"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", "neighbor_id",
+                    F.lit(step).alias("rank"), "mmr")
+        )
+        selected = selected.unionByName(pick)
+    # scale 7, not 6: with 6-dp rel/ms operands the true mmr is
+    # EXACTLY an integer/1e7 (0.7*rel - 0.3*ms), so 7-dp rounding
+    # recovers the exact decimal on both engines, while 6-dp sits on
+    # a .5 boundary whenever 7*rel_int - 3*ms_int ends in 5 — Spark's
+    # shortest-repr HALF_UP and DuckDB's binary-exact round disagree
+    # there (measured on one rank-1 row at sf0.01)
+    return selected.select(
+        "query_id", "rank", "neighbor_id",
+        F.round("mmr", 7).alias("mmr_score"),
+    ).orderBy("query_id", "rank")
+
+
+def _mmr_sql() -> str:
+    lam = float(MMR_LAMBDA)
+    one_m = 1.0 - lam
+    stages = [
+        f"""sel1 AS (
+    SELECT query_id, neighbor_id, 1 AS rank, {lam} * rel AS mmr
+    FROM (SELECT query_id, neighbor_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY {lam} * rel DESC, neighbor_id) AS rn
+          FROM cand) WHERE rn = 1
+)"""
+    ]
+    for step in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM sel{j}" for j in range(1, step)
+        )
+        stages.append(
+            f"""sel{step} AS (
+    SELECT query_id, neighbor_id, {step} AS rank, mmr FROM (
+        SELECT c.query_id, c.neighbor_id,
+               {lam} * c.rel - {one_m} * MAX(s.sim) AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                   ORDER BY {lam} * c.rel - {one_m} * MAX(s.sim) DESC,
+                            c.neighbor_id) AS rn
+        FROM cand c
+        JOIN ({prev}) sel ON sel.query_id = c.query_id
+        JOIN sims s ON s.query_id = c.query_id
+             AND s.id_a = c.neighbor_id AND s.id_b = sel.neighbor_id
+        WHERE c.neighbor_id NOT IN (
+            SELECT neighbor_id FROM ({prev}) x
+            WHERE x.query_id = c.query_id)
+        GROUP BY c.query_id, c.neighbor_id, c.rel
+    ) WHERE rn = 1
+)"""
+        )
+    all_sel = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH nrm AS ({_SQL_NORMED}),
+ranked AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_SQL_NDOT.format(a="q.nv", b="c.nv")}, 6) AS rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_NDOT.format(a="q.nv", b="c.nv")} DESC,
+                        c.vec_id ASC
+           ) AS rnk
+    FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {MMR_N_QUERIES}
+),
+cand AS (
+    SELECT query_id, neighbor_id, rel FROM ranked
+    WHERE rnk <= {MMR_CAND}
+),
+sims AS (
+    SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+           ROUND({_SQL_NDOT.format(a="na.nv", b="nb.nv")}, 6) AS sim
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id
+         AND a.neighbor_id != b.neighbor_id
+    JOIN nrm na ON na.vec_id = a.neighbor_id
+    JOIN nrm nb ON nb.vec_id = b.neighbor_id
+),
+{", ".join(stages)}
+SELECT query_id, rank, neighbor_id, ROUND(mmr, 7) AS mmr_score
+FROM ({all_sel}) ORDER BY query_id, rank
+"""
+
+
+SEARCH_MMR_SQL = _mmr_sql()
+
+
+# --- L79: linear quality-probe regression ----------------------------
+
+QP_STEPS = 8
+QP_LR = 0.4
+# feature scales chosen at the features' natural magnitudes so the
+# normalized design matrix is O(1) and fixed-step GD is stable
+QP_SCALES = [1, 100, 10, 500, 50]
+QP_YSCALE = 100
+QP_TERMS = [
+    "w_intercept", "w_n_words", "w_stop_hits", "w_n_chars",
+    "w_n_digits",
+]
+
+
+def _qp_rnd(x: float, p: float) -> float:
+    """floor(x*p + 0.5)/p — EXPLICIT half-up rounding built from
+    floor, mirrored literally in the SQL oracle. Library round()
+    semantics differ across engines (Python banker's vs DuckDB
+    half-away; Spark shortest-repr HALF_UP — the search_mmr find);
+    floor on the identical binary double cannot."""
+    import math
+
+    return math.floor(x * p + 0.5) / p
+
+
+def text_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L79 (r13): train a LINEAR QUALITY PROBE — the
+    classifier-distillation step (FineWeb-Edu / DCLM shape) where an
+    expensive quality signal is regressed onto cheap per-doc
+    features so the probe can score the remaining 99% of the corpus
+    at scan cost. Features: [1, n_words, stop_hits, n_chars,
+    n_digits] (exact ints); target: the composite heuristic quality
+    points y = 40*ok_len + 3*min(stop_hits,10) + 20*low_digit (ints).
+
+    Scale architecture (the emb_pca doctrine): ONE distributed pass
+    computes the sufficient statistics — X'X upper triangle, X'y,
+    y², n as EXACT BIGINT sums (integer features make the moments
+    order-independent and bit-identical across engines; at true
+    100 TB widths these become decimal(38) partials) — and gradient
+    descent then runs driver-side on the 5x5 normalized system as a
+    model artifact: QP_STEPS fixed steps, w <- rnd9(w - lr * 2 *
+    (S'w - b')), every arithmetic step left-associated and rounded
+    via floor(x*1e9+0.5)/1e9 so the DuckDB oracle's unrolled CTE
+    chain (s1..s8, the emb_pca unrolled-chain pattern) reproduces
+    the trajectory BIT-FOR-BIT. Output: the 5 probe weights (9dp)
+    and the training MSE (6dp) — the artifact a pipeline publishes
+    before the probe scores the corpus."""
+    docs = _docs(spark, sf_dir)
+    feats = T.quality_features("text")
+    n_digits = F.length("text") - F.length(
+        F.regexp_replace("text", "[0-9]", "")
+    )
+    d = docs.select(
+        F.lit(1).cast("long").alias("f0"),
+        feats["n_words"].cast("long").alias("f1"),
+        feats["stop_hits"].cast("long").alias("f2"),
+        feats["n_chars"].cast("long").alias("f3"),
+        n_digits.cast("long").alias("f4"),
+        (
+            F.when(feats["len_band"] == 1, F.lit(40)).otherwise(F.lit(0))
+            + F.lit(3) * F.least(feats["stop_hits"], F.lit(10))
+            + F.when(
+                F.lit(5) * n_digits <= feats["n_chars"], F.lit(20)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    )
+    aggs = []
+    for i in range(5):
+        for j in range(i, 5):
+            aggs.append(
+                F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"s{i}{j}")
+            )
+    for i in range(5):
+        aggs.append(F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}"))
+    aggs.append(F.sum(F.col("y") * F.col("y")).alias("ysq"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = d.agg(*aggs).collect()[0]
+
+    n = row["n"]
+    if n == 0:  # empty corpus: no probe to fit
+        return spark.createDataFrame(
+            [], "term string, value double"
+        )
+    s = [[0] * 5 for _ in range(5)]
+    for i in range(5):
+        for j in range(i, 5):
+            s[i][j] = s[j][i] = row[f"s{i}{j}"]
+    c = QP_SCALES
+    m = [
+        [s[i][j] / (c[i] * c[j] * n) for j in range(5)]
+        for i in range(5)
+    ]
+    bb = [row[f"b{i}"] / (c[i] * QP_YSCALE * n) for i in range(5)]
+    yy = row["ysq"] / (QP_YSCALE * QP_YSCALE * n)
+
+    w = [0.0] * 5
+    for _ in range(QP_STEPS):
+        nw = []
+        for j in range(5):
+            acc = 0.0
+            for i in range(5):  # left-associated, index order
+                acc = acc + m[j][i] * w[i]
+            g = 2.0 * (acc - bb[j])
+            nw.append(_qp_rnd(w[j] - QP_LR * g, 1e9))
+        w = nw
+    # mse = yy - 2 w.b + w'Mw, same fold order as the SQL
+    dot_wb = 0.0
+    for j in range(5):
+        dot_wb = dot_wb + w[j] * bb[j]
+    quad = 0.0
+    for i in range(5):
+        for j in range(5):
+            quad = quad + w[i] * m[i][j] * w[j]
+    mse = _qp_rnd(yy - 2.0 * dot_wb + quad, 1e6)
+
+    rows = [(QP_TERMS[j], w[j]) for j in range(5)]
+    rows.append(("train_mse", mse))
+    return spark.createDataFrame(
+        rows, "term string, value double"
+    ).orderBy("term")
+
+
+def _qp_sql() -> str:
+    c = QP_SCALES
+    moms = []
+    for i in range(5):
+        for j in range(i, 5):
+            moms.append(
+                f"CAST(SUM(f{i} * f{j}) AS BIGINT) AS s{i}{j}"
+            )
+    for i in range(5):
+        moms.append(f"CAST(SUM(f{i} * y) AS BIGINT) AS b{i}")
+    norm_cols = []
+    for i in range(5):
+        for j in range(5):
+            sij = f"s{min(i, j)}{max(i, j)}"
+            norm_cols.append(
+                f"CAST({sij} AS DOUBLE) / ({c[i]} * {c[j]} * n)"
+                f" AS m{i}{j}"
+            )
+    for i in range(5):
+        norm_cols.append(
+            f"CAST(b{i} AS DOUBLE) / ({c[i]} * {QP_YSCALE} * n) AS bb{i}"
+        )
+    norm_cols.append(
+        f"CAST(ysq AS DOUBLE) / ({QP_YSCALE} * {QP_YSCALE} * n) AS yy"
+    )
+    steps = ["s0 AS (SELECT " + ", ".join(
+        f"CAST(0 AS DOUBLE) AS w{j}" for j in range(5)
+    ) + ", norm.* FROM norm)"]
+    for t in range(1, QP_STEPS + 1):
+        cols = []
+        for j in range(5):
+            acc = "CAST(0 AS DOUBLE)"
+            for i in range(5):
+                acc = f"({acc} + m{j}{i} * w{i})"
+            cols.append(
+                f"FLOOR((w{j} - {QP_LR} * (2.0 * ({acc} - bb{j})))"
+                f" * 1e9 + 0.5) / 1e9 AS w{j}"
+            )
+        steps.append(
+            f"s{t} AS (SELECT " + ", ".join(cols)
+            + ", " + ", ".join(
+                f"m{i}{j}" for i in range(5) for j in range(5)
+            )
+            + ", " + ", ".join(f"bb{i}" for i in range(5))
+            + f", yy FROM s{t - 1})"
+        )
+    dot_wb = "CAST(0 AS DOUBLE)"
+    for j in range(5):
+        dot_wb = f"({dot_wb} + w{j} * bb{j})"
+    quad = "CAST(0 AS DOUBLE)"
+    for i in range(5):
+        for j in range(5):
+            quad = f"({quad} + w{i} * m{i}{j} * w{j})"
+    weight_rows = " UNION ALL ".join(
+        f"SELECT '{QP_TERMS[j]}' AS term, w{j} AS value"
+        f" FROM s{QP_STEPS}"
+        for j in range(5)
+    )
+    return f"""
+WITH feats AS (
+    SELECT 1 AS f0,
+           len({_TOKS}) AS f1,
+           len(list_filter({_TOKS}, t -> list_contains({_STOP_EN}, t)))
+               AS f2,
+           len(text) AS f3,
+           len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+               AS f4
+    FROM documents
+),
+fy AS (
+    SELECT f0, f1, f2, f3, f4,
+           (CASE WHEN f1 >= 20 AND f1 <= 120 THEN 40 ELSE 0 END
+            + 3 * LEAST(f2, 10)
+            + CASE WHEN 5 * f4 <= f3 THEN 20 ELSE 0 END) AS y
+    FROM feats
+),
+mom AS (
+    SELECT {", ".join(moms)},
+           CAST(SUM(y * y) AS BIGINT) AS ysq,
+           COUNT(*) AS n
+    FROM fy
+),
+norm AS (
+    SELECT {", ".join(norm_cols)} FROM mom
+),
+{", ".join(steps)}
+SELECT term, value FROM (
+{weight_rows}
+UNION ALL
+SELECT 'train_mse' AS term,
+       FLOOR((yy - 2.0 * {dot_wb} + {quad}) * 1e6 + 0.5) / 1e6 AS value
+FROM s{QP_STEPS}
+)
+-- empty corpus: no probe to fit (mirrors the Spark early return)
+WHERE (SELECT n FROM mom) > 0
+ORDER BY term
+"""
+
+
+TEXT_QUALITY_PROBE_SQL = _qp_sql()
+
+
 # --- L39: corpus filter funnel ------------------------------------
 
 FUNNEL_MIN_TOKENS = 30

@@ -677,3 +677,19 @@ def test_stream_cdc_scd2_rejects_out_of_order(spark, sf_dir):
     ivm._apply_cdc_batch(spark, good)
     hist = spark.read.parquet(f"{ivm._CDC_TMP}/state_seq1")
     assert hist.count() == 2  # closed original + new open version
+
+
+def test_containment_joins_never_broadcast_postings(spark, sf_dir):
+    """r13 (sf10 probe find): AQE's compressed-bytes estimate of the
+    checkpointed posting relation sits under the 64MB broadcast
+    threshold while its in-heap HashedRelation is GiB-scale —
+    measured OOM at sf1 under an 8g driver. Both containment paths
+    hint every posting/corpus-sized join to shuffle_hash; the
+    executed plan must carry ZERO BroadcastExchange."""
+    for fn in (
+        llmdata.dedup_containment,
+        llmdata.dedup_containment_bottomk,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, fn.__name__
+        assert "ShuffledHashJoin" in plan, fn.__name__

@@ -1,0 +1,95 @@
+"""L79 text_quality_probe invariants (r13): the oracle hash proves
+engine agreement; these pin that the probe LEARNED something.
+
+* shape: 5 weight rows + train_mse, deterministic across reruns;
+* the fitted probe beats the zero model: train_mse < E[y'^2]
+  (the mse GD starts from at w=0) by a real margin;
+* the GD trajectory is reproducible from the published sufficient
+  statistics: re-deriving the weights in pure Python from the same
+  exact-integer moments yields the identical values (the oracle
+  does this in SQL; this test does it in-process, so a moment
+  mismatch and a GD mismatch are distinguishable).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from etl_npl_pipeline_spark.operators import text as T
+from etl_npl_pipeline_spark.plans import llmdata
+
+
+def _moments(spark, sf_dir):
+    docs = llmdata._docs(spark, sf_dir)
+    feats = T.quality_features("text")
+    n_digits = F.length("text") - F.length(
+        F.regexp_replace("text", "[0-9]", "")
+    )
+    d = docs.select(
+        F.lit(1).cast("long").alias("f0"),
+        feats["n_words"].cast("long").alias("f1"),
+        feats["stop_hits"].cast("long").alias("f2"),
+        feats["n_chars"].cast("long").alias("f3"),
+        n_digits.cast("long").alias("f4"),
+        (
+            F.when(feats["len_band"] == 1, F.lit(40)).otherwise(F.lit(0))
+            + F.lit(3) * F.least(feats["stop_hits"], F.lit(10))
+            + F.when(
+                F.lit(5) * n_digits <= feats["n_chars"], F.lit(20)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    )
+    aggs = [
+        F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"s{i}{j}")
+        for i in range(5) for j in range(i, 5)
+    ] + [
+        F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}")
+        for i in range(5)
+    ] + [F.sum(F.col("y") * F.col("y")).alias("ysq"),
+         F.count(F.lit(1)).alias("n")]
+    return d.agg(*aggs).collect()[0]
+
+
+def test_probe_learns_and_is_rederivable(spark, sf_dir):
+    out = {
+        r["term"]: r["value"]
+        for r in llmdata.text_quality_probe(spark, sf_dir).collect()
+    }
+    assert set(out) == set(llmdata.QP_TERMS) | {"train_mse"}
+
+    row = _moments(spark, sf_dir)
+    n = row["n"]
+    c = llmdata.QP_SCALES
+    s = [[0] * 5 for _ in range(5)]
+    for i in range(5):
+        for j in range(i, 5):
+            s[i][j] = s[j][i] = row[f"s{i}{j}"]
+    m = [[s[i][j] / (c[i] * c[j] * n) for j in range(5)]
+         for i in range(5)]
+    bb = [row[f"b{i}"] / (c[i] * llmdata.QP_YSCALE * n)
+          for i in range(5)]
+    yy = row["ysq"] / (llmdata.QP_YSCALE ** 2 * n)
+
+    w = [0.0] * 5
+    for _ in range(llmdata.QP_STEPS):
+        nw = []
+        for j in range(5):
+            acc = 0.0
+            for i in range(5):
+                acc = acc + m[j][i] * w[i]
+            nw.append(
+                math.floor(
+                    (w[j] - llmdata.QP_LR * 2.0 * (acc - bb[j])) * 1e9
+                    + 0.5
+                ) / 1e9
+            )
+        w = nw
+    for j, term in enumerate(llmdata.QP_TERMS):
+        assert out[term] == w[j], (term, out[term], w[j])
+
+    # the zero model's mse is yy; the fit must beat it clearly
+    assert out["train_mse"] < 0.5 * yy, (out["train_mse"], yy)
+    # and at least one non-intercept feature carries signal
+    assert any(abs(out[t]) > 1e-6 for t in llmdata.QP_TERMS[1:])
