@@ -796,10 +796,13 @@ def containment_pairs(
     from pyspark.sql import Window
 
     sh = _exploded_shingles(df, text_col, id_col, n)
-    wfreq = Window.partitionBy("shingle")
-    sh = sh.withColumn("df_", F.count(F.lit(1)).over(wfreq))
+    # df via groupBy + shuffle-hash join-back, NOT a count window
+    # (the window form sorts every posting partition — the r13 sf10
+    # spill find on the bottom-k twin; hash shapes spill nothing)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     if max_shingle_freq is not None:
-        sh = sh.where(F.col("df_") <= max_shingle_freq)
+        dfreq = dfreq.where(F.col("df_") <= max_shingle_freq)
+    sh = sh.join(dfreq.hint("shuffle_hash"), "shingle")
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
@@ -883,10 +886,16 @@ def containment_bottomk_pairs(
     from pyspark.sql import Window
 
     sh = _exploded_shingles(df, text_col, id_col, n)
-    wfreq = Window.partitionBy("shingle")
-    sh = sh.withColumn("df_", F.count(F.lit(1)).over(wfreq))
+    # df via groupBy + shuffle-hash join-back, NOT a count window:
+    # the aggregate's per-shingle counts are a fraction of the
+    # posting rows a count-window must co-sort, and the join-back
+    # streams against a per-partition hash of the (small) counts
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     if max_shingle_freq is not None:
-        sh = sh.where(F.col("df_") <= max_shingle_freq)
+        dfreq = dfreq.where(F.col("df_") <= max_shingle_freq)
+    sh = sh.join(
+        dfreq.select("shingle").hint("shuffle_hash"), "shingle"
+    )
     sh = sh.select("doc", "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -56,6 +56,9 @@ SENSITIVE_EMPTY_TABLES = [
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "ann_filtered_topk",
+    "ann_filtered_pq",
+    "search_mmr",
+    "text_quality_probe",
     "dedup_containment_bottomk",
     "events_ab_test",
     "text_line_boilerplate",
