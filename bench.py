@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_filtered_pq",
     "search_mmr",
     "text_quality_probe",
+    "text_quality_probe_incremental",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

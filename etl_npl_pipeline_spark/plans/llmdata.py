@@ -3552,12 +3552,19 @@ def text_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trajectory BIT-FOR-BIT. Output: the 5 probe weights (9dp)
     and the training MSE (6dp) — the artifact a pipeline publishes
     before the probe scores the corpus."""
-    docs = _docs(spark, sf_dir)
+    return _qp_fit(
+        spark, _qp_moments(_qp_feature_frame(_docs(spark, sf_dir)))
+    )
+
+
+def _qp_feature_frame(docs: DataFrame) -> DataFrame:
+    """(f0..f4, y) integer feature/target frame shared by the batch
+    and incremental probe contracts."""
     feats = T.quality_features("text")
     n_digits = F.length("text") - F.length(
         F.regexp_replace("text", "[0-9]", "")
     )
-    d = docs.select(
+    return docs.select(
         F.lit(1).cast("long").alias("f0"),
         feats["n_words"].cast("long").alias("f1"),
         feats["stop_hits"].cast("long").alias("f2"),
@@ -3571,6 +3578,13 @@ def text_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).cast("long").alias("y"),
     )
+
+
+def _qp_moments(d: DataFrame) -> dict:
+    """Exact-BIGINT sufficient statistics of a feature frame — the
+    additive model state (moments of disjoint batches SUM to the
+    full-corpus moments exactly, the property the incremental
+    contract pins)."""
     aggs = []
     for i in range(5):
         for j in range(i, 5):
@@ -3582,8 +3596,18 @@ def text_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs.append(F.sum(F.col("y") * F.col("y")).alias("ysq"))
     aggs.append(F.count(F.lit(1)).alias("n"))
     row = d.agg(*aggs).collect()[0]
+    out = {k: (row[k] or 0) for k in row.asDict()}
+    return out
 
-    n = row["n"]
+
+def _qp_add_moments(a: dict, b: dict) -> dict:
+    """Integer moment addition — the incremental-refresh operator."""
+    return {k: a[k] + b[k] for k in a}
+
+
+def _qp_fit(spark: SparkSession, mom: dict) -> DataFrame:
+    """Fixed-step GD on the normalized system + report frame."""
+    n = mom["n"]
     if n == 0:  # empty corpus: no probe to fit
         return spark.createDataFrame(
             [], "term string, value double"
@@ -3591,14 +3615,14 @@ def text_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = [[0] * 5 for _ in range(5)]
     for i in range(5):
         for j in range(i, 5):
-            s[i][j] = s[j][i] = row[f"s{i}{j}"]
+            s[i][j] = s[j][i] = mom[f"s{i}{j}"]
     c = QP_SCALES
     m = [
         [s[i][j] / (c[i] * c[j] * n) for j in range(5)]
         for i in range(5)
     ]
-    bb = [row[f"b{i}"] / (c[i] * QP_YSCALE * n) for i in range(5)]
-    yy = row["ysq"] / (QP_YSCALE * QP_YSCALE * n)
+    bb = [mom[f"b{i}"] / (c[i] * QP_YSCALE * n) for i in range(5)]
+    yy = mom["ysq"] / (QP_YSCALE * QP_YSCALE * n)
 
     w = [0.0] * 5
     for _ in range(QP_STEPS):
@@ -3727,6 +3751,32 @@ ORDER BY term
 
 
 TEXT_QUALITY_PROBE_SQL = _qp_sql()
+
+
+def text_quality_probe_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L79b (r13): INCREMENTAL probe refresh — the moments are exact
+    integer sums, so model state is ADDITIVE: train on batch A,
+    persist the 22 sufficient statistics, add batch B's statistics,
+    refit — NO rescan of A, and the result is BIT-identical to a
+    full retrain (associativity of integer addition; the T23
+    agg_incremental doctrine applied to model training). Here the
+    corpus arrives as the doc_id-parity halves; each half's moments
+    come from its own one-pass aggregate and the fit runs on their
+    sum. Oracle = the full-corpus probe SQL — incremental == batch
+    IS the contract."""
+    docs = _docs(spark, sf_dir)
+    half_a = _qp_moments(
+        _qp_feature_frame(docs.where(F.col("doc_id") % 2 == 0))
+    )
+    half_b = _qp_moments(
+        _qp_feature_frame(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    return _qp_fit(spark, _qp_add_moments(half_a, half_b))
+
+
+TEXT_QUALITY_PROBE_INCREMENTAL_SQL = TEXT_QUALITY_PROBE_SQL
 
 
 # --- L39: corpus filter funnel ------------------------------------

@@ -59,6 +59,7 @@ SENSITIVE_EMPTY_TABLES = [
     "ann_filtered_pq",
     "search_mmr",
     "text_quality_probe",
+    "text_quality_probe_incremental",
     "dedup_containment_bottomk",
     "events_ab_test",
     "text_line_boilerplate",

@@ -93,3 +93,37 @@ def test_probe_learns_and_is_rederivable(spark, sf_dir):
     assert out["train_mse"] < 0.5 * yy, (out["train_mse"], yy)
     # and at least one non-intercept feature carries signal
     assert any(abs(out[t]) > 1e-6 for t in llmdata.QP_TERMS[1:])
+
+
+def test_incremental_equals_batch_and_thirds(spark, sf_dir):
+    """L79b: moment addition must reproduce the batch fit exactly,
+    for ANY disjoint partition of the corpus — checked for the
+    parity halves (the contract) and an independent 3-way split."""
+    full = sorted(
+        tuple(r)
+        for r in llmdata.text_quality_probe(spark, sf_dir).collect()
+    )
+    inc = sorted(
+        tuple(r)
+        for r in llmdata.text_quality_probe_incremental(
+            spark, sf_dir
+        ).collect()
+    )
+    assert inc == full
+
+    docs = llmdata._docs(spark, sf_dir)
+    moms = [
+        llmdata._qp_moments(
+            llmdata._qp_feature_frame(
+                docs.where(F.col("doc_id") % 3 == r)
+            )
+        )
+        for r in range(3)
+    ]
+    acc = moms[0]
+    for mm in moms[1:]:
+        acc = llmdata._qp_add_moments(acc, mm)
+    three = sorted(
+        tuple(r) for r in llmdata._qp_fit(spark, acc).collect()
+    )
+    assert three == full
