@@ -3366,6 +3366,13 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
+    # lineage control: every greedy round references cands/sims and
+    # the prior selected set — without checkpoints the plan re-expands
+    # the index-probe subtree EXPONENTIALLY per round (measured 402
+    # copies of the probe UDF in the final plan for 48 candidate
+    # rows). Lazy localCheckpoints make each a leaf computed once.
+    cands = cands.localCheckpoint(eager=False)
+    sims = sims.localCheckpoint(eager=False)
     lam = float(MMR_LAMBDA)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("mmr"), F.asc("neighbor_id")
@@ -3419,7 +3426,9 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id",
                     F.lit(step).alias("rank"), "mmr")
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(pick).localCheckpoint(
+            eager=False
+        )
     # scale 7, not 6: with 6-dp rel/ms operands the true mmr is
     # EXACTLY an integer/1e7 (0.7*rel - 0.3*ms), so 7-dp rounding
     # recovers the exact decimal on both engines, while 6-dp sits on
