@@ -46,25 +46,28 @@ def queries() -> dict[str, QueryFn]:
     # re-ranking with the unrolled greedy-round oracle;
     # text_quality_probe + its incremental twin: linear quality-probe
     # regression — exact integer sufficient statistics +
-    # bit-identical unrolled GD; the incremental contract pins
-    # moment-additive refresh == full retrain), then every query
-    # whose
+    # bit-identical unrolled GD; the incremental and STREAMING twins
+    # pin moment-additive refresh == full retrain, the streaming one
+    # through a batch_id-keyed foreachBatch accumulator), then every
+    # query whose
     # BEHAVIOR changed in r13 (text_pii_audit: 7 classes incl.
     # checksum-validated Thai IDs + sequential chars attribution;
     # emb_drift_report: variance clamp; graph_label_prop_indexed and
     # ann_semantic_sweep: n_queries_hint skips the size-probe job;
     # ann_filtered_topk: shares the widened ivf_query signature),
     # the rows-only trio (window-pinned by test_driver_window), and
-    # then the 38 queries with the OLDEST driver evidence on file —
-    # the full r5 and r6 blocks and the 4 oldest of the r7 block
-    # (events_gapfill..vocab_top_ngrams; corpus_prune, doc_chunks,
-    # dedup_minhash, emb_centroids and doc_length_hist roll to r14).
+    # then the 37 queries with the OLDEST driver evidence on file —
+    # the full r5 and r6 blocks and the 3 oldest of the r7 block
+    # (events_gapfill..events_retention; vocab_top_ngrams,
+    # corpus_prune, doc_chunks, dedup_minhash, emb_centroids and
+    # doc_length_hist roll to r14).
     return {
         "ann_filtered_pq": llmdata.ann_filtered_pq,
         "search_mmr": llmdata.search_mmr,
         "text_quality_probe": llmdata.text_quality_probe,
         "text_quality_probe_incremental":
             llmdata.text_quality_probe_incremental,
+        "stream_quality_probe": llmdata.stream_quality_probe,
         "text_pii_audit": llmdata.text_pii_audit,
         "emb_drift_report": llmdata.emb_drift_report,
         "graph_label_prop_indexed": llmdata.graph_label_prop_indexed,
@@ -385,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "text_quality_probe_incremental":
             llmdata.TEXT_QUALITY_PROBE_INCREMENTAL_SQL,
+        "stream_quality_probe": llmdata.STREAM_QUALITY_PROBE_SQL,
         "events_ohlc_bars": profiling.EVENTS_OHLC_BARS_SQL,
         # the streaming drain must reproduce the SAME batch OHLC
         # relation, tie-breaks included

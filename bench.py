@@ -45,6 +45,7 @@ HEADLINE = [
     "search_mmr",
     "text_quality_probe",
     "text_quality_probe_incremental",
+    "stream_quality_probe",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

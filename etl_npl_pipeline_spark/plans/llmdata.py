@@ -3788,6 +3788,65 @@ def text_quality_probe_incremental(
 TEXT_QUALITY_PROBE_INCREMENTAL_SQL = TEXT_QUALITY_PROBE_SQL
 
 
+def stream_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15 (r13): STREAMING model refresh — the third leg of the
+    L79 trilogy (batch / incremental / streaming). The corpus
+    arrives as a multi-file availableNow stream
+    (maxFilesPerTrigger=1, 4 deterministic splits); each micro-batch
+    contributes its 22 exact-BIGINT sufficient statistics via ONE
+    aggregate inside foreachBatch, the driver ADDS them into the
+    model-state accumulator (the same additivity L79b pins), and the
+    fit runs once after the drain. Result == batch retrain
+    bit-for-bit, so the oracle IS the full-corpus probe SQL.
+
+    Exactly-once: foreachBatch is at-least-once under restart — a
+    replayed batch_id must not double-count its moments, so the
+    accumulator is keyed by batch_id and a replay overwrites instead
+    of adds (the MOR-epoch doctrine, in miniature). At 100 TB this
+    is a long-lived stream folding per-batch partials into a
+    persisted moments artifact; retraining is a driver-side refit of
+    22 numbers — no corpus rescan, ever."""
+    import os as _os
+
+    src_dir = _os.path.join(".tmp", "stream_qprobe", _os.path.basename(
+        _os.path.realpath(sf_dir.rstrip("/"))))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    feats = _qp_feature_frame(stream)
+    per_batch: dict[int, dict] = {}
+
+    def _fold(bdf, batch_id: int) -> None:
+        # keyed by batch_id: an at-least-once replay OVERWRITES its
+        # own slot instead of double-adding
+        per_batch[int(batch_id)] = _qp_moments(bdf)
+
+    q = (
+        feats.writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation",
+            _os.path.join(src_dir, "_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    if not per_batch:
+        return spark.createDataFrame([], "term string, value double")
+    mids = sorted(per_batch)
+    acc = per_batch[mids[0]]
+    for b in mids[1:]:
+        acc = _qp_add_moments(acc, per_batch[b])
+    return _qp_fit(spark, acc)
+
+
+STREAM_QUALITY_PROBE_SQL = TEXT_QUALITY_PROBE_SQL
+
+
 # --- L39: corpus filter funnel ------------------------------------
 
 FUNNEL_MIN_TOKENS = 30

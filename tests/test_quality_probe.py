@@ -127,3 +127,34 @@ def test_incremental_equals_batch_and_thirds(spark, sf_dir):
         tuple(r) for r in llmdata._qp_fit(spark, acc).collect()
     )
     assert three == full
+
+
+def test_stream_probe_trilogy_and_replay_guard(spark, sf_dir):
+    """ST15: stream == incremental == batch, and the foreachBatch
+    accumulator's batch_id keying makes an at-least-once REPLAY an
+    overwrite, not a double-add (simulated by folding the same
+    batch twice through the same accumulator logic)."""
+    batch = sorted(
+        tuple(r)
+        for r in llmdata.text_quality_probe(spark, sf_dir).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in llmdata.stream_quality_probe(spark, sf_dir).collect()
+    )
+    assert stream == batch
+
+    # replay simulation: batch 0 delivered twice, keyed accumulator
+    docs = llmdata._docs(spark, sf_dir)
+    half = llmdata._qp_feature_frame(docs.where(F.col("doc_id") % 2 == 0))
+    rest = llmdata._qp_feature_frame(docs.where(F.col("doc_id") % 2 == 1))
+    per_batch = {}
+    per_batch[0] = llmdata._qp_moments(half)
+    per_batch[0] = llmdata._qp_moments(half)  # replayed: overwrites
+    per_batch[1] = llmdata._qp_moments(rest)
+    acc = per_batch[0]
+    acc = llmdata._qp_add_moments(acc, per_batch[1])
+    replay_fit = sorted(
+        tuple(r) for r in llmdata._qp_fit(spark, acc).collect()
+    )
+    assert replay_fit == batch
