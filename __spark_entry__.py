@@ -57,11 +57,23 @@ def queries() -> dict[str, QueryFn]:
     # ann_filtered_topk: shares the widened ivf_query signature),
     # the rows-only trio (window-pinned by test_driver_window), and
     # then the 37 queries with the OLDEST driver evidence on file —
-    # the full r5 and r6 blocks and the 3 oldest of the r7 block
-    # (events_gapfill..events_retention; vocab_top_ngrams,
-    # corpus_prune, doc_chunks, dedup_minhash, emb_centroids and
-    # doc_length_hist roll to r14).
+    # the full r5 and r6 blocks and the oldest of the r7 block
+    # (events_gapfill; events_funnel, events_retention,
+    # vocab_top_ngrams, corpus_prune, doc_chunks, dedup_minhash,
+    # emb_centroids and doc_length_hist roll to r14). emb_kmeans
+    # (L80, session 2: distributed Lloyd rounds in exact fixed-point
+    # arithmetic, unrolled-round oracle) and scd2_pit_join (T24,
+    # session 2: point-in-time join to the versioned dimension)
+    # and data_compaction_plan (L81, session 2: the OPTIMIZE
+    # bin-packing planner) and ann_range_search (L82, session 2:
+    # IVF-served radius search) front-load as new contracts, rolling
+    # events_hopping_window, events_gapfill, events_funnel and
+    # events_retention out (the window now ends at dq_orders).
     return {
+        "emb_kmeans": llmdata.emb_kmeans,
+        "scd2_pit_join": lakehouse.scd2_pit_join,
+        "data_compaction_plan": llmdata.data_compaction_plan,
+        "ann_range_search": llmdata.ann_range_search,
         "ann_filtered_pq": llmdata.ann_filtered_pq,
         "search_mmr": llmdata.search_mmr,
         "text_quality_probe": llmdata.text_quality_probe,
@@ -385,6 +397,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered_topk": llmdata.ANN_FILTERED_TOPK_SQL,
         "ann_filtered_pq": llmdata.ANN_FILTERED_PQ_SQL,
         "search_mmr": llmdata.SEARCH_MMR_SQL,
+        "emb_kmeans": llmdata.EMB_KMEANS_SQL,
+        "scd2_pit_join": lakehouse.SCD2_PIT_JOIN_SQL,
+        "data_compaction_plan": llmdata.DATA_COMPACTION_PLAN_SQL,
+        "ann_range_search": llmdata.ANN_RANGE_SEARCH_SQL,
         "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "text_quality_probe_incremental":
             llmdata.TEXT_QUALITY_PROBE_INCREMENTAL_SQL,

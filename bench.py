@@ -46,6 +46,10 @@ HEADLINE = [
     "text_quality_probe",
     "text_quality_probe_incremental",
     "stream_quality_probe",
+    "emb_kmeans",
+    "scd2_pit_join",
+    "data_compaction_plan",
+    "ann_range_search",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

@@ -166,3 +166,100 @@ SELECT * FROM (
 )
 ORDER BY o_orderkey
 """
+
+
+# --- T24: point-in-time join to the SCD2 dimension ----------------
+
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24 (r13): the READ side of SCD2 — a point-in-time (PIT)
+    join of the orders fact to a versioned customer dimension: each
+    order picks the dimension version whose validity interval
+    covers o_orderdate, so revenue is attributed to the segment the
+    customer was in AT ORDER TIME, not today (the as-of-dimension
+    semantics every feature store / Kimball warehouse ships;
+    `scd2_history` builds the write side, this is the query that
+    consumes it).
+
+    Dimension is rebuilt deterministically from parquet ground
+    truth (the lakehouse-module doctrine): every even custkey
+    changes segment on 1998-01-01 (RELOCATED when %4==0 — attr
+    change — else a no-op reopen: a real SCD2 history contains
+    both), odd keys keep one open version.
+
+    Scale shape: PIT join = EQUI-join on the surrogate natural key
+    + a validity-interval filter — never a range/theta join. The
+    per-key version count is small and bounded (here 2; in any real
+    dimension, #changes per entity), so the post-join filter is
+    linear and skew-safe; Catalyst broadcasts the dim when small
+    and sort-merges on the key at 100 TB. Money sums aggregate as
+    exact DECIMAL (functions.exact) so both engines emit
+    bit-identical doubles.
+    """
+    from etl_npl_pipeline_spark.functions.exact import dsum, money
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    changed = F.col("c_custkey") % 2 == 0
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.when(changed, F.lit("1998-01-01"))
+        .otherwise(F.lit("9999-12-31"))
+        .alias("valid_to"),
+    )
+    v2 = cust.where(changed).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("RELOCATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("1998-01-01").alias("valid_from"),
+        F.lit("9999-12-31").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    od = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .where((od >= F.col("valid_from")) & (od < F.col("valid_to")))
+        .groupBy(
+            "segment", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("sum_total"),
+        )
+        .orderBy("segment", "order_year")
+    )
+
+
+SCD2_PIT_JOIN_SQL = """
+WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+dim AS (
+    SELECT c_custkey, c_mktsegment AS segment,
+           '1995-01-01' AS valid_from,
+           CASE WHEN c_custkey % 2 = 0 THEN '1998-01-01'
+                ELSE '9999-12-31' END AS valid_to
+    FROM cust
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 4 = 0 THEN 'RELOCATED'
+                ELSE c_mktsegment END AS segment,
+           '1998-01-01' AS valid_from, '9999-12-31' AS valid_to
+    FROM cust WHERE c_custkey % 2 = 0
+)
+SELECT dim.segment,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_total
+FROM orders o
+JOIN dim ON o.o_custkey = dim.c_custkey
+WHERE strftime(o.o_orderdate, '%Y-%m-%d') >= dim.valid_from
+  AND strftime(o.o_orderdate, '%Y-%m-%d') < dim.valid_to
+GROUP BY dim.segment, order_year
+ORDER BY segment, order_year
+"""

@@ -14,6 +14,8 @@ return small nonzero result sets.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -6820,3 +6822,356 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank
 # probe for IVF, k' >= |allowed| for PQ), so they share the oracle
 ANN_FILTERED_PQ_SQL = ANN_FILTERED_TOPK_SQL
 
+
+
+# --- L80: distributed Lloyd's k-means -----------------------------
+
+KM_K = 4        # clusters
+KM_ROUNDS = 4   # fixed Lloyd iterations (unrolled in the oracle)
+KM_SCALE = 1000000.0  # fixed-point quantization of embedding values
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L80 (r13): distributed Lloyd's k-means over the embeddings
+    table — the coarse-quantizer / clustering primitive (IVF cell
+    training, SemDeDup cluster induction, data-mixture domain
+    discovery) run over EVERY vector, fully distributed, contrast
+    operators.ivf._centroids which trains on a bounded driver
+    sample. KM_ROUNDS fixed iterations from a deterministic seed
+    (the KM_K smallest vec_ids), so the DuckDB oracle unrolls the
+    rounds as CTE blocks (the vocab_bpe_train / text_quality_probe
+    doctrine).
+
+    Cross-engine exactness — NO float drift anywhere: vectors are
+    quantized once to fixed-point BIGINT (floor(x*1e6+0.5) on the
+    identical float->double widening), so squared L2 distances are
+    EXACT integer sums (order-independent), argmin ties break on
+    cluster id over exact ints, and the only float op per round is
+    ONE IEEE division s/n per (cluster, dim) — identical operands,
+    identical binary result, floored back to BIGINT. Empty cluster
+    => keep the previous centroid (COALESCE on both engines).
+
+    Scale architecture: the quantized frame is computed once and
+    persisted (at 100 TB: written once, scanned KM_ROUNDS times);
+    each round is ONE scan + a K x 64 partial-sum shuffle (map-side
+    combine carries K*64*partitions rows — vectors never shuffle)
+    with the K x 64 centroid table a driver-side model artifact
+    (the IVF-centroids precedent). Assignment is an Arrow-batched
+    numpy argmin over int64 distance matrices — a first draft as
+    array_min over K aggregate(zip_with) structs ran the
+    higher-order lambdas INTERPRETED per element (the dedup_spans
+    lesson) and cost ~4.7 s/round at sf0.1; the vectorized batch
+    computes the same exact integers (np.argmin keeps the
+    lowest-k tie-break).
+    Output: final centroids (fixed-point BIGINT, long form) + final
+    cluster sizes."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    # no _spread here: the per-round map work is a trivial numpy
+    # batch, so extra partitions only add Python-worker task latency
+    # (measured: 32-way spread cost ~1 s/round on a 2k-row scan);
+    # at corpus scale maxPartitionBytes splits the scan naturally.
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * F.lit(KM_SCALE) + F.lit(0.5)),
+        ).alias("xq"),
+    ).persist()
+    try:
+        seeds = xq.orderBy("vec_id").limit(KM_K).collect()
+        cents = [list(r["xq"]) for r in seeds]
+        kk = len(cents)
+        if kk == 0:
+            return spark.createDataFrame(
+                [], "k long, dim long, c long, n_k long"
+            )
+        dims = len(cents[0])
+
+        sizes = [0] * kk
+        for _ in range(KM_ROUNDS):
+            cent_arr = np.array(cents, dtype=np.int64)
+
+            def _partials(batches, _c=cent_arr, _kk=kk, _d=dims):
+                # assignment + per-batch moment partials in ONE
+                # vectorized pass: Arrow ships K*64 partial rows per
+                # batch instead of 64x-exploded vectors (a draft
+                # that posexploded through the assignment UDF paid
+                # 64x the Arrow transfer). int64 throughout — batch
+                # sums are exact (|x| <= ~4e5 * batch rows).
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    x = np.stack(
+                        [np.asarray(v, dtype=np.int64) for v in pdf["xq"]]
+                    )
+                    dist = ((x[:, None, :] - _c[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    a = np.argmin(dist, axis=1)
+                    frames = []
+                    for k in range(_kk):
+                        m = a == k
+                        if m.any():
+                            frames.append(pd.DataFrame({
+                                "k": np.int64(k),
+                                "dim": np.arange(_d, dtype=np.int64),
+                                "s": x[m].sum(axis=0),
+                                "n": np.int64(int(m.sum())),
+                            }))
+                    if frames:
+                        yield pd.concat(frames)
+
+            rows = (
+                xq.mapInPandas(
+                    _partials, "k long, dim long, s long, n long"
+                )
+                .groupBy("k", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            agg = {(r["k"], r["dim"]): (r["s"], r["n"]) for r in rows}
+            sizes = [agg.get((k, 0), (0, 0))[1] for k in range(kk)]
+            cents = [
+                [
+                    int(math.floor(agg[(k, d)][0] / agg[(k, d)][1] + 0.5))
+                    if (k, d) in agg
+                    else cents[k][d]
+                    for d in range(dims)
+                ]
+                for k in range(kk)
+            ]
+        out = [
+            (k, d, cents[k][d], sizes[k])
+            for k in range(kk)
+            for d in range(dims)
+        ]
+        return spark.createDataFrame(
+            out, "k long, dim long, c long, n_k long"
+        ).orderBy("k", "dim")
+    finally:
+        xq.unpersist()
+
+
+def _km_sql() -> str:
+    k, r = KM_K, KM_ROUNDS
+    blocks = [f"""xq AS (
+    SELECT e.vec_id, u.i - 1 AS dim,
+           CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * {KM_SCALE}
+                      + 0.5) AS BIGINT) AS x
+    FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u(i)
+),
+seed AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+    FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+c0 AS (
+    SELECT seed.k, xq.dim, xq.x AS c FROM seed JOIN xq USING (vec_id)
+)"""]
+    for t in range(1, r + 1):
+        p = t - 1
+        blocks.append(f"""d{t} AS (
+    SELECT xq.vec_id, c{p}.k,
+           SUM((xq.x - c{p}.c) * (xq.x - c{p}.c)) AS dist
+    FROM xq JOIN c{p} USING (dim) GROUP BY xq.vec_id, c{p}.k
+),
+a{t} AS (
+    SELECT vec_id, k FROM (
+        SELECT vec_id, k, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM d{t})
+    WHERE rn = 1
+),
+s{t} AS (
+    SELECT a{t}.k, xq.dim, SUM(xq.x) AS s, COUNT(*) AS n
+    FROM xq JOIN a{t} USING (vec_id) GROUP BY a{t}.k, xq.dim
+),
+c{t} AS (
+    SELECT c{p}.k, c{p}.dim,
+           COALESCE(CAST(FLOOR(CAST(s{t}.s AS DOUBLE) / s{t}.n + 0.5)
+                         AS BIGINT), c{p}.c) AS c
+    FROM c{p} LEFT JOIN s{t}
+      ON c{p}.k = s{t}.k AND c{p}.dim = s{t}.dim
+)""")
+    return (
+        "WITH " + ",\n".join(blocks) + f"""
+SELECT CAST(c{r}.k AS BIGINT) AS k, CAST(c{r}.dim AS BIGINT) AS dim,
+       c{r}.c AS c, COALESCE(nn.n, 0) AS n_k
+FROM c{r} LEFT JOIN (SELECT k, n FROM s{r} WHERE dim = 0) nn
+  ON c{r}.k = nn.k
+ORDER BY k, dim
+"""
+    )
+
+
+EMB_KMEANS_SQL = _km_sql()
+
+
+# --- L81: small-files compaction planner --------------------------
+
+CP_N_FILES = 16     # synthetic files per source (doc_id mod)
+CP_SMALL_FRAC = 1.0  # "small" = bytes < CP_SMALL_FRAC * source avg
+CP_TARGET_AVG = 4.0  # compaction-task target = CP_TARGET_AVG * avg
+
+
+def data_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L81 (r13): the OPTIMIZE planner — bin-pack a table's small
+    files into target-size compaction tasks (the Delta/Iceberg
+    small-files maintenance every 100 TB lakehouse runs nightly;
+    the repo already ships the EXECUTION side as ann_compact /
+    mor_compacted_read — this is the PLANNING operator that decides
+    which files merge into which task).
+
+    The file manifest is synthesized deterministically from the
+    documents table (file = (source, doc_id % CP_N_FILES), bytes =
+    sum of n_chars). Thresholds are RELATIVE so the contract stays
+    non-vacuous at every sf: a file is compaction-eligible when its
+    bytes < the per-source mean file size (big files are left
+    alone — rewriting them is wasted IO), and each task targets
+    CP_TARGET_AVG x mean bytes: task = floor(cumsum_before /
+    target) over eligible files in file_id order — the data_pack
+    cumsum-binning shape applied to the manifest.
+
+    Scale: the manifest is METADATA-scale (one row per file — ~1e6
+    rows for 100 TB of 100 MB files), so the per-source cumsum
+    window is honest; the only corpus-sized work is the ONE
+    groupBy building the manifest (map-side partial sums). Exact
+    arithmetic: bytes are BIGINT; mean and target are one IEEE
+    division/multiply on identical operands; floor on identical
+    doubles agrees across engines."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    files = (
+        docs.select(
+            "source",
+            (F.col("doc_id") % CP_N_FILES).alias("file_id"),
+            F.col("n_chars").alias("nb"),
+        )
+        .groupBy("source", "file_id")
+        .agg(F.sum("nb").alias("bytes"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    stats = files.groupBy("source").agg(
+        (F.sum("bytes").cast("double") / F.count(F.lit(1))).alias("avg_b")
+    )
+    f = files.join(F.broadcast(stats), "source")
+    small = f.where(
+        F.col("bytes").cast("double") < F.lit(CP_SMALL_FRAC) * F.col("avg_b")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tasks = small.withColumn(
+        "task_id",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(win), F.lit(0)).cast("double")
+            / (F.lit(CP_TARGET_AVG) * F.col("avg_b"))
+        ),
+    )
+    return (
+        tasks.groupBy("source", "task_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bytes_in"),
+        )
+        .orderBy("source", "task_id")
+    )
+
+
+DATA_COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+    SELECT source, doc_id % {CP_N_FILES} AS file_id,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes
+    FROM documents GROUP BY source, doc_id % {CP_N_FILES}
+),
+stats AS (
+    SELECT source, CAST(SUM(bytes) AS DOUBLE) / COUNT(*) AS avg_b
+    FROM files GROUP BY source
+),
+small AS (
+    SELECT f.source, f.file_id, f.bytes, s.avg_b
+    FROM files f JOIN stats s ON f.source = s.source
+    WHERE CAST(f.bytes AS DOUBLE) < {CP_SMALL_FRAC} * s.avg_b
+),
+tasks AS (
+    SELECT source, file_id, bytes,
+           CAST(FLOOR(CAST(COALESCE(SUM(bytes) OVER (
+               PARTITION BY source ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS DOUBLE) / ({CP_TARGET_AVG} * avg_b)) AS BIGINT)
+               AS task_id
+    FROM small
+)
+SELECT source, task_id, COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_in
+FROM tasks GROUP BY source, task_id ORDER BY source, task_id
+"""
+
+
+# --- L82: radius (range) vector search ----------------------------
+
+RANGE_THRESH = 0.35  # cosine radius: non-vacuous at every sf
+RANGE_KMAX = 10      # per-query result cap (the "range+limit" API)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L82 (r13): RADIUS search served from the persisted IVF index
+    — "every neighbor with cos >= t, capped at KMAX per query", the
+    third serving mode production vector stores ship next to top-k
+    and filtered top-k (near-duplicate lookup, dedup-at-ingest
+    probes, recommendation diversity pools all ask for a radius,
+    not a rank).
+
+    Composition, not new machinery: full-probe ivf_query at
+    k=RANGE_KMAX is EXACT capped kNN (persisted doubles round-trip
+    exactly; pair_dot fold is bit-identical), and because results
+    per query arrive cos-descending, the radius predicate keeps a
+    PREFIX of ranks — so filter-after-topk equals true range search
+    whenever a query has <= KMAX in-radius neighbors, and the cap
+    itself is the documented API otherwise. The oracle mirrors both
+    the radius and the cap on brute force. At n_probe<<cells the
+    same shape serves approximately with candidate work bounded by
+    the probed cells — the radius only ever SHRINKS scoring output,
+    never the probe volume, so the 100 TB story is ivf_query's."""
+    from etl_npl_pipeline_spark.operators.ann_index import ivf_query
+
+    idx = _ann_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
+    return (
+        ivf_query(
+            spark,
+            idx,
+            queries,
+            k=RANGE_KMAX,
+            n_probe=IVF_KNOBS["n_clusters"],
+            n_queries_hint=ANN_N_QUERIES,
+        )
+        .where(F.col("cos_sim") >= F.lit(RANGE_THRESH))
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_RANGE_SEARCH_SQL = f"""
+WITH nrm AS ({_SQL_NORMED}),
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q
+    JOIN nrm c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {ANN_N_QUERIES}
+), ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC
+           ) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {RANGE_KMAX} AND cos_sim >= {RANGE_THRESH}
+ORDER BY query_id, rank
+"""
