@@ -66,14 +66,18 @@ def queries() -> dict[str, QueryFn]:
     # session 2: point-in-time join to the versioned dimension)
     # and data_compaction_plan (L81, session 2: the OPTIMIZE
     # bin-packing planner) and ann_range_search (L82, session 2:
-    # IVF-served radius search) front-load as new contracts, rolling
-    # events_hopping_window, events_gapfill, events_funnel and
-    # events_retention out (the window now ends at dq_orders).
+    # IVF-served radius search) and stream_drift_monitor (ST16,
+    # session 2: the L76 report as an exactly-once streaming fold of
+    # exact fixed-point moments) front-load as new contracts,
+    # rolling dq_orders, events_hopping_window, events_gapfill,
+    # events_funnel and events_retention out (the window now ends at
+    # events_quantiles).
     return {
         "emb_kmeans": llmdata.emb_kmeans,
         "scd2_pit_join": lakehouse.scd2_pit_join,
         "data_compaction_plan": llmdata.data_compaction_plan,
         "ann_range_search": llmdata.ann_range_search,
+        "stream_drift_monitor": llmdata.stream_drift_monitor,
         "ann_filtered_pq": llmdata.ann_filtered_pq,
         "search_mmr": llmdata.search_mmr,
         "text_quality_probe": llmdata.text_quality_probe,
@@ -401,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_pit_join": lakehouse.SCD2_PIT_JOIN_SQL,
         "data_compaction_plan": llmdata.DATA_COMPACTION_PLAN_SQL,
         "ann_range_search": llmdata.ANN_RANGE_SEARCH_SQL,
+        "stream_drift_monitor": llmdata.STREAM_DRIFT_MONITOR_SQL,
         "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "text_quality_probe_incremental":
             llmdata.TEXT_QUALITY_PROBE_INCREMENTAL_SQL,

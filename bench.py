@@ -50,6 +50,7 @@ HEADLINE = [
     "scd2_pit_join",
     "data_compaction_plan",
     "ann_range_search",
+    "stream_drift_monitor",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

@@ -7175,3 +7175,169 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
 WHERE rank <= {RANGE_KMAX} AND cos_sim >= {RANGE_THRESH}
 ORDER BY query_id, rank
 """
+
+
+# --- ST16: streaming embedding-drift monitor ----------------------
+
+DM_SCALE = 1000000.0  # fixed-point quantization (the emb_kmeans knob)
+
+
+def _dm_moments(edf: DataFrame) -> dict:
+    """Exact-BIGINT per-(dim, half) moments of a quantized embedding
+    frame: {(dim, half): (n, s, sq)}. Additive across disjoint
+    batches (integer sums), the property the streaming fold relies
+    on. At true 100 TB widths sq partials become decimal(38) — the
+    quality-probe doctrine."""
+    rows = (
+        edf.select(
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("xq").alias("dim", "x"),
+        )
+        .groupBy("dim", "half")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("sq"),
+        )
+        .collect()
+    )
+    return {
+        (r["dim"], r["half"]): (r["n"], r["s"], r["sq"]) for r in rows
+    }
+
+
+def _dm_add(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, (n, s, sq) in b.items():
+        if k in out:
+            n0, s0, sq0 = out[k]
+            out[k] = (n0 + n, s0 + s, sq0 + sq)
+        else:
+            out[k] = (n, s, sq)
+    return out
+
+
+def _dm_report(spark: SparkSession, mom: dict) -> DataFrame:
+    """Drift report from accumulated exact moments — every float op
+    (division, multiply, subtract, sqrt) runs on identical binary
+    operands in the SQL oracle, and the floor-based 6-dp round
+    (_qp_rnd) cannot disagree across engines."""
+    import math
+
+    dims = sorted({d for d, _ in mom})
+    rows = []
+    for d in dims:
+        if (d, 0) not in mom or (d, 1) not in mom:
+            continue
+        stats = []
+        for h in (0, 1):
+            n, s, sq = mom[(d, h)]
+            mu_q = s / n
+            vq = max(sq / n - mu_q * mu_q, 0.0)
+            stats.append((mu_q / DM_SCALE, vq / (DM_SCALE * DM_SCALE)))
+        (mu_r, var_r), (mu_c, var_c) = stats
+        denom = math.sqrt((var_r + var_c) / 2.0)
+        if denom == 0.0:
+            # IEEE semantics, matching DuckDB's double division:
+            # 0/0 -> nan, x/0 -> inf (cannot happen on real
+            # embeddings — both halves constant on a dim — but the
+            # cross-engine edge is pinned, the L76 clamp doctrine)
+            z = float("nan") if mu_r == mu_c else float("inf")
+        else:
+            z = abs(mu_r - mu_c) / denom
+        rows.append((
+            d,
+            _qp_rnd(mu_r, 1e6),
+            _qp_rnd(mu_c, 1e6),
+            _qp_rnd(z, 1e6) if math.isfinite(z) else z,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "dim long, mu_ref double, mu_cand double, drift_z double",
+    ).orderBy("dim")
+
+
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16 (r13): STREAMING drift monitoring — the L76 report as a
+    long-lived stream (the shape a production embedding pipeline
+    actually runs: the monitor folds each arriving shard's moments
+    into a persisted accumulator and re-emits the report without
+    ever rescanning history). Embeddings arrive as a 4-split
+    availableNow file stream; each micro-batch contributes its
+    64x2x3 EXACT-BIGINT moments (vectors quantized to fixed-point,
+    the emb_kmeans doctrine — integer sums are order- and
+    batch-independent) via ONE aggregate in foreachBatch, keyed by
+    batch_id so an at-least-once replay OVERWRITES its slot (the
+    ST15 exactly-once pattern). The report is a driver-side fold of
+    the 384-number artifact; stream == batch bit-for-bit, so the
+    oracle is the quantized batch SQL."""
+    import os as _os
+
+    src_dir = _os.path.join(".tmp", "stream_drift", _os.path.basename(
+        _os.path.realpath(sf_dir.rstrip("/"))))
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    emb.repartition(4).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    xq = stream.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * F.lit(DM_SCALE) + F.lit(0.5)),
+        ).alias("xq"),
+    )
+    per_batch: dict[int, dict] = {}
+
+    def _fold(bdf, batch_id: int) -> None:
+        per_batch[int(batch_id)] = _dm_moments(bdf)
+
+    q = (
+        xq.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", _os.path.join(src_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    acc: dict = {}
+    for b in sorted(per_batch):
+        acc = _dm_add(acc, per_batch[b])
+    return _dm_report(spark, acc)
+
+
+STREAM_DRIFT_MONITOR_SQL = f"""
+WITH e AS (
+    SELECT vec_id % 2 AS half, u.i - 1 AS dim,
+           CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {DM_SCALE}
+                      + 0.5) AS BIGINT) AS x
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u(i)
+),
+agg AS (
+    SELECT dim, half, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS sq
+    FROM e GROUP BY dim, half
+),
+st AS (
+    SELECT dim, half,
+           CAST(s AS DOUBLE) / n AS mu_q,
+           GREATEST(CAST(sq AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                    0) AS vq
+    FROM agg
+),
+sc AS (
+    SELECT dim, half, mu_q / {DM_SCALE} AS mu,
+           vq / ({DM_SCALE} * {DM_SCALE}) AS var
+    FROM st
+)
+SELECT CAST(r.dim AS BIGINT) AS dim,
+       FLOOR(r.mu * 1e6 + 0.5) / 1e6 AS mu_ref,
+       FLOOR(c.mu * 1e6 + 0.5) / 1e6 AS mu_cand,
+       FLOOR(ABS(r.mu - c.mu) / SQRT((r.var + c.var) / 2.0)
+             * 1e6 + 0.5) / 1e6 AS drift_z
+FROM sc r JOIN sc c ON r.dim = c.dim AND r.half = 0 AND c.half = 1
+ORDER BY dim
+"""
