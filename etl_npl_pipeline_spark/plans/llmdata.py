@@ -5691,6 +5691,10 @@ EMB_PCA_SQL = _pca_oracle_sql()
 LP_K = 3
 LP_ROUNDS = 3
 LP_SEED_MOD = 5
+# yardstick fixture cap: >= every sf<=1 corpus (sf1 = 20k vectors),
+# so behavior is unchanged where the contract is checked; bounds the
+# deliberate-quadratic exact kNN build at sf10+ (VERDICT r12 #2)
+LP_YARDSTICK_CAP = 20000
 
 
 def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5723,6 +5727,13 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN index at O(N·cell) build cost.
     """
     emb = _emb(spark, sf_dir)
+    # Yardstick-size gate (VERDICT r12 #2): the exact all-pairs kNN
+    # build is the measured x46.9 scale-killer, kept ONLY as the
+    # accuracy yardstick for L72b. The cap is a no-op through sf1
+    # (20k vectors) and bounds the quadratic shape at sf10+, so a
+    # routine scale probe can never accidentally run the full
+    # corpus through it. Production path: graph_label_prop_indexed.
+    emb = emb.where(F.col("vec_id") < LP_YARDSTICK_CAP)
     edges = S.brute_force_topk(
         emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding"
     ).select(F.col("query_id").alias("dst"), F.col("neighbor_id").alias("src"))
@@ -5833,7 +5844,9 @@ ORDER BY true_label, pred_label
 
 def _label_prop_oracle_sql() -> str:
     return f"""
-WITH nrm AS MATERIALIZED ({_SQL_NORMED}),
+WITH nrm AS MATERIALIZED (
+    SELECT * FROM ({_SQL_NORMED}) WHERE vec_id < {LP_YARDSTICK_CAP}
+),
 sims AS MATERIALIZED (
     SELECT q.vec_id AS dst, c.vec_id AS src,
            {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
@@ -5848,6 +5861,7 @@ edges AS MATERIALIZED (
 ),
 truth AS MATERIALIZED (
     SELECT vec_id, label AS true_label FROM embeddings
+    WHERE vec_id < {LP_YARDSTICK_CAP}
 ),
 {_lp_rounds_sql()}"""
 
