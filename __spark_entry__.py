@@ -68,16 +68,22 @@ def queries() -> dict[str, QueryFn]:
     # bin-packing planner) and ann_range_search (L82, session 2:
     # IVF-served radius search) and stream_drift_monitor (ST16,
     # session 2: the L76 report as an exactly-once streaming fold of
-    # exact fixed-point moments) front-load as new contracts,
-    # rolling dq_orders, events_hopping_window, events_gapfill,
-    # events_funnel and events_retention out (the window now ends at
-    # events_quantiles).
+    # exact fixed-point moments) and events_path_analysis (A54,
+    # session 2: top user journeys) and join_incremental (T25,
+    # session 2: delta-rule JOIN-view maintenance with a
+    # late-arriving dimension batch) front-load as new contracts,
+    # rolling dq_orders, events_quantiles, events_hopping_window,
+    # events_gapfill, events_funnel, events_retention and
+    # stream_stream_join out (the window now ends at
+    # stream_static_join).
     return {
         "emb_kmeans": llmdata.emb_kmeans,
         "scd2_pit_join": lakehouse.scd2_pit_join,
         "data_compaction_plan": llmdata.data_compaction_plan,
         "ann_range_search": llmdata.ann_range_search,
         "stream_drift_monitor": llmdata.stream_drift_monitor,
+        "events_path_analysis": profiling.events_path_analysis,
+        "join_incremental": ivm.join_incremental,
         "ann_filtered_pq": llmdata.ann_filtered_pq,
         "search_mmr": llmdata.search_mmr,
         "text_quality_probe": llmdata.text_quality_probe,
@@ -406,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "data_compaction_plan": llmdata.DATA_COMPACTION_PLAN_SQL,
         "ann_range_search": llmdata.ANN_RANGE_SEARCH_SQL,
         "stream_drift_monitor": llmdata.STREAM_DRIFT_MONITOR_SQL,
+        "events_path_analysis": profiling.EVENTS_PATH_ANALYSIS_SQL,
+        "join_incremental": ivm.JOIN_INCREMENTAL_SQL,
         "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "text_quality_probe_incremental":
             llmdata.TEXT_QUALITY_PROBE_INCREMENTAL_SQL,

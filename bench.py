@@ -51,6 +51,8 @@ HEADLINE = [
     "data_compaction_plan",
     "ann_range_search",
     "stream_drift_monitor",
+    "events_path_analysis",
+    "join_incremental",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

@@ -563,3 +563,87 @@ SELECT * FROM hist3 ORDER BY c_custkey, valid_from
 
 
 STREAM_CDC_SCD2_SQL = _cdc_scd2_oracle_sql()
+
+
+# --- T25: incremental JOIN view maintenance ------------------------
+
+_JOIN_IVM_TMP = "/root/repo/.tmp/join_incremental"
+
+
+def join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 (r13): delta-rule incremental maintenance of a JOIN view
+    — the other half of IVM (T23 maintains an aggregate; real
+    materialized views are usually join+aggregate). The view is
+    orders ⋈ customer; both sides receive a late batch, and the
+    refresh applies the classic decomposition
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)
+          = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    so the materialized A⋈B rows are read back, never recomputed.
+    The contract splits deterministically: ΔA = orders from 1998-01
+    on (the synthetic tail), ΔB = every custkey % 10 == 0 (a
+    late-arriving dimension backfill — its orders are MISSING from
+    the base view and appear on refresh, the real-world case that
+    breaks naive "fact-side-only" IVM).
+
+    Scale shape: each delta term joins a SMALL delta against a big
+    table — Catalyst broadcasts the delta side, so the refresh
+    never shuffles orders or customer (verified: the base
+    materialization is the only exchange-heavy job; delta joins are
+    BroadcastHashJoin). Refresh cost is O(|ΔA| + |ΔB|·selectivity +
+    |view partials|), not O(A⋈B). Money aggregates as exact DECIMAL
+    (the T23 sf1 lesson). The oracle recomputes the full join from
+    scratch; equality IS the IVM correctness statement."""
+    import shutil as _sh
+
+    from etl_npl_pipeline_spark.functions.exact import dsum, money
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = orders.where(F.col("od") < "1998-01-01")
+    da = orders.where(F.col("od") >= "1998-01-01")
+    b = cust.where(F.col("c_custkey") % 10 != 0)
+    db = cust.where(F.col("c_custkey") % 10 == 0)
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "c_mktsegment",
+    ]
+
+    def j(fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return fact.join(
+            dim, fact.o_custkey == dim.c_custkey
+        ).select(*cols)
+
+    _sh.rmtree(_JOIN_IVM_TMP, ignore_errors=True)
+    j(a, b).write.parquet(f"{_JOIN_IVM_TMP}/state")
+    state = spark.read.parquet(f"{_JOIN_IVM_TMP}/state")
+    refreshed = (
+        state
+        .unionByName(j(da, b))
+        .unionByName(j(a, F.broadcast(db)))
+        .unionByName(j(da, db))
+    )
+    return (
+        refreshed.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("sum_total"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+JOIN_INCREMENTAL_SQL = """
+SELECT c.c_mktsegment, o.o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderstatus
+ORDER BY c_mktsegment, o_orderstatus
+"""

@@ -1191,3 +1191,87 @@ SELECT event_type,
 FROM ranked GROUP BY event_type, bucket
 ORDER BY event_type, bucket_epoch
 """
+
+
+# --- A54: top user journeys (path analysis) ------------------------
+
+PATH_LEN = 5    # events per user prefix
+PATH_TOPK = 20  # journeys reported
+
+
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 (r13): top user JOURNEYS — the sankey/path report every
+    product-analytics engine ships (which event sequences do users
+    actually follow?): each user's first PATH_LEN events (by ts,
+    event_id tie-break) concatenate into a path string; paths are
+    counted across users and the PATH_TOPK most common are reported
+    (count desc, path asc — fully deterministic).
+
+    Scale shape: the per-user prefix is ONE window over the
+    (user_id)-partitioned events — rows beyond rank PATH_LEN drop
+    before any aggregation, so path construction carries <= 5 rows
+    per user regardless of user activity (bot users cannot skew the
+    reduce); path counting is a groupBy on the path string with
+    map-side partials, and the final top-k is a tiny sort. At
+    100 TB: one shuffle on user_id (already the events layout for
+    every sessionize op), one on the bounded path table.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prefix = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= PATH_LEN
+    )
+    paths = (
+        prefix.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    wr = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= PATH_TOPK)
+        .select("rank", "path", "n_users")
+        .orderBy("rank")
+    )
+
+
+EVENTS_PATH_ANALYSIS_SQL = f"""
+WITH ranked AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+paths AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= {PATH_LEN}
+    GROUP BY user_id
+),
+counted AS (
+    SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path
+)
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY n_users DESC, path ASC) AS rank,
+           path, n_users
+    FROM counted
+)
+WHERE rank <= {PATH_TOPK} ORDER BY rank
+"""

@@ -147,9 +147,26 @@ TIER_R12 = [
     "stream_ohlc_bars",
 ]
 
+# r13: the quality-probe trilogy + MMR (session 1) and the Lloyd
+# rounds / PIT join / compaction planner / radius search / streaming
+# drift fold (session 2) — byte-linearity at the first decade for
+# every new shape
+TIER_R13 = [
+    "search_mmr",
+    "text_quality_probe",
+    "ann_filtered_pq",
+    "emb_kmeans",
+    "scd2_pit_join",
+    "data_compaction_plan",
+    "ann_range_search",
+    "stream_drift_monitor",
+    "events_path_analysis",
+    "join_incremental",
+]
+
 ALL_QUERIES = (
     TOP10 + TIER_DEDUP + TIER_TEXT + TIER_STREAM + TIER_ANN + TIER_MEDIA
-    + TIER_R11 + TIER_R12
+    + TIER_R11 + TIER_R12 + TIER_R13
 )
 
 
