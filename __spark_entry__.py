@@ -71,11 +71,13 @@ def queries() -> dict[str, QueryFn]:
     # exact fixed-point moments) and events_path_analysis (A54,
     # session 2: top user journeys) and join_incremental (T25,
     # session 2: delta-rule JOIN-view maintenance with a
-    # late-arriving dimension batch) front-load as new contracts,
-    # rolling dq_orders, events_quantiles, events_hopping_window,
-    # events_gapfill, events_funnel, events_retention and
-    # stream_stream_join out (the window now ends at
-    # stream_static_join).
+    # late-arriving dimension batch) and dedup_editdistance (L83,
+    # session 2: prefix-blocked Levenshtein near-dup pairs)
+    # front-load as new contracts, rolling dq_orders,
+    # events_quantiles, events_hopping_window, events_gapfill,
+    # events_funnel, events_retention, stream_stream_join and
+    # stream_static_join out (the window now ends at
+    # stream_user_totals).
     return {
         "emb_kmeans": llmdata.emb_kmeans,
         "scd2_pit_join": lakehouse.scd2_pit_join,
@@ -84,6 +86,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_drift_monitor": llmdata.stream_drift_monitor,
         "events_path_analysis": profiling.events_path_analysis,
         "join_incremental": ivm.join_incremental,
+        "dedup_editdistance": llmdata.dedup_editdistance,
         "ann_filtered_pq": llmdata.ann_filtered_pq,
         "search_mmr": llmdata.search_mmr,
         "text_quality_probe": llmdata.text_quality_probe,
@@ -414,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_drift_monitor": llmdata.STREAM_DRIFT_MONITOR_SQL,
         "events_path_analysis": profiling.EVENTS_PATH_ANALYSIS_SQL,
         "join_incremental": ivm.JOIN_INCREMENTAL_SQL,
+        "dedup_editdistance": llmdata.DEDUP_EDITDISTANCE_SQL,
         "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "text_quality_probe_incremental":
             llmdata.TEXT_QUALITY_PROBE_INCREMENTAL_SQL,

@@ -53,6 +53,7 @@ HEADLINE = [
     "stream_drift_monitor",
     "events_path_analysis",
     "join_incremental",
+    "dedup_editdistance",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

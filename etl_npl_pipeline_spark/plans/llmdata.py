@@ -7355,3 +7355,89 @@ SELECT CAST(r.dim AS BIGINT) AS dim,
 FROM sc r JOIN sc c ON r.dim = c.dim AND r.half = 0 AND c.half = 1
 ORDER BY dim
 """
+
+
+# --- L83: edit-distance near-dup (prefix-blocked) ------------------
+
+ED_MAX = 20          # max Levenshtein distance for a near-dup pair
+ED_PREFIX = 16       # blocking: shared raw prefix ...
+ED_BAND = 20         # ... and same floor(len/ED_BAND) length band
+ED_MAX_BLOCK = 1000  # hub-block quarantine (the dedup_embedding cap)
+
+
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L83 (r13): EDIT-DISTANCE near-duplicate pairs — the dedup
+    family member that catches OCR noise, typo drift, and
+    trailing-edit copies that token-level MinHash/Jaccard blur
+    (distance is in CHARACTERS, not shingles). Candidate generation
+    is prefix+length blocking (the PPJoin-family observation: two
+    strings within edit distance d share their first ED_PREFIX
+    chars unless an edit falls there, and differ in length by at
+    most d): pairs form only inside (16-char-prefix, len/20 band)
+    blocks, then the exact Levenshtein verify runs on candidates
+    only — both engines' levenshtein() is the classic
+    unit-cost edit distance, so the verify is EXACT integer parity.
+
+    Scale: blocking is a map-side key + one co-keyed self-join;
+    block sizes are bounded by the ED_MAX_BLOCK quarantine
+    (oversized hub blocks emit nothing and route to MinHash — the
+    dedup_embedding doctrine, mirrored in the oracle). The O(L²)
+    Levenshtein runs per CANDIDATE, never all-pairs. Conservative
+    by construction: an edit inside the first 16 chars moves the
+    doc to another block (documented recall boundary; the planted
+    near-dups here append at the tail, the common real-world
+    shape)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.substring("text", 1, ED_PREFIX).alias("pfx"),
+        (F.length("text") / ED_BAND).cast("long").alias("band"),
+    )
+    ok = (
+        d.groupBy("pfx", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= ED_MAX_BLOCK)
+        .select("pfx", "band")
+    )
+    # filter to surviving blocks FIRST, then self-join the filtered
+    # frame: equivalent to the oracle's one-sided ok-join because
+    # the equi-key makes both sides share the (ok) block
+    d_ok = d.join(ok, ["pfx", "band"])
+    a, b = d_ok.alias("a"), d_ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= ED_MAX)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EDITDISTANCE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text, substr(text, 1, {ED_PREFIX}) AS pfx,
+           CAST(len(text) // {ED_BAND} AS BIGINT) AS band
+    FROM documents
+),
+ok AS (
+    SELECT pfx, band FROM d GROUP BY pfx, band
+    HAVING COUNT(*) <= {ED_MAX_BLOCK}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM d a
+JOIN ok ON a.pfx = ok.pfx AND a.band = ok.band
+JOIN d b ON a.pfx = b.pfx AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {ED_MAX}
+ORDER BY id_a, id_b
+"""

@@ -162,6 +162,7 @@ TIER_R13 = [
     "stream_drift_monitor",
     "events_path_analysis",
     "join_incremental",
+    "dedup_editdistance",
 ]
 
 ALL_QUERIES = (

@@ -65,6 +65,15 @@ TIER = [
     # are exactly the shapes to measure at the second decade
     "dedup_containment_bottomk",
     "ann_filtered_topk",
+    # r13 session 2: the new shapes with real data scaling — Lloyd
+    # rounds (K x 64 partial sums), the streaming drift fold, the
+    # events path prefix window, and the delta-broadcast join IVM
+    "emb_kmeans",
+    "stream_drift_monitor",
+    "events_path_analysis",
+    "join_incremental",
+    "scd2_pit_join",
+    "data_compaction_plan",
 ]
 
 
