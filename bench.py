@@ -54,6 +54,7 @@ HEADLINE = [
     "events_path_analysis",
     "join_incremental",
     "dedup_editdistance",
+    "graph_pagerank",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

@@ -7441,3 +7441,133 @@ JOIN d b ON a.pfx = b.pfx AND a.band = b.band AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= {ED_MAX}
 ORDER BY id_a, id_b
 """
+
+
+# --- L84: PageRank over the kNN graph ------------------------------
+
+PR_ROUNDS = 3
+PR_DAMP = 0.85
+PR_UNIT = 1e12   # fixed-point probability mass unit
+PR_TOPN = 50
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L84 (r13): PageRank over the embedding kNN graph — the
+    centrality step of a curation pipeline (rank documents by how
+    often OTHER documents' neighborhoods point at them: hub
+    detection, representative selection for human review, the
+    "pick the canonical copy" signal dedup_survivors consumes from
+    frequency today). Same capped exact-kNN graph as the L72
+    yardstick (each node links TO its LP_K nearest neighbors, so
+    out-degree is uniformly LP_K — no dangling mass); PR_ROUNDS
+    fixed synchronous rounds, output = top PR_TOPN nodes by rank.
+
+    Cross-engine exactness (the emb_kmeans fixed-point doctrine):
+    probability mass lives as BIGINT micro-units (p0 =
+    floor(PR_UNIT/N + 0.5)); each round the in-neighbor mass SUM is
+    an exact integer (order-independent — the one float-killer in
+    naive PR), and the update
+        p' = floor((1-d)·PR_UNIT/N + d·(S/K) + 0.5)
+    is a short IEEE chain on identical operands, floored back to
+    BIGINT. The oracle unrolls the rounds as CTE blocks.
+
+    Scale: edges are K·N rows built once (capped yardstick graph —
+    the production path would serve edges from the ANN index, the
+    L72b composition); each round is ONE groupBy(dst) with map-side
+    partials + a join back to the N-row mass frame. Bytes-linear,
+    same shape as label propagation."""
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < LP_YARDSTICK_CAP)
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame([], "vec_id long, pr_micro long")
+    edges = S.brute_force_topk(
+        emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding"
+    ).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).persist()
+    try:
+        import math
+
+        p0 = int(math.floor(PR_UNIT / n + 0.5))
+        teleport = (1.0 - PR_DAMP) * PR_UNIT / n
+        nodes = emb.select("vec_id")
+        p = nodes.select("vec_id", F.lit(p0).alias("p"))
+        for _ in range(PR_ROUNDS):
+            inmass = (
+                edges.join(p, edges.src == p.vec_id)
+                .groupBy("dst")
+                .agg(F.sum("p").alias("s"))
+            )
+            p = nodes.join(
+                inmass, nodes.vec_id == inmass.dst, "left"
+            ).select(
+                "vec_id",
+                F.floor(
+                    F.lit(teleport)
+                    + F.lit(PR_DAMP)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(float(LP_K))
+                    )
+                    + F.lit(0.5)
+                ).alias("p"),
+            )
+        return (
+            p.orderBy(F.col("p").desc(), F.col("vec_id").asc())
+            .limit(PR_TOPN)
+            .select("vec_id", F.col("p").alias("pr_micro"))
+        )
+    finally:
+        edges.unpersist()
+
+
+def _pagerank_oracle_sql() -> str:
+    rounds = []
+    prev = "p0"
+    for r in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""s{r} AS (
+    SELECT e.dst, SUM(p.p) AS s
+    FROM edges e JOIN {prev} p ON p.vec_id = e.src
+    GROUP BY e.dst
+),
+p{r} AS (
+    SELECT n.vec_id,
+           CAST(FLOOR(tp.t + {PR_DAMP} * (CAST(COALESCE(s{r}.s, 0)
+                    AS DOUBLE) / CAST({LP_K} AS DOUBLE)) + 0.5)
+                AS BIGINT) AS p
+    FROM nodes n
+    LEFT JOIN s{r} ON n.vec_id = s{r}.dst
+    CROSS JOIN tp
+)""")
+        prev = f"p{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nrm AS MATERIALIZED (
+    SELECT * FROM ({_SQL_NORMED}) WHERE vec_id < {LP_YARDSTICK_CAP}
+),
+sims AS MATERIALIZED (
+    SELECT q.vec_id AS src, c.vec_id AS dst,
+           {_SQL_NDOT.format(a="q.nv", b="c.nv")} AS cos_sim
+    FROM nrm q JOIN nrm c ON q.vec_id != c.vec_id
+),
+edges AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (
+            PARTITION BY src ORDER BY cos_sim DESC, dst ASC
+        ) AS rank FROM sims
+    ) WHERE rank <= {LP_K}
+),
+nodes AS (SELECT vec_id FROM embeddings
+          WHERE vec_id < {LP_YARDSTICK_CAP}),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+tp AS (SELECT (1.0 - {PR_DAMP}) * {PR_UNIT} / n AS t,
+              CAST(FLOOR({PR_UNIT} / n + 0.5) AS BIGINT) AS pinit
+       FROM cnt),
+p0 AS (SELECT n.vec_id, tp.pinit AS p FROM nodes n CROSS JOIN tp),
+{body}
+SELECT vec_id, p AS pr_micro FROM p{PR_ROUNDS}
+ORDER BY p DESC, vec_id ASC LIMIT {PR_TOPN}
+"""
+
+
+GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()

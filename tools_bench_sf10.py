@@ -74,6 +74,7 @@ TIER = [
     "join_incremental",
     "scd2_pit_join",
     "data_compaction_plan",
+    "dedup_editdistance",
 ]
 
 

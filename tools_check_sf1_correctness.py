@@ -55,6 +55,10 @@ EXCLUDE = {
     # cogroup, whose sf1 behavior is measured in the recall grid and
     # byte-linearity harnesses
     "graph_label_prop",
+    # same all-pairs-cosine oracle cost as graph_label_prop (the
+    # capped yardstick graph at 20k nodes = 1.6e11 lambda evals in
+    # DuckDB); Spark-side sf1 behavior measured in the byte harness
+    "graph_pagerank",
     # r11: emb_pca's oracle re-derives the covariance by an
     # e x dims x dims join (205M intermediate rows at sf1) — 29 min
     # in DuckDB. Measured ONCE at sf1 in r11: match=true, sec=1739
