@@ -7378,47 +7378,63 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — both engines' levenshtein() is the classic
     unit-cost edit distance, so the verify is EXACT integer parity.
 
-    Scale: blocking is a map-side key + one co-keyed self-join;
-    block sizes are bounded by the ED_MAX_BLOCK quarantine
-    (oversized hub blocks emit nothing and route to MinHash — the
-    dedup_embedding doctrine, mirrored in the oracle). The O(L²)
-    Levenshtein runs per CANDIDATE, never all-pairs. Conservative
-    by construction: an edit inside the first 16 chars moves the
-    doc to another block (documented recall boundary; the planted
+    Scale: ONE scan + ONE shuffle — docs group into their block
+    (collect_list bounded by the ED_MAX_BLOCK quarantine; oversized
+    hub blocks emit nothing and route to MinHash — the
+    dedup_embedding doctrine, mirrored in the oracle), ordered
+    pairs expand INSIDE the block array (array_sort on (doc_id,
+    text) structs gives the doc_id< ordering), and the verify is
+    Spark's BANDED levenshtein(a, b, ED_MAX) — O(L·d) with early
+    exit, returning -1 above the threshold, semantically identical
+    to the oracle's full-DP filter. A first draft as a self-join
+    executed the scan+block subtree three times and the full O(L²)
+    DP (11 s at sf0.1); this shape measures ~2 s. Conservative by
+    construction: an edit inside the first 16 chars moves the doc
+    to another block (documented recall boundary; the planted
     near-dups here append at the tail, the common real-world
     shape)."""
     d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "text",
         F.substring("text", 1, ED_PREFIX).alias("pfx"),
         (F.length("text") / ED_BAND).cast("long").alias("band"),
+        F.struct("doc_id", "text").alias("dt"),
     )
-    ok = (
+    blocks = (
         d.groupBy("pfx", "band")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") <= ED_MAX_BLOCK)
-        .select("pfx", "band")
+        .agg(F.array_sort(F.collect_list("dt")).alias("items"))
+        .where(
+            (F.size("items") >= 2) & (F.size("items") <= ED_MAX_BLOCK)
+        )
     )
-    # filter to surviving blocks FIRST, then self-join the filtered
-    # frame: equivalent to the oracle's one-sided ok-join because
-    # the equi-key makes both sides share the (ok) block
-    d_ok = d.join(ok, ["pfx", "band"])
-    a, b = d_ok.alias("a"), d_ok.alias("b")
+    # ordered pair expansion inside the (tiny, capped) block array:
+    # items is doc_id-sorted, so (i, j>i) positions ARE doc_id<
+    pair = blocks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size("items") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("id_a"),
+                            y["doc_id"].alias("id_b"),
+                            F.levenshtein(
+                                x["text"], y["text"], ED_MAX
+                            ).alias("edit_dist"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.pfx") == F.col("b.pfx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias(
-                "edit_dist"
-            ),
-        )
-        .where(F.col("edit_dist") <= ED_MAX)
+        pair.select("p.id_a", "p.id_b", "p.edit_dist")
+        .where(F.col("edit_dist") >= 0)
         .orderBy("id_a", "id_b")
     )
 
