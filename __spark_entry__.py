@@ -73,13 +73,15 @@ def queries() -> dict[str, QueryFn]:
     # session 2: delta-rule JOIN-view maintenance with a
     # late-arriving dimension batch) and dedup_editdistance (L83,
     # session 2: prefix-blocked Levenshtein near-dup pairs)
-    # and graph_pagerank (L84, session 2: fixed-round PageRank over
-    # the capped kNN graph in exact fixed-point mass) front-load as
-    # new contracts, rolling dq_orders, events_quantiles,
+    # and graph_pagerank + graph_pagerank_indexed (L84/L84b,
+    # session 2: fixed-round PageRank in exact fixed-point mass —
+    # the capped exact yardstick and its index-served production
+    # twin on the L72b planted-grid graph) front-load as new
+    # contracts, rolling dq_orders, events_quantiles,
     # events_hopping_window, events_gapfill, events_funnel,
-    # events_retention, stream_stream_join, stream_static_join and
-    # stream_user_totals out (the window now ends at
-    # stream_dedup_events).
+    # events_retention, stream_stream_join, stream_static_join,
+    # stream_user_totals and stream_dedup_events out (the window
+    # now ends at stream_sessionize).
     return {
         "emb_kmeans": llmdata.emb_kmeans,
         "scd2_pit_join": lakehouse.scd2_pit_join,
@@ -90,6 +92,7 @@ def queries() -> dict[str, QueryFn]:
         "join_incremental": ivm.join_incremental,
         "dedup_editdistance": llmdata.dedup_editdistance,
         "graph_pagerank": llmdata.graph_pagerank,
+        "graph_pagerank_indexed": llmdata.graph_pagerank_indexed,
         "ann_filtered_pq": llmdata.ann_filtered_pq,
         "search_mmr": llmdata.search_mmr,
         "text_quality_probe": llmdata.text_quality_probe,
@@ -422,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "join_incremental": ivm.JOIN_INCREMENTAL_SQL,
         "dedup_editdistance": llmdata.DEDUP_EDITDISTANCE_SQL,
         "graph_pagerank": llmdata.GRAPH_PAGERANK_SQL,
+        "graph_pagerank_indexed": llmdata.GRAPH_PAGERANK_INDEXED_SQL,
         "text_quality_probe": llmdata.TEXT_QUALITY_PROBE_SQL,
         "text_quality_probe_incremental":
             llmdata.TEXT_QUALITY_PROBE_INCREMENTAL_SQL,

@@ -55,6 +55,7 @@ HEADLINE = [
     "join_incremental",
     "dedup_editdistance",
     "graph_pagerank",
+    "graph_pagerank_indexed",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

@@ -163,6 +163,8 @@ TIER_R13 = [
     "events_path_analysis",
     "join_incremental",
     "dedup_editdistance",
+    "graph_pagerank",
+    "graph_pagerank_indexed",
 ]
 
 ALL_QUERIES = (
