@@ -619,9 +619,18 @@ def join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim, fact.o_custkey == dim.c_custkey
         ).select(*cols)
 
-    _sh.rmtree(_JOIN_IVM_TMP, ignore_errors=True)
-    j(a, b).write.parquet(f"{_JOIN_IVM_TMP}/state")
-    state = spark.read.parquet(f"{_JOIN_IVM_TMP}/state")
+    # sf-keyed state dir (the stream-drain convention): concurrent
+    # drives at different scale factors must not clobber each
+    # other's materialized view
+    import os as _os
+
+    tmp = _os.path.join(
+        _JOIN_IVM_TMP,
+        _os.path.basename(_os.path.realpath(sf_dir.rstrip("/"))),
+    )
+    _sh.rmtree(tmp, ignore_errors=True)
+    j(a, b).write.parquet(f"{tmp}/state")
+    state = spark.read.parquet(f"{tmp}/state")
     refreshed = (
         state
         .unionByName(j(da, b))
