@@ -81,7 +81,11 @@ def queries() -> dict[str, QueryFn]:
     # events_hopping_window, events_gapfill, events_funnel,
     # events_retention, stream_stream_join, stream_static_join,
     # stream_user_totals and stream_dedup_events out (the window
-    # now ends at stream_sessionize).
+    # now ends at stream_events_window). stream_join_incremental
+    # (ST17, session 2: the T25 delta-rule refresh as a stream with
+    # batch-id-keyed exactly-once join deltas) joins the front,
+    # rolling stream_sessionize out too — the window's last entry
+    # is stream_events_window.
     return {
         "emb_kmeans": llmdata.emb_kmeans,
         "scd2_pit_join": lakehouse.scd2_pit_join,
@@ -90,6 +94,7 @@ def queries() -> dict[str, QueryFn]:
         "stream_drift_monitor": llmdata.stream_drift_monitor,
         "events_path_analysis": profiling.events_path_analysis,
         "join_incremental": ivm.join_incremental,
+        "stream_join_incremental": ivm.stream_join_incremental,
         "dedup_editdistance": llmdata.dedup_editdistance,
         "graph_pagerank": llmdata.graph_pagerank,
         "graph_pagerank_indexed": llmdata.graph_pagerank_indexed,
@@ -423,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_drift_monitor": llmdata.STREAM_DRIFT_MONITOR_SQL,
         "events_path_analysis": profiling.EVENTS_PATH_ANALYSIS_SQL,
         "join_incremental": ivm.JOIN_INCREMENTAL_SQL,
+        "stream_join_incremental": ivm.STREAM_JOIN_INCREMENTAL_SQL,
         "dedup_editdistance": llmdata.DEDUP_EDITDISTANCE_SQL,
         "graph_pagerank": llmdata.GRAPH_PAGERANK_SQL,
         "graph_pagerank_indexed": llmdata.GRAPH_PAGERANK_INDEXED_SQL,

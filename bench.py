@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_editdistance",
     "graph_pagerank",
     "graph_pagerank_indexed",
+    "stream_join_incremental",
     "events_ohlc_bars",
     "stream_ohlc_bars",
     "data_stratified_sample",

@@ -656,3 +656,107 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment, o.o_orderstatus
 ORDER BY c_mktsegment, o_orderstatus
 """
+
+
+# --- ST17: streaming incremental JOIN maintenance ------------------
+
+_SJOIN_TMP = "/root/repo/.tmp/stream_join_incremental"
+
+
+def stream_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17 (r13): the T25 delta-rule JOIN refresh as a STREAM —
+    the trilogy doctrine (batch / incremental / streaming) applied
+    to view maintenance: the materialized orders ⋈ customer base
+    persists once; the late dimension backfill lands as a one-time
+    A⋈ΔB delta; then the fact tail arrives as four file
+    micro-batches and each batch writes ONLY its own join delta
+    (ΔA_b ⋈ (B ∪ ΔB), delta side broadcast) to a batch-id-versioned
+    dir — at-least-once replay OVERWRITES its own dir (the ST12
+    idempotence mechanism), so the refreshed view is exactly-once
+    and batch-packing-independent. History is never re-joined; the
+    oracle recomputes the full join from scratch, and equality IS
+    the maintenance-correctness statement (same report shape as
+    T25)."""
+    import os as _os
+
+    from etl_npl_pipeline_spark.functions.exact import dsum, money
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a = orders.where(F.col("od") < "1998-01-01")
+    da = orders.where(F.col("od") >= "1998-01-01")
+    b = cust.where(F.col("c_custkey") % 10 != 0)
+    db = cust.where(F.col("c_custkey") % 10 == 0)
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "c_mktsegment",
+    ]
+
+    def j(fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return fact.join(
+            dim, fact.o_custkey == dim.c_custkey
+        ).select(*cols)
+
+    tmp = _os.path.join(
+        _SJOIN_TMP,
+        _os.path.basename(_os.path.realpath(sf_dir.rstrip("/"))),
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    # the materialized base view + the one-time dim-backfill delta
+    j(a, b).write.parquet(f"{tmp}/state")
+    j(a, F.broadcast(db)).write.parquet(f"{tmp}/dim_backfill")
+    # fact tail re-sharded into 4 files => 4 real micro-batches
+    for i in range(4):
+        da.where(F.col("o_orderkey") % 4 == i).coalesce(1).write.parquet(
+            f"{tmp}/in/s={i}"
+        )
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+            " o_orderstatus string, od string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{tmp}/in")
+    )
+    full_dim = b.unionByName(db)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        j(batch_df, F.broadcast(full_dim)).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/deltas/b={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    view = (
+        spark.read.parquet(f"{tmp}/state")
+        .unionByName(spark.read.parquet(f"{tmp}/dim_backfill"))
+        .unionByName(
+            spark.read.option("basePath", f"{tmp}/deltas").parquet(
+                f"{tmp}/deltas"
+            ).select(*cols)
+        )
+    )
+    return (
+        view.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("sum_total"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+STREAM_JOIN_INCREMENTAL_SQL = JOIN_INCREMENTAL_SQL
