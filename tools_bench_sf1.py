@@ -161,10 +161,11 @@ TIER_R13 = [
     "ann_range_search",
     "stream_drift_monitor",
     "events_path_analysis",
-    "join_incremental",
     "dedup_editdistance",
     "graph_pagerank",
     "graph_pagerank_indexed",
+    "join_incremental",
+    "stream_join_incremental",
 ]
 
 ALL_QUERIES = (
