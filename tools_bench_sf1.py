@@ -332,6 +332,21 @@ def main() -> None:
         # evidence inline (r9; the q21-style exclusive-probe
         # adjudication made structural).
         "superlinear_adjudications": {
+            "graph_label_prop": (
+                "deliberate yardstick: the exact all-pairs kNN "
+                "graph build (chunked cogroup) — the production "
+                "path is graph_label_prop_indexed (x10.2 measured "
+                "at two decades). Kept for accuracy grading only; "
+                "fixture capped at vec_id<10M so sf10+ probes stay "
+                "bounded."
+            ),
+            "graph_pagerank": (
+                "same yardstick graph as graph_label_prop (x48.4 "
+                "measured r13): the exact build IS quadratic; the "
+                "production flavor graph_pagerank_indexed serves "
+                "the identical fixed-point rounds from the "
+                "persisted IVF index at x10.19."
+            ),
             "dedup_simhash": (
                 "r9 probe (tools in /tmp replayed in commit msg): "
                 "posting records scale EXACTLY x10 (560k -> 5.6M); "
