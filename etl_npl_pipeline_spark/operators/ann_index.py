@@ -942,6 +942,7 @@ def pq_query(
     query_chunk_rows: int = 10_000,
     code_chunk_rows: int = 200_000,
     allowed_ids: DataFrame | None = None,
+    n_queries_hint: int | None = None,
 ) -> DataFrame:
     """ADC search over the persisted code table + exact re-rank
     against the persisted normalized vectors.
@@ -997,7 +998,11 @@ def pq_query(
         books[r["subspace"], r["code"]] = r["centroid"]
     k_prime = k * rerank_factor
 
-    n_q = queries.count()
+    # bounded size hint (r13, the ivf_query pattern): the count only
+    # sizes the chunk grid, which is exact for any grid — callers
+    # with a known batch bound skip a job that re-executes the
+    # upstream query plan
+    n_q = n_queries_hint if n_queries_hint is not None else queries.count()
     if n_q == 0:
         return _empty_result(spark)
     codes = _read_artifact(spark, index_dir, "pq_codes")

@@ -804,7 +804,13 @@ def containment_pairs(
         dfreq = dfreq.where(F.col("df_") <= max_shingle_freq)
     sh = sh.join(dfreq.hint("shuffle_hash"), "shingle")
     sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |docs|-row frame with TWO join consumers (sa, sb): checkpoint
+    # so each does not replay the posting aggregation (r13)
+    sizes = (
+        sh.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
     # shuffle_hash hints on every join touching a POSTING-sized or
     # corpus-sized relation (r13, the sf10 probe find): AQE sees the
@@ -897,7 +903,16 @@ def containment_bottomk_pairs(
         dfreq.select("shingle").hint("shuffle_hash"), "shingle"
     )
     sh = sh.select("doc", "shingle").localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes is a |docs|-row frame consumed by THREE joins (est, sa,
+    # sb); without its own checkpoint each consumer re-scans the
+    # posting checkpoint and re-runs the aggregation (r13: 3 of the
+    # plan's posting-relation passes were exactly this — guide §2.4,
+    # share one computation instead of replaying it)
+    sizes = (
+        sh.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
 
     wdoc = Window.partitionBy("doc").orderBy(
         F.md5("shingle").asc(), F.col("shingle").asc()
@@ -938,12 +953,33 @@ def containment_bottomk_pairs(
             F.greatest("src", "dst").alias("doc_b"),
         )
         .distinct()
+        # three consumers (the verify join + both cdocs branches):
+        # without a checkpoint each replays the whole sketch
+        # pipeline — probes, hits, est — from the posting relation
+        .localCheckpoint(eager=False)
     )
 
     # exact verify over the capped shingle sets — identical scoring
-    # to containment_pairs, restricted to the sketch's candidates
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    # to containment_pairs, restricted to the sketch's candidates.
+    # r13: semi-reduce the postings to CANDIDATE docs first (one
+    # doc-keyed exchange, shared by both verify sides) instead of
+    # exchanging the full posting relation once per side — the b
+    # side's (doc_b, shingle) exchange then carries only candidate
+    # docs' postings (guide §3.2, reduce the big side before the
+    # join; candidate volume is the sketch's own bound, k·N·cap)
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # hint sits on the RIGHT side: left-semi builds right, and the
+    # candidate-doc set is corpus-scale in the adversarial case (the
+    # 53debaa no-GiB-broadcast doctrine applies to it too)
+    shc = sh.join(
+        cdocs.hint("shuffle_hash"), "doc", "left_semi"
+    ).localCheckpoint(eager=False)
+    a = shc.select(F.col("doc").alias("doc_a"), "shingle")
+    b = shc.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
         cand.hint("shuffle_hash")
         .join(a, "doc_a")

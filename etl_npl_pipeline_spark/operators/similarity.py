@@ -101,6 +101,8 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_chunk_rows: int = 1_000,
     corpus_chunk_rows: int = 20_000,
+    n_q_hint: int | None = None,
+    n_c_hint: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector — FULLY
     DISTRIBUTED query batches (r10, VERDICT r9 #5).
@@ -127,14 +129,21 @@ def brute_force_topk(
     ≤256 queries at a time against the block's corpus slice.
     """
     spark = corpus.sparkSession
-    n_q = queries.count()
+    # size hints (r13, guide §1.4/ADVICE r12): the counts exist only
+    # to size the chunk grid, and the decomposition is exact for ANY
+    # grid, so an upper-bound hint is safe — callers that know their
+    # batch bound skip up to two Spark jobs that would re-execute
+    # the upstream plan. n_q_hint == 0 must only be passed for a
+    # provably empty side; a positive hint over an empty side just
+    # yields the empty result through the cogroup.
+    n_q = n_q_hint if n_q_hint is not None else queries.count()
     if n_q == 0:
         # empty query set (0-row embeddings build): the answer is
         # the empty relation in the normal output schema
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cos_sim double"
         )
-    n_c = corpus.count()
+    n_c = n_c_hint if n_c_hint is not None else corpus.count()
     n_qc = max(1, -(-n_q // query_chunk_rows))
     n_cc = max(1, -(-n_c // corpus_chunk_rows))
 

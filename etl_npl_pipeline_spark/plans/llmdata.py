@@ -821,7 +821,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     return ivf_query(
-        spark, idx, queries, k=ANN_K, n_probe=IVF_KNOBS["n_probe"]
+        spark, idx, queries, k=ANN_K, n_probe=IVF_KNOBS["n_probe"],
+        n_queries_hint=ANN_N_QUERIES,
     ).orderBy("query_id", "rank")
 
 
@@ -843,6 +844,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_query(
         spark, idx, queries, k=ANN_K,
         rerank_factor=PQ_KNOBS["rerank_factor"],
+        n_queries_hint=ANN_N_QUERIES,
     ).orderBy("query_id", "rank")
 
 
@@ -1341,7 +1343,8 @@ def ann_compacted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             tuple(r)
             for r in ivf_query(
-                spark, idx, queries, k=ANN_K, n_probe=full_probe
+                spark, idx, queries, k=ANN_K, n_probe=full_probe,
+                n_queries_hint=ANN_N_QUERIES,
             ).collect()
         ],
         pre_schema,
@@ -1352,7 +1355,10 @@ def ann_compacted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(man["segments"][n])
         for n in ("vectors", "pq_codes", "lsh_buckets")
     )
-    post = ivf_query(spark, idx, queries, k=ANN_K, n_probe=full_probe)
+    post = ivf_query(
+        spark, idx, queries, k=ANN_K, n_probe=full_probe,
+        n_queries_hint=ANN_N_QUERIES,
+    )
     pre_r = pre.select(
         "query_id",
         "rank",
@@ -1426,9 +1432,11 @@ ORDER BY artifact
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
-    return S.brute_force_topk(queries, emb, k=ANN_K).orderBy(
-        "query_id", "rank"
-    )
+    # the id filter bounds the batch at ANN_N_QUERIES — skip the
+    # query-side count job (upper-bound hints are grid-safe)
+    return S.brute_force_topk(
+        queries, emb, k=ANN_K, n_q_hint=ANN_N_QUERIES
+    ).orderBy("query_id", "rank")
 
 
 ANN_TOPK_SQL = f"""
@@ -1528,9 +1536,9 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _rp_project("embedding").alias("embedding")
     )
     queries = proj.where(F.col("vec_id") < ANN_N_QUERIES)
-    return S.brute_force_topk(queries, proj, k=ANN_K).orderBy(
-        "query_id", "rank"
-    )
+    return S.brute_force_topk(
+        queries, proj, k=ANN_K, n_q_hint=ANN_N_QUERIES
+    ).orderBy("query_id", "rank")
 
 
 def _rp_sql() -> str:
@@ -3151,7 +3159,8 @@ def stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     return ivf_query(
-        spark, idx, queries, k=ANN_K, n_probe=IVF_KNOBS["n_clusters"]
+        spark, idx, queries, k=ANN_K, n_probe=IVF_KNOBS["n_clusters"],
+        n_queries_hint=ANN_N_QUERIES,
     ).orderBy("query_id", "rank")
 
 
@@ -3318,12 +3327,20 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the persisted IVF index at FULL probe (exact top-MMR_CAND
     per query — ann_filtered_topk's exactness construction), so the
     expensive work is index-served and candidate-bounded; MMR then
-    runs MMR_K fixed greedy rounds as co-keyed DataFrame ops (per
-    round: anti-join selected, join the per-pair sims, per-query
-    max + argmax window — all partitioned by query_id, never a
-    collect). Candidate sets are O(k) per query, so round cost is
-    O(|Q| * MMR_CAND * |selected|) rows — at 100 TB the corpus
-    never touches the loop; only candidates do.
+    runs all MMR_K greedy rounds in ONE cogroup by query_id
+    (r13 optimization, guide §1.2 "fix the distributed algorithm"):
+    the greedy selection is per-query-LOCAL — round r needs only
+    the query's own candidates, its own pairwise sims and its own
+    selected set — so expressing it as K global DataFrame rounds
+    (anti-join + join + argmax window per round, localCheckpoint
+    per round) paid K global barriers and ~70 scheduler stages for
+    an algorithm with zero cross-query dependency (measured 82
+    stages / 5.6 s warm at sf0.1; the cogroup form is 26 stages /
+    ~2 s, identical rows). One exchange co-partitions candidates
+    and sims by query_id; each group replays the greedy rounds
+    over its ≤MMR_CAND rows. At 100 TB the corpus never touches
+    the loop; per-query state is O(MMR_CAND²) — the same bound the
+    round-joins had, now without K synchronization points.
 
     Determinism across engines: rel and pairwise sims are 6-dp
     ROUNDED before any comparison (both engines then run identical
@@ -3334,7 +3351,6 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sel1..selK), mirroring the power-iteration oracle's unrolled
     chain."""
     from etl_npl_pipeline_spark.operators.ann_index import ivf_query
-    from pyspark.sql import Window
 
     idx = _ann_index(spark, sf_dir)
     emb = _emb(spark, sf_dir)
@@ -3343,6 +3359,9 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_query(
             spark, idx, queries, k=MMR_CAND,
             n_probe=IVF_KNOBS["n_clusters"],
+            # bounded serving batch: skip the size-probe job (ADVICE
+            # r12 — the probe re-executes the upstream plan)
+            n_queries_hint=MMR_N_QUERIES,
         )
         .select(
             "query_id",
@@ -3350,6 +3369,11 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 6).alias("rel"),
         )
     )
+    # lineage control (kept from the round-join form): sims derives
+    # from cands, so without the lazy checkpoint the cogroup would
+    # (a) recompute the index-probe subtree three times (cands side
+    # + both sims sides) and (b) trip the ambiguous-self-join check.
+    cands = cands.localCheckpoint(eager=False)
     nv = emb.select(
         "vec_id", S.l2_normalize(F.col("embedding")).alias("nv")
     )
@@ -3363,74 +3387,104 @@ def search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nv.select(F.col("vec_id").alias("id_b"),
                         F.col("nv").alias("nv_b")), "id_b")
         .select(
-            "query_id", "id_a", "id_b",
+            # renamed key: cands and sims share lineage, and a
+            # cogroup whose two sides group on the SAME attribute id
+            # trips Spark's ambiguous-self-join check
+            F.col("query_id").alias("sq"), "id_a", "id_b",
             F.round(S.pair_dot(F.col("nv_a"), F.col("nv_b")), 6)
             .alias("sim"),
         )
     )
-    # lineage control: every greedy round references cands/sims and
-    # the prior selected set — without checkpoints the plan re-expands
-    # the index-probe subtree EXPONENTIALLY per round (measured 402
-    # copies of the probe UDF in the final plan for 48 candidate
-    # rows). Lazy localCheckpoints make each a leaf computed once.
-    cands = cands.localCheckpoint(eager=False)
-    sims = sims.localCheckpoint(eager=False)
     lam = float(MMR_LAMBDA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("mmr"), F.asc("neighbor_id")
-    )
-    # round 1: pure relevance argmax
+    one_minus_lam = 1.0 - lam
+    kk = MMR_K
+
+    # All MMR_K greedy rounds in one pass per query group. The
+    # arithmetic is the EXACT IEEE sequence of the former per-round
+    # DataFrame plan: operands are the 6-dp-rounded rel/sim doubles,
+    # round 1 scores lam*rel, later rounds lam*rel - (1-lam)*max(sim
+    # over selected) with (1-lam) pre-computed in Python exactly as
+    # the old F.lit(1.0 - lam) literal was; the argmax tie-breaks
+    # (mmr desc, neighbor_id asc) replay the old row_number window's
+    # total order. A candidate with NO sim row against any selected
+    # row is excluded from that round's pick pool — the old inner
+    # join's behavior, mirrored so the rewrite is row-identical even
+    # on a pathological sims relation.
+    def _mmr_rounds(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "neighbor_id": [], "mmr": []}
+        ).astype(
+            {
+                "query_id": np.int64,
+                "rank": np.int32,
+                "neighbor_id": np.int64,
+                "mmr": np.float64,
+            }
+        )
+        if not len(cpdf):
+            return empty
+        sim = {
+            (a, b): s
+            for a, b, s in zip(
+                spdf["id_a"].to_numpy(),
+                spdf["id_b"].to_numpy(),
+                spdf["sim"].to_numpy(),
+            )
+        }
+        qid = int(cpdf["query_id"].iloc[0])
+        rel = {
+            int(n): float(r)
+            for n, r in zip(
+                cpdf["neighbor_id"].to_numpy(), cpdf["rel"].to_numpy()
+            )
+        }
+        remaining = set(rel)
+        selected: list[int] = []
+        out_rank, out_id, out_mmr = [], [], []
+        for step in range(1, kk + 1):
+            best_id, best_mmr = None, None
+            for c in remaining:
+                if step == 1:
+                    mmr = lam * rel[c]
+                else:
+                    ms = None
+                    for s in selected:
+                        v = sim.get((c, s))
+                        if v is not None and (ms is None or v > ms):
+                            ms = v
+                    if ms is None:  # old inner join: drop this round
+                        continue
+                    mmr = lam * rel[c] - one_minus_lam * ms
+                if (
+                    best_mmr is None
+                    or mmr > best_mmr
+                    or (mmr == best_mmr and c < best_id)
+                ):
+                    best_id, best_mmr = c, mmr
+            if best_id is None:
+                break
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out_rank.append(step)
+            out_id.append(best_id)
+            out_mmr.append(best_mmr)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(out_rank), qid, dtype=np.int64),
+                "rank": np.asarray(out_rank, dtype=np.int32),
+                "neighbor_id": np.asarray(out_id, dtype=np.int64),
+                "mmr": np.asarray(out_mmr, dtype=np.float64),
+            }
+        )
+
     selected = (
-        cands.withColumn("mmr", F.lit(lam) * F.col("rel"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("query_id", "neighbor_id", F.lit(1).alias("rank"),
-                "mmr")
+        cands.groupby("query_id")
+        .cogroup(sims.groupby("sq"))
+        .applyInPandas(
+            _mmr_rounds,
+            schema="query_id long, rank int, neighbor_id long, mmr double",
+        )
     )
-    for step in range(2, MMR_K + 1):
-        remaining = cands.join(
-            selected.select(
-                F.col("query_id").alias("q_s"),
-                F.col("neighbor_id").alias("sel_id"),
-            ),
-            (F.col("query_id") == F.col("q_s"))
-            & (F.col("neighbor_id") == F.col("sel_id")),
-            "left_anti",
-        )
-        maxsim = (
-            remaining.join(
-                selected.select(
-                    F.col("query_id").alias("query_id"),
-                    F.col("neighbor_id").alias("id_b"),
-                ),
-                "query_id",
-            )
-            .join(
-                sims.select(
-                    "query_id",
-                    F.col("id_a").alias("neighbor_id"),
-                    "id_b",
-                    "sim",
-                ),
-                ["query_id", "neighbor_id", "id_b"],
-            )
-            .groupBy("query_id", "neighbor_id", "rel")
-            .agg(F.max("sim").alias("ms"))
-        )
-        pick = (
-            maxsim.withColumn(
-                "mmr",
-                F.lit(lam) * F.col("rel")
-                - F.lit(1.0 - lam) * F.col("ms"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("query_id", "neighbor_id",
-                    F.lit(step).alias("rank"), "mmr")
-        )
-        selected = selected.unionByName(pick).localCheckpoint(
-            eager=False
-        )
     # scale 7, not 6: with 6-dp rel/ms operands the true mmr is
     # EXACTLY an integer/1e7 (0.7*rel - 0.3*ms), so 7-dp rounding
     # recovers the exact decimal on both engines, while 6-dp sits on
@@ -5738,8 +5792,12 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routine scale probe can never accidentally run the full
     # corpus through it. Production path: graph_label_prop_indexed.
     emb = emb.where(F.col("vec_id") < LP_YARDSTICK_CAP)
+    # corpus-as-queries: both sides are the same frame — one count
+    # sizes both chunk axes (saves a second probe job, guide §1.4)
+    n = emb.count()
     edges = S.brute_force_topk(
-        emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding"
+        emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding",
+        n_q_hint=n, n_c_hint=n,
     ).select(F.col("query_id").alias("dst"), F.col("neighbor_id").alias("src"))
     truth = emb.select("vec_id", F.col("label").alias("true_label"))
     return _lp_propagate(truth, edges)
@@ -6111,9 +6169,9 @@ def ann_rp_candidates(
         "vec_id", _rp_project("embedding").alias("embedding")
     )
     pq = proj.where(F.col("vec_id") < ANN_N_QUERIES)
-    return S.brute_force_topk(pq, proj, k=k).select(
-        "query_id", "neighbor_id"
-    )
+    return S.brute_force_topk(
+        pq, proj, k=k, n_q_hint=ANN_N_QUERIES
+    ).select("query_id", "neighbor_id")
 
 
 def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6772,6 +6830,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         n_probe=IVF_KNOBS["n_clusters"],
         allowed_ids=allowed,
+        n_queries_hint=ANN_N_QUERIES,
     ).orderBy("query_id", "rank")
 
 
@@ -6809,6 +6868,7 @@ def ann_filtered_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=ANN_K,
         rerank_factor=rf,
         allowed_ids=allowed,
+        n_queries_hint=ANN_N_QUERIES,
     ).orderBy("query_id", "rank")
 
 
@@ -7540,8 +7600,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     index. See ``_pagerank`` for the exact fixed-point arithmetic
     contract."""
     emb = _emb(spark, sf_dir).where(F.col("vec_id") < LP_YARDSTICK_CAP)
+    # one count sizes both chunk axes of the corpus-as-queries build
+    n = emb.count()
     edges = S.brute_force_topk(
-        emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding"
+        emb, emb, k=LP_K, id_col="vec_id", vec_col="embedding",
+        n_q_hint=n, n_c_hint=n,
     ).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).persist()
