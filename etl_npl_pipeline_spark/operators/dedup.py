@@ -277,8 +277,15 @@ def jaccard_pairs(
     # At corpus scale the capped table is ~n_docs x shingles rows of
     # (id, hash) — the same thing the shuffle already spills.
     sh = sh.localCheckpoint(eager=False)
-    # doc sizes count the full (capped) universe, including df=1
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # doc sizes count the full (capped) universe, including df=1.
+    # |docs|-row frame with TWO broadcast consumers (sa, sb): its own
+    # checkpoint stops each from re-aggregating the posting
+    # checkpoint (r13, the containment_pairs fix)
+    sizes = (
+        sh.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     # df=1 shingles can never produce a pair — drop them from the
     # join sides only (semantics unchanged, posting lists shrink)
     joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")

@@ -711,11 +711,19 @@ def stream_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the materialized base view + the one-time dim-backfill delta
     j(a, b).write.parquet(f"{tmp}/state")
     j(a, F.broadcast(db)).write.parquet(f"{tmp}/dim_backfill")
-    # fact tail re-sharded into 4 files => 4 real micro-batches
-    for i in range(4):
-        da.where(F.col("o_orderkey") % 4 == i).coalesce(1).write.parquet(
-            f"{tmp}/in/s={i}"
-        )
+    # fact tail re-sharded into 4 files => 4 real micro-batches.
+    # ONE partitioned write instead of 4 filtered writes (r13): the
+    # loop form scanned the orders tail four times and paid four
+    # write commits; hash-partitioning the slice key into 4 tasks
+    # lands each slice key in exactly one task, so every s=i dir
+    # still holds exactly one data file and the drain still sees 4
+    # single-file micro-batches.
+    (
+        da.withColumn("s", F.col("o_orderkey") % 4)
+        .repartition(4, "s")
+        .write.partitionBy("s")
+        .parquet(f"{tmp}/in")
+    )
     stream = (
         spark.readStream.schema(
             "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
@@ -733,13 +741,18 @@ def stream_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(f"{tmp}/deltas/b={batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    from etl_npl_pipeline_spark.streaming.events import drain_confs
+
+    # one-shot drain: per-micro-batch codegen never amortizes (ST15
+    # pattern, r13)
+    with drain_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     view = (
         spark.read.parquet(f"{tmp}/state")
         .unionByName(spark.read.parquet(f"{tmp}/dim_backfill"))

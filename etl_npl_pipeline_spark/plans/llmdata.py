@@ -1339,7 +1339,10 @@ def ann_compacted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < ANN_N_QUERIES)
     full_probe = IVF_KNOBS["n_clusters"]
     pre_schema = "query_id long, rank int, neighbor_id long, cos_sim double"
-    pre = spark.createDataFrame(
+    from etl_npl_pipeline_spark.functions.localrel import small_report_df
+
+    pre = small_report_df(
+        spark,
         [
             tuple(r)
             for r in ivf_query(
@@ -3622,14 +3625,18 @@ def text_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _qp_feature_frame(docs: DataFrame) -> DataFrame:
+def _qp_feature_frame(
+    docs: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(f0..f4, y) integer feature/target frame shared by the batch
-    and incremental probe contracts."""
+    and incremental probe contracts. ``extra`` columns pass through
+    untouched (grouping keys for per-batch moment aggregation)."""
     feats = T.quality_features("text")
     n_digits = F.length("text") - F.length(
         F.regexp_replace("text", "[0-9]", "")
     )
     return docs.select(
+        *[F.col(c) for c in extra],
         F.lit(1).cast("long").alias("f0"),
         feats["n_words"].cast("long").alias("f1"),
         feats["stop_hits"].cast("long").alias("f2"),
@@ -3645,11 +3652,7 @@ def _qp_feature_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _qp_moments(d: DataFrame) -> dict:
-    """Exact-BIGINT sufficient statistics of a feature frame — the
-    additive model state (moments of disjoint batches SUM to the
-    full-corpus moments exactly, the property the incremental
-    contract pins)."""
+def _qp_agg_exprs() -> list:
     aggs = []
     for i in range(5):
         for j in range(i, 5):
@@ -3660,7 +3663,15 @@ def _qp_moments(d: DataFrame) -> dict:
         aggs.append(F.sum(F.col(f"f{i}") * F.col("y")).alias(f"b{i}"))
     aggs.append(F.sum(F.col("y") * F.col("y")).alias("ysq"))
     aggs.append(F.count(F.lit(1)).alias("n"))
-    row = d.agg(*aggs).collect()[0]
+    return aggs
+
+
+def _qp_moments(d: DataFrame) -> dict:
+    """Exact-BIGINT sufficient statistics of a feature frame — the
+    additive model state (moments of disjoint batches SUM to the
+    full-corpus moments exactly, the property the incremental
+    contract pins)."""
+    row = d.agg(*_qp_agg_exprs()).collect()[0]
     out = {k: (row[k] or 0) for k in row.asDict()}
     return out
 
@@ -3709,10 +3720,12 @@ def _qp_fit(spark: SparkSession, mom: dict) -> DataFrame:
             quad = quad + w[i] * m[i][j] * w[j]
     mse = _qp_rnd(yy - 2.0 * dot_wb + quad, 1e6)
 
+    from etl_npl_pipeline_spark.functions.localrel import small_report_df
+
     rows = [(QP_TERMS[j], w[j]) for j in range(5)]
     rows.append(("train_mse", mse))
-    return spark.createDataFrame(
-        rows, "term string, value double"
+    return small_report_df(
+        spark, rows, "term string, value double"
     ).orderBy("term")
 
 
@@ -3828,17 +3841,28 @@ def text_quality_probe_incremental(
     full retrain (associativity of integer addition; the T23
     agg_incremental doctrine applied to model training). Here the
     corpus arrives as the doc_id-parity halves; each half's moments
-    come from its own one-pass aggregate and the fit runs on their
-    sum. Oracle = the full-corpus probe SQL — incremental == batch
-    IS the contract."""
+    come from its own aggregation GROUP (one grouped pass computes
+    both halves' statistics — r13: the former two filtered
+    one-pass aggregates scanned the corpus twice for the same
+    per-half numbers) and the fit runs on their driver-side sum.
+    Oracle = the full-corpus probe SQL — incremental == batch IS
+    the contract."""
     docs = _docs(spark, sf_dir)
-    half_a = _qp_moments(
-        _qp_feature_frame(docs.where(F.col("doc_id") % 2 == 0))
+    # parity key travels NEXT to the features: one scan, one grouped
+    # aggregate, one row of exact moments per half
+    feats = _qp_feature_frame(
+        docs.withColumn("_k", F.col("doc_id") % 2), extra=("_k",)
     )
-    half_b = _qp_moments(
-        _qp_feature_frame(docs.where(F.col("doc_id") % 2 == 1))
-    )
-    return _qp_fit(spark, _qp_add_moments(half_a, half_b))
+    rows = feats.groupBy("_k").agg(*_qp_agg_exprs()).collect()
+    halves = [
+        {k: (r[k] or 0) for k in r.asDict() if k != "_k"} for r in rows
+    ]
+    if not halves:
+        return _qp_fit(spark, _qp_moments(_qp_feature_frame(docs)))
+    acc = halves[0]
+    for h in halves[1:]:
+        acc = _qp_add_moments(acc, h)
+    return _qp_fit(spark, acc)
 
 
 TEXT_QUALITY_PROBE_INCREMENTAL_SQL = TEXT_QUALITY_PROBE_SQL
@@ -3881,16 +3905,21 @@ def stream_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # own slot instead of double-adding
         per_batch[int(batch_id)] = _qp_moments(bdf)
 
-    q = (
-        feats.writeStream.foreachBatch(_fold)
-        .option(
-            "checkpointLocation",
-            _os.path.join(src_dir, "_ckpt"),
+    from etl_npl_pipeline_spark.streaming.events import drain_confs
+
+    # one-shot drain: codegen never amortizes over 4 single-run
+    # micro-batch plans (the run_stream_to_memory doctrine, r13)
+    with drain_confs(spark):
+        q = (
+            feats.writeStream.foreachBatch(_fold)
+            .option(
+                "checkpointLocation",
+                _os.path.join(src_dir, "_ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+        q.awaitTermination(600)
     if not per_batch:
         return spark.createDataFrame([], "term string, value double")
     mids = sorted(per_batch)
@@ -4877,8 +4906,10 @@ def text_lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 200)
         .select("lang", "text")
     )
-    planted = spark.createDataFrame(
-        PLANTED_LANG_DOCS, schema="lang string, text string"
+    from etl_npl_pipeline_spark.functions.localrel import small_report_df
+
+    planted = small_report_df(
+        spark, PLANTED_LANG_DOCS, "lang string, text string"
     )
     return (
         T.with_lang_id(docs.unionByName(planted), "text", out="predicted")
@@ -4969,12 +5000,15 @@ def text_gopher_multiscript(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < 60)
         .select("doc_id", "text")
     )
-    planted = spark.createDataFrame(
+    from etl_npl_pipeline_spark.functions.localrel import small_report_df
+
+    planted = small_report_df(
+        spark,
         [
             (GOPHER_MS_PLANT_BASE + i, text)
             for i, (_lang, text) in enumerate(PLANTED_LANG_DOCS)
         ],
-        schema="doc_id long, text string",
+        "doc_id long, text string",
     )
     staged = T.with_lang_id(
         docs.unionByName(planted), "text", out="predicted"
@@ -7025,8 +7059,12 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(kk)
             for d in range(dims)
         ]
-        return spark.createDataFrame(
-            out, "k long, dim long, c long, n_k long"
+        from etl_npl_pipeline_spark.functions.localrel import (
+            small_report_df,
+        )
+
+        return small_report_df(
+            spark, out, "k long, dim long, c long, n_k long"
         ).orderBy("k", "dim")
     finally:
         xq.unpersist()
@@ -7329,8 +7367,10 @@ def _dm_report(spark: SparkSession, mom: dict) -> DataFrame:
             _qp_rnd(mu_c, 1e6),
             _qp_rnd(z, 1e6) if math.isfinite(z) else z,
         ))
-    return spark.createDataFrame(
-        rows,
+    from etl_npl_pipeline_spark.functions.localrel import small_report_df
+
+    return small_report_df(
+        spark, rows,
         "dim long, mu_ref double, mu_cand double, drift_z double",
     ).orderBy("dim")
 
@@ -7372,13 +7412,17 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _fold(bdf, batch_id: int) -> None:
         per_batch[int(batch_id)] = _dm_moments(bdf)
 
-    q = (
-        xq.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", _os.path.join(src_dir, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    from etl_npl_pipeline_spark.streaming.events import drain_confs
+
+    # one-shot drain: skip per-micro-batch codegen (ST15 pattern)
+    with drain_confs(spark):
+        q = (
+            xq.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", _os.path.join(src_dir, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
     acc: dict = {}
     for b in sorted(per_batch):
         acc = _dm_add(acc, per_batch[b])

@@ -291,9 +291,16 @@ def profile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
         F.count_distinct("user_id").alias("eu"),
         F.approx_percentile("value", 0.5, 10_000).alias("ap50"),
-        F.expr("percentile(value, 0.45D)").alias("p45"),
-        F.expr("percentile(value, 0.55D)").alias("p55"),
+        # ONE exact-percentile aggregate for both brackets: each
+        # percentile() call buffers every group value independently
+        # (TypedImperativeAggregate), so the array form halves the
+        # exact-side buffer build + serialization (r13)
+        F.expr("percentile(value, array(0.45D, 0.55D))").alias("pb"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type", "au", "eu", "ap50", "n",
+        F.col("pb").getItem(0).alias("p45"),
+        F.col("pb").getItem(1).alias("p55"),
     )
     users_ok = F.abs(F.col("au") - F.col("eu")) <= F.greatest(
         F.ceil(F.col("eu") * 0.05), F.lit(2)

@@ -312,6 +312,41 @@ DRAIN_PROGRESS: dict[str, dict] = {}
 PROGRESS_BUFFER = 10_000
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def drain_confs(spark: SparkSession, state_partitions: int = 8):
+    """Scoped session confs for a ONE-SHOT availableNow drain — the
+    discipline run_stream_to_memory/run_stream_to_dir apply inline,
+    factored out so foreachBatch-style drains (ST15/ST16/ST17) get
+    the same treatment:
+
+    - whole-stage codegen OFF: a bounded drain runs each micro-batch
+      plan ONCE, so janino compilation never amortizes and dominates
+      the drain wall-clock (measured at sf0.1: ~1.25 s interpreted
+      vs 1.5-3.4 s compiled, identical results). Long-lived
+      production streams keep codegen on — the pin is scoped to the
+      drain and restored after.
+    - shuffle partitions pinned small: stateful queries open/commit
+      one state-store partition per shuffle partition per batch, and
+      even stateless foreachBatch aggregations plan their exchanges
+      at query start from this conf. On a real cluster size it to
+      ingest parallelism instead.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+
+
 def _progress_summary(q, output_mode: str) -> dict:
     import json as _json
 
