@@ -238,6 +238,57 @@ def _compact(v: float) -> float:
 PLANT_BASE = 5_000_000
 
 
+# Queries whose wall-clock tracks the CPython/Arrow probe rather than
+# the shuffle probe: streaming drains (per-micro-batch Python + state
+# plumbing), pandas/Arrow-UDF hot paths, Python data sources, the
+# pandas-on-Spark bridge, and the driver-looped BPE trainer. The r13
+# verifying bench measured these swinging 1.3-1.9x on UNCHANGED code
+# while the shuffle probe improved 15% (r13_gate_adjudication.json) —
+# the shuffle-only machine scale read that as four confirmed
+# regressions and floors were loosened in lieu of evidence. Scaling
+# this tier by py_1thread (VERDICT r13 #3) absorbs the drift; floors
+# stay frozen.
+_PY_BOUND_PREFIXES = (
+    "stream_",
+    "mm_",
+    "src_rest",
+    "src_pyds",
+    "src_excel",
+    "vocab_bpe_train",
+    "vocab_bpe_encode",
+    "sql_udtf",
+    "ann_",  # pandas-UDF scoring chunks in every serving path
+)
+_PY_BOUND_EXTRA = {
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_semantic",
+    "dedup_embedding",
+    "dedup_image_phash",
+    "dedup_cross_source",
+    "dedup_incremental",
+    "search_mmr",
+    "emb_kmeans",
+    "emb_pca",
+    "compat_pandas_quarterly",
+    "pipeline_full_read",
+    "text_lm_score",
+    "graph_label_prop",
+    "graph_label_prop_indexed",
+    "graph_pagerank",
+    "graph_pagerank_indexed",
+    "rag_retrieve",
+    "search_hybrid_rrf",
+    "ann_rp_topk",
+    "ann_rp_rerank",
+    "dedup_editdistance",
+}
+
+
+def _py_latency_bound(name: str) -> bool:
+    return name.startswith(_PY_BOUND_PREFIXES) or name in _PY_BOUND_EXTRA
+
+
 def _dedup_quality(spark, sf_dir: str) -> dict:
     """Planted-pair precision/recall for dedup_simhash and
     dedup_semantic (the rows-only dedup family): deterministic
@@ -362,6 +413,23 @@ def main() -> None:
     spark = get_spark("etl-npl-pipeline-bench")
     queries = entrymod.queries()
 
+    # r14 (VERDICT r13 #2a): start every bench run with NO persisted
+    # ANN index — the warehouse adoption path meant the timed
+    # ann_index_build read 0.029 MB in 0.57 s (the build it claims to
+    # measure never ran; cross-run precomputation keyed on the
+    # testdata). Deleting ann_idx_* here makes the COLD pass pay the
+    # genuine train+materialize cost once per run; the steady pass
+    # and the serving tier then adopt the fresh artifacts — the
+    # disclosed index-is-an-artifact lifecycle, now anchored inside
+    # the run that reports it.
+    import glob as _glob
+    import shutil as _shutil
+
+    from etl_npl_pipeline_spark.operators.ann_index import _warehouse_dir
+
+    for d in _glob.glob(os.path.join(_warehouse_dir(spark), "ann_idx_*")):
+        _shutil.rmtree(d, ignore_errors=True)
+
     # Warm the JVM/codegen path once on a trivial plan so query #1
     # doesn't pay session startup, and spin up the Python/Arrow
     # worker pool once on a 10-row pandas_udf so the first
@@ -446,9 +514,15 @@ def main() -> None:
         for name in HEADLINE:
             fn = queries[name]
             # noop write = full materialization of every output column
-            # steady pass is metered (AppStatusStore stage deltas):
-            # shuffle/scan/spill BYTES are plan-deterministic, the
-            # host-independent companion to the wall-time numbers
+            # COLD pass is metered (AppStatusStore stage deltas):
+            # shuffle/scan/spill BYTES are plan-deterministic — cold
+            # and steady read identical bytes for every pure query —
+            # and the cold pass is where the lifecycle queries
+            # (ann_index_build/refresh, now starting from a cleared
+            # warehouse) do their real work, so metering cold makes
+            # the build's input_mb ≈ the embeddings table instead of
+            # the old 0.029 MB adopted-manifest read (r14, VERDICT
+            # r13 #2a).
             m = run_with_metrics(
                 spark,
                 lambda: fn(spark, sf_dir)
@@ -457,7 +531,7 @@ def main() -> None:
                 .save(),
             )
             dest[name] = m["wall_sec"]
-            if dest is timings:
+            if dest is cold:
                 phys[name] = {
                     "shuffle_mb": round(m["shuffle_write_bytes"] / 1e6, 3),
                     "input_mb": round(m["input_bytes"] / 1e6, 3),
@@ -557,6 +631,7 @@ def main() -> None:
     sf1_correct = _load_sweep("sf1_correctness.json")
     sf1_recall_grid = _load_sweep("sf1_recall_grid.json")
     adversarial = _load_sweep("adversarial_r7.json")
+    events_pin = _load_sweep("events_pin_probe.json")
 
     # StreamingQueryProgress summaries captured by every drain this
     # run (streaming/events.DRAIN_PROGRESS): batches, input rows,
@@ -621,6 +696,10 @@ def main() -> None:
         detail["sf1_recall_grid"] = sf1_recall_grid
     if adversarial is not None:
         detail["adversarial_program"] = adversarial
+    if events_pin is not None:
+        # the measured value of the events cache_table pin (VERDICT
+        # r13 #10): the pin stays, priced instead of implicit
+        detail["events_pin_probe"] = events_pin
     detail["streaming_progress"] = dict(DRAIN_PROGRESS)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -656,7 +735,15 @@ def main() -> None:
                 ]
                 for k, v in dedup_quality.items()
             },
-            "cal": calibration["shuffle_sec"],
+            # all three probes (r14, VERDICT r13 #2b): the r13
+            # host-drift story was unverifiable because the line
+            # carried only the shuffle probe while ~20 Python-bound
+            # paths track py_1thread. j/p/s = jvm/python/shuffle sec.
+            "cal": {
+                "j": calibration["jvm_1thread_sec"],
+                "p": calibration["py_1thread_sec"],
+                "s": calibration["shuffle_sec"],
+            },
             "sf": sf_val,
         }
         if omitted:
@@ -710,13 +797,33 @@ def main() -> None:
         # neighbors) don't move the streaming drains' trigger-wait
         # floors, so sub-1.0 scaling measured 5 false positives in
         # one pass.
-        base_cal = (base_doc.get("calibration") or {}).get("shuffle_sec")
-        machine_scale = 1.0
-        if base_cal:
-            machine_scale = min(
+        base_cal_sh = (base_doc.get("calibration") or {}).get("shuffle_sec")
+        base_cal_py = (base_doc.get("calibration") or {}).get(
+            "py_1thread_sec"
+        )
+        scale_sh = 1.0
+        if base_cal_sh:
+            scale_sh = min(
                 3.0,
-                max(1.0, calibration["shuffle_sec"] / base_cal),
+                max(1.0, calibration["shuffle_sec"] / base_cal_sh),
             )
+        # r14 (VERDICT r13 #3): Python-latency-bound queries scale by
+        # the CPython probe, not the shuffle probe. The r13 verifying
+        # bench measured the py probe swinging 0.195 -> 0.296 (1.52x)
+        # while the shuffle probe IMPROVED — and the shuffle-only
+        # scale then "confirmed" four untouched pandas/drain paths,
+        # forcing floor loosenings. Per-query probe selection absorbs
+        # that drift without touching the floors.
+        scale_py = scale_sh
+        if base_cal_py:
+            scale_py = min(
+                3.0,
+                max(1.0, calibration["py_1thread_sec"] / base_cal_py),
+            )
+
+        def _mscale(k: str) -> float:
+            return scale_py if _py_latency_bound(k) else scale_sh
+
         # Gate on the BEST of the two passes: a transient system
         # noise spike (measured: 0.9s queries reading 4s+ in one
         # pass, clean in isolation) rarely hits both passes, so the
@@ -726,7 +833,7 @@ def main() -> None:
             for k in timings
             if base.get(k, 0) >= 0.5
             and min(timings[k], cold[k])
-            > GATE_RATIO * base[k] * machine_scale + GATE_SLACK_SEC
+            > GATE_RATIO * base[k] * _mscale(k) + GATE_SLACK_SEC
         }
         # Isolation re-measure before flagging a SHORT query: the
         # full-suite passes run 131 queries back to back, and
@@ -762,7 +869,7 @@ def main() -> None:
                 ).save()
                 iso_runs.append(round(time.time() - t0, 3))
             iso = min(iso_runs)
-            cleared = iso <= GATE_RATIO * base[k] * machine_scale + GATE_SLACK_SEC
+            cleared = iso <= GATE_RATIO * base[k] * _mscale(k) + GATE_SLACK_SEC
             adjudications[k] = {
                 "suite_sec": violators[k]["now"],
                 "isolated_secs": iso_runs,
@@ -778,7 +885,10 @@ def main() -> None:
             for k, v in violators.items()
             if v.get("status") != "noise_cleared"
         }
-        detail["gate_machine_scale"] = round(machine_scale, 3)
+        detail["gate_machine_scale"] = {
+            "shuffle": round(scale_sh, 3),
+            "py": round(scale_py, 3),
+        }
         detail["gate_adjudications"] = adjudications
         detail["regressions_vs_self_baseline"] = violators
         with open(

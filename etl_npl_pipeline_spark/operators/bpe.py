@@ -36,10 +36,57 @@ Spark shape:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 SEP = "\x01"
+
+
+@contextmanager
+def _round_confs(spark: SparkSession, shuffle_partitions: int = 4):
+    """Scoped session confs for the per-round jobs of the training
+    loop (r14; the drain_confs doctrine applied to the trainer):
+
+    - whole-stage codegen OFF: every round plans a FRESH query (the
+      merge literals are embedded in the generated code), so janino
+      compiles two new stages per round and the compile never
+      amortizes — same argument as the one-shot streaming drains.
+      Measured at sf0.1: ~0.17 s/round compiled vs ~0.07 s
+      interpreted, identical results. A long-lived trainer variant
+      that re-executes one plan many times should keep codegen on.
+    - shuffle partitions pinned small: the per-round exchange carries
+      the DISTINCT SYMBOL-PAIR table — bounded by the (Zipf-bounded)
+      vocab, not the corpus — so corpus scale never needs the batch
+      partition count here. The initial corpus aggregation runs
+      BEFORE this scope opens, at the session's own setting.
+
+    Both confs are restored on exit; the returned merges/state
+    frames are consumed outside the scope at session settings.
+    """
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        # AQE OFF for the round jobs (r14): each round's statement is
+        # 3 fixed stages over a small vocab-bounded frame —
+        # nothing to re-plan — but AQE executes it as 3 SEPARATE jobs
+        # with a driver re-planning pause between each (measured: 162
+        # jobs / 50 rounds, inter-job gaps > job wall). One job per
+        # round with the static 8-partition layout halves the
+        # per-round constant; batch-scale queries outside this scope
+        # keep AQE.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def _initial_segmentation(word_col: F.Column) -> F.Column:
@@ -48,26 +95,38 @@ def _initial_segmentation(word_col: F.Column) -> F.Column:
     return F.regexp_replace(word_col, "(.)", f"{SEP}$1{SEP}")
 
 
-def _pair_counts(vocab: DataFrame) -> DataFrame:
-    """Adjacent symbol-pair counts over the segmented vocab,
-    weighted by word frequency. All codegen builtins."""
-    syms = vocab.select(
-        "freq",
-        F.split(
-            F.expr("substring(s, 2, length(s) - 2)"), SEP + SEP
-        ).alias("syms"),
-    ).where(F.size("syms") >= 2)
-    pairs = syms.select(
-        "freq",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(syms) - 1),"
-                " i -> struct(element_at(syms, i) AS l,"
-                "             element_at(syms, i + 1) AS r))"
+def _best_pair_sql(view: str) -> str:
+    """One STATIC SQL statement per training round (r14, guide §1.2:
+    the per-round constant IS the cost at this vocab size): pair
+    counting + greedy argmax fused into a single statement whose text
+    never changes across rounds — one py4j round trip instead of the
+    ~30 DataFrame-API calls the per-round plan construction used to
+    pay (measured ~47 ms/round of driver time at 50 rounds).
+
+    The argmax is ``min(struct(-n, l, r))`` — field-by-field struct
+    comparison reproduces ``ORDER BY n DESC, l ASC, r ASC LIMIT 1``
+    exactly (string comparison is binary in both), as ONE partial
+    aggregation + single-row reduce instead of a sort."""
+    return f"""
+        SELECT min(struct(-n AS nn, l, r)) AS m FROM (
+            SELECT p.l AS l, p.r AS r, sum(freq) AS n FROM (
+                SELECT freq,
+                       explode(transform(
+                           sequence(1, size(syms) - 1),
+                           i -> struct(element_at(syms, i) AS l,
+                                       element_at(syms, i + 1) AS r)
+                       )) AS p
+                FROM (
+                    SELECT freq,
+                           split(substring(s, 2, length(s) - 2),
+                                 '{SEP}{SEP}') AS syms
+                    FROM {view}
+                )
+                WHERE size(syms) >= 2
             )
-        ).alias("p"),
-    )
-    return pairs.groupBy("p.l", "p.r").agg(F.sum("freq").alias("n"))
+            GROUP BY p.l, p.r
+        )
+    """
 
 
 def bpe_train(
@@ -88,43 +147,64 @@ def bpe_train(
     available for free at the end of training (the apply pass a
     separate ``bpe_apply`` call would otherwise recompute).
 
-    Cost model: each round is ONE Spark job (pair agg + TakeOrdered
-    + a 1-row collect), so wall-clock is latency-bound at small
-    vocab — measured ~0.25 s/round at sf≤0.1 regardless of data
-    (the job floor: fresh-plan Catalyst analysis + scheduling), i.e.
-    ~13 s for 50 merges. That constant does NOT grow with corpus
-    size: the per-round data volume is the DISTINCT-WORD table, so
-    at 100 TB the same 50 rounds cost 50 × (one small shuffle over
-    the vocab) — the iterative-algorithm shape MLlib k-means has,
-    not a scan-per-round. The corpus is read exactly once.
+    Cost model: each round is ONE Spark job — a single static SQL
+    statement (adjacent-pair count + min-struct argmax + a 1-row
+    collect; see _best_pair_sql) — so wall-clock is latency-bound at
+    small vocab: fresh-plan Catalyst analysis + scheduling, with the
+    per-round constant cut by the r14 restructure (static SQL text
+    instead of ~30 py4j plan-building calls; interpreted eval via
+    _round_confs since a run-once plan never amortizes codegen;
+    4-partition working frame). That constant does NOT grow with
+    corpus size: the per-round data volume is the DISTINCT-WORD
+    table, so at 100 TB the same 50 rounds cost 50 × (one small
+    shuffle over the vocab) — the iterative-algorithm shape MLlib
+    k-means has, not a scan-per-round. The corpus is read exactly
+    once.
     """
-    vocab = word_freq.select(
-        _initial_segmentation(F.col("w")).alias("s"), F.col("freq")
-    ).localCheckpoint(eager=True)
+    import uuid as _uuid
+
+    # the ONE corpus-scale job (distinct-word agg + segmentation)
+    # runs at session confs; only the vocab-bounded round jobs run
+    # under the scoped loop confs below. coalesce(8): the working
+    # frame is the DISTINCT-WORD table (vocab-bounded, ~10^4-10^6
+    # rows at any corpus scale), and every round launches one stage
+    # over its partitions — 32 near-empty tasks per round was pure
+    # scheduler latency (guide §2.2); 4 matches the round jobs'
+    # scoped shuffle parallelism (width sweep at sf0.1: 8 -> 13.3s,
+    # 4 -> 7.0s, 2 -> 6.9s; production trainers over larger vocabs
+    # pass a wider shuffle_partitions).
+    vocab = (
+        word_freq.select(
+            _initial_segmentation(F.col("w")).alias("s"), F.col("freq")
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
     merges: list[tuple[int, str, str, str, int]] = []
-    for i in range(n_merges):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        l, r, n = best[0]["l"], best[0]["r"], best[0]["n"]
-        merges.append((i + 1, l, r, l + r, int(n)))
-        vocab = vocab.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
-                F.lit(f"{SEP}{l}{r}{SEP}"),
-            ),
-        )
-        if (i + 1) % checkpoint_every == 0:
-            # bound the chained-replace lineage (plan analysis cost
-            # is linear in depth; re-execution would be quadratic)
-            vocab = vocab.localCheckpoint(eager=True)
+    view = f"bpe_vocab_{_uuid.uuid4().hex[:12]}"
+    best_sql = _best_pair_sql(view)
+    with _round_confs(spark):
+        for i in range(n_merges):
+            vocab.createOrReplaceTempView(view)
+            m = spark.sql(best_sql).collect()[0]["m"]
+            if m is None:
+                break
+            l, r, n = m["l"], m["r"], -m["nn"]
+            merges.append((i + 1, l, r, l + r, int(n)))
+            vocab = vocab.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
+                    F.lit(f"{SEP}{l}{r}{SEP}"),
+                ),
+            )
+            if (i + 1) % checkpoint_every == 0:
+                # bound the chained-replace lineage (plan analysis
+                # cost is linear in depth; re-execution would be
+                # quadratic)
+                vocab = vocab.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(view)
     merges_df = spark.createDataFrame(
         merges,
         "rank int, lhs string, rhs string, merged string, pair_count long",

@@ -390,20 +390,36 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     @pandas_udf("long")
     def sim_udf(hs: pd.Series) -> pd.Series:
-        out = np.empty(len(hs), dtype=np.int64)
-        for row_i, lst in enumerate(hs):
-            if len(lst) == 0:
-                out[row_i] = 0
-                continue
-            h = np.asarray(lst, dtype=np.uint64)
-            # bits[i, j] = bit j of hash i → ±1 contributions
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in range(64):
-                if sums[j] > 0:
-                    sig |= np.uint64(1) << np.uint64(j)
-            out[row_i] = np.int64(sig.astype(np.int64))
+        # ONE vectorized pass per batch (r14, guide §4.2): the old
+        # per-document loop paid numpy dispatch ~10x per doc (~40 µs
+        # each — the dominant cost of the signature stage at bench
+        # scale). Flatten every doc's hashes into one array, then per
+        # bit position j: extract bit j of all tokens and segment-sum
+        # with add.reduceat over doc boundaries. Bit j of doc d is
+        # set iff ones_d[j]*2 > n_d (i.e. the signed sum is > 0) —
+        # identical arithmetic to the old formulation. The per-bit
+        # loop (64 iterations) bounds memory at O(tokens) instead of
+        # materializing a tokens×64 matrix.
+        lens = np.fromiter(
+            (len(x) for x in hs), dtype=np.int64, count=len(hs)
+        )
+        out = np.zeros(len(hs), dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.uint64) for x in hs if len(x)]
+        )
+        nonempty = lens > 0
+        ne_lens = lens[nonempty]
+        ne_starts = np.concatenate(([0], np.cumsum(ne_lens)[:-1]))
+        sig = np.zeros(len(ne_lens), dtype=np.uint64)
+        for j in range(64):
+            ones = np.add.reduceat(
+                ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64),
+                ne_starts,
+            )
+            sig |= (2 * ones > ne_lens).astype(np.uint64) << np.uint64(j)
+        out[nonempty] = sig.astype(np.int64)
         return pd.Series(out)
 
     toks = df.select(

@@ -124,7 +124,14 @@ def quarter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both lineitem-derived quarterly series (flowrate + price
     index) in ONE re-aggregation of the segment frame — a single
     consumer, so no diamond-shaped plan and one lineitem scan."""
-    seg = _seg_agg(spark, sf_dir)
+    return _series_from(_seg_agg(spark, sf_dir))
+
+
+def _series_from(seg: DataFrame) -> DataFrame:
+    """quarter_series body over a caller-supplied segment frame, so
+    run_full_pipeline can feed a SHARED (checkpointed) seg to both
+    writes instead of re-running the lineitem join per output
+    (decimal sums re-associate exactly — same values either way)."""
     return seg.groupBy("quarter").agg(
         (
             F.sum("gross_dec").cast("double") / F.sum("total_dec").cast("double")
@@ -173,9 +180,14 @@ def npl_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders-derived macro frame outer-joins on the shared quarter
     key. Output column order mirrors the oracle.
     """
-    series = quarter_series(spark, sf_dir)
+    return _assemble_from(
+        quarter_series(spark, sf_dir), macro_by_quarter(spark, sf_dir)
+    )
+
+
+def _assemble_from(series: DataFrame, macro: DataFrame) -> DataFrame:
     common = merge_chain(
-        [series, macro_by_quarter(spark, sf_dir)],
+        [series, macro],
         on="quarter",
         how="outer",
         broadcast_tail=True,
@@ -204,9 +216,16 @@ def npl_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation sidesteps that). Decimal sums keep the window
     totals bit-identical to the oracle's direct per-quarter sums.
     """
+    return _quarterly_from(
+        _seg_agg(spark, sf_dir), macro_by_quarter(spark, sf_dir)
+    )
+
+
+def _quarterly_from(seg: DataFrame, macro: DataFrame) -> DataFrame:
+    """npl_quarterly body over caller-supplied seg/macro frames (see
+    _series_from — the run_full_pipeline single-scan path)."""
     from pyspark.sql import Window
 
-    seg = _seg_agg(spark, sf_dir)
     w = Window.partitionBy("quarter")
     enriched = seg.select(
         "quarter",
@@ -225,7 +244,6 @@ def npl_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100000.0)
         ).alias("price_index"),
     )
-    macro = macro_by_quarter(spark, sf_dir)
     return (
         enriched.join(F.broadcast(macro), on="quarter", how="outer")
         .withColumn("shock", shock_flag("quarter", SHOCK_START, SHOCK_END))

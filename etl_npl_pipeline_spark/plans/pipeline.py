@@ -33,8 +33,24 @@ def run_full_pipeline(
       one pass instead of a loop of filtered writes)
     - ``common``: the assembled quarterly macro frame
     """
-    quarterly = npl.npl_quarterly(spark, sf_dir)
-    common = npl.npl_assemble(spark, sf_dir)
+    # Both outputs derive from the SAME two aggregates — the
+    # (segment, quarter) decimal-sum frame (one lineitem⋈orders scan)
+    # and the per-quarter orders macro frame. Built independently
+    # (the pre-r14 shape) each write re-ran the full lineitem join:
+    # two scans of the fact table for one pipeline run. A lazy
+    # localCheckpoint on each tiny aggregate (≤ |segments|×|quarters|
+    # rows) makes the first write materialize them and the second
+    # write reuse the persisted blocks — one fact-table pass end to
+    # end (guide §2.4/§6.2). Values are identical by construction:
+    # the declared npl_quarterly/npl_assemble queries build from the
+    # same _seg_agg/_macro expressions, and decimal sums re-associate
+    # exactly.
+    seg = npl._seg_agg(spark, sf_dir).localCheckpoint(eager=False)
+    macro = npl.macro_by_quarter(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    quarterly = npl._quarterly_from(seg, macro)
+    common = npl._assemble_from(npl._series_from(seg), macro)
     out = {}
     out["segments"] = write_segmented(
         quarterly.where(quarterly.segment.isNotNull()),

@@ -29,7 +29,11 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("plan-capture")
     qs = entrymod.queries()
-    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r13")
+    outdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in args:
         fn = qs[name]
