@@ -278,14 +278,15 @@ def jaccard_pairs(
     # (id, hash) — the same thing the shuffle already spills.
     sh = sh.localCheckpoint(eager=False)
     # doc sizes count the full (capped) universe, including df=1.
-    # |docs|-row frame with TWO broadcast consumers (sa, sb): its own
-    # checkpoint stops each from re-aggregating the posting
-    # checkpoint (r13, the containment_pairs fix)
-    sizes = (
-        sh.groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-        .localCheckpoint(eager=False)
-    )
+    # NO checkpoint on this frame (r14, reverting the r13 pin): the
+    # fresh-process A/B convicted it — the lazy checkpoint is a
+    # materialization BARRIER the two broadcast consumers must wait
+    # on serially, while re-aggregating the already-persisted posting
+    # checkpoint is a pipelined in-memory scan that overlaps with the
+    # rest of the plan (measured min-of-3 steady at sf0.1:
+    # dedup_ngram_jaccard 2.01 pre vs 2.36 with the pin,
+    # dedup_components_star 3.40 vs 4.53 — r14_regression_adjudication.json).
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # df=1 shingles can never produce a pair — drop them from the
     # join sides only (semantics unchanged, posting lists shrink)
     joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
@@ -827,13 +828,11 @@ def containment_pairs(
         dfreq = dfreq.where(F.col("df_") <= max_shingle_freq)
     sh = sh.join(dfreq.hint("shuffle_hash"), "shingle")
     sh = sh.localCheckpoint(eager=False)
-    # |docs|-row frame with TWO join consumers (sa, sb): checkpoint
-    # so each does not replay the posting aggregation (r13)
-    sizes = (
-        sh.groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-        .localCheckpoint(eager=False)
-    )
+    # |docs|-row frame with two join consumers — NO checkpoint (r14,
+    # reverting the r13 pin; see jaccard_pairs: the barrier cost
+    # exceeds the pipelined re-aggregation of the posting checkpoint,
+    # adjudicated in r14_regression_adjudication.json)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = sh.where(F.col("df_") >= 2).select("doc", "shingle")
     # shuffle_hash hints on every join touching a POSTING-sized or
     # corpus-sized relation (r13, the sf10 probe find): AQE sees the
@@ -926,16 +925,13 @@ def containment_bottomk_pairs(
         dfreq.select("shingle").hint("shuffle_hash"), "shingle"
     )
     sh = sh.select("doc", "shingle").localCheckpoint(eager=False)
-    # sizes is a |docs|-row frame consumed by THREE joins (est, sa,
-    # sb); without its own checkpoint each consumer re-scans the
-    # posting checkpoint and re-runs the aggregation (r13: 3 of the
-    # plan's posting-relation passes were exactly this — guide §2.4,
-    # share one computation instead of replaying it)
-    sizes = (
-        sh.groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-        .localCheckpoint(eager=False)
-    )
+    # sizes is a |docs|-row frame consumed by three joins — NO
+    # checkpoint (r14, reverting the r13 pin): re-aggregating the
+    # persisted posting checkpoint per consumer is pipelined and
+    # overlaps; the lazy-checkpoint barrier serialized the consumers
+    # (adjudicated: bottomk 3.70 pre vs 4.76 with the r13 pins,
+    # r14_regression_adjudication.json)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
     wdoc = Window.partitionBy("doc").orderBy(
         F.md5("shingle").asc(), F.col("shingle").asc()

@@ -228,11 +228,19 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").alias("p_sum"), F.count(F.lit(1)).alias("p_n")
         )
 
-    partials(li.where(F.col("ship_month") < "1998-06")).write.parquet(
+    # ONE lineitem pass for both sides (r14, guide §6.2): the
+    # base/delta split predicate is on the GROUP KEY (ship_month),
+    # so filtering the monthly partials AFTER the aggregation is
+    # row-identical to aggregating each filtered slice — and the
+    # checkpointed partials frame (≤ |months| rows) feeds both the
+    # state write and the delta merge without rescanning the fact
+    # table.
+    parts = partials(li).localCheckpoint(eager=False)
+    parts.where(F.col("ship_month") < "1998-06").write.parquet(
         f"{_IVM_TMP}/state"
     )
     state = spark.read.parquet(f"{_IVM_TMP}/state")
-    delta = partials(li.where(F.col("ship_month") >= "1998-06"))
+    delta = parts.where(F.col("ship_month") >= "1998-06")
     merged = (
         state.unionByName(delta)
         .groupBy("ship_month")
@@ -289,11 +297,19 @@ def stream_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(_STREAM_IVM_TMP, ignore_errors=True)
     # re-shard into 4 files so the file stream delivers 4 real
-    # micro-batches (one parquet in sf_dir = one batch otherwise)
-    for i in range(4):
-        ev_batch.where(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
-            f"{_STREAM_IVM_TMP}/in/s={i}"
-        )
+    # micro-batches (one parquet in sf_dir = one batch otherwise).
+    # ONE partitioned write instead of 4 filtered writes (r14, the
+    # ST17 fix applied here too): the loop form scanned events four
+    # times and paid four write commits; hash-partitioning the slice
+    # key into 4 tasks lands each slice in exactly one task, so every
+    # s=i dir still holds exactly one data file and the drain still
+    # sees 4 single-file micro-batches.
+    (
+        ev_batch.withColumn("s", F.col("event_id") % 4)
+        .repartition(4, "s")
+        .write.partitionBy("s")
+        .parquet(f"{_STREAM_IVM_TMP}/in")
+    )
     stream = (
         spark.readStream.schema("event_id bigint, event_type string, value double")
         .option("maxFilesPerTrigger", "1")
@@ -734,7 +750,12 @@ def stream_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{tmp}/in")
     )
-    full_dim = b.unionByName(db)
+    # B ∪ ΔB materialized ONCE (r14, guide §2.4): each of the four
+    # micro-batches broadcasts the full dimension, and without the
+    # checkpoint every batch re-ran BOTH customer scans (2 scans x 4
+    # batches). The union is dim-sized (tiny); the first batch pays
+    # one materialization, the rest broadcast the persisted blocks.
+    full_dim = b.unionByName(db).localCheckpoint(eager=False)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         j(batch_df, F.broadcast(full_dim)).write.mode(

@@ -4215,6 +4215,11 @@ def contrastive_pairs_plan(docs: DataFrame) -> DataFrame:
     """Unsorted contrastive pairs (anchor_id, other_id, label)."""
     from pyspark.sql import Window
 
+    # TWO consumers of the jaccard generator (the pos projection and
+    # the broadcast anti-join key frame) — without a checkpoint the
+    # inverted-index self-join runs twice (r14, guide §2.4; the
+    # near-dup pair set is a vanishing fraction of the corpus, so
+    # persisting it is O(pairs)).
     pos_raw = D.jaccard_pairs(
         docs,
         "text",
@@ -4222,7 +4227,7 @@ def contrastive_pairs_plan(docs: DataFrame) -> DataFrame:
         n=3,
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=MAX_SHINGLE_FREQ,
-    )
+    ).localCheckpoint(eager=False)
     pos = pos_raw.select(
         F.col("doc_a").alias("anchor_id"),
         F.col("doc_b").alias("other_id"),

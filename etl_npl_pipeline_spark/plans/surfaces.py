@@ -523,6 +523,18 @@ def sql_udtf_sessionize(
         "user_id", "ts", "event_id"
     )
 
+    # The UDTF rows carry epoch seconds as a JVM-computed DOUBLE
+    # (r14, guide §4.1 — move work across the boundary): the old
+    # rows shipped a timestamp that Python rematerialized as a
+    # datetime and re-converted per row (`row["ts"].timestamp()` —
+    # the dominant per-row cost, and host-timezone-dependent for
+    # naive datetimes). CAST(ts AS DOUBLE) is micros/1e6 in one
+    # correctly-rounded division — bit-identical to CPython's
+    # total_seconds()/timestamp() (same exact integer-micros
+    # dividend, same divisor), so every gap comparison and emitted
+    # first/last epoch is unchanged. Ordering by (e, event_id)
+    # equals (ts, event_id): the cast is monotonic and injective at
+    # micros granularity.
     if split_seconds is None:
 
         @udtf(returnType="user_id bigint, n_sessions int, n_events bigint")
@@ -534,7 +546,7 @@ def sql_udtf_sessionize(
                 self.events = 0
 
             def eval(self, row):
-                ts = row["ts"].timestamp()
+                ts = row["e"]
                 self.uid = row["user_id"]
                 if self.prev is None or ts - self.prev > 300.0:
                     self.sessions += 1
@@ -550,8 +562,9 @@ def sql_udtf_sessionize(
         return spark.sql(
             """
             SELECT * FROM sessionize_udtf(
-                TABLE(udtf_events_v)
-                PARTITION BY user_id ORDER BY (ts, event_id)
+                TABLE(SELECT user_id, CAST(ts AS DOUBLE) AS e, event_id
+                      FROM udtf_events_v)
+                PARTITION BY user_id ORDER BY (e, event_id)
             )
             ORDER BY user_id
             """
@@ -572,7 +585,7 @@ def sql_udtf_sessionize(
             self.events = 0
 
         def eval(self, row):
-            ts = row["ts"].timestamp()
+            ts = row["e"]
             self.uid = row["user_id"]
             if self.first is None:
                 self.first = ts
@@ -592,11 +605,11 @@ def sql_udtf_sessionize(
         f"""
         WITH b AS (
             SELECT * FROM sessionize_bucket_udtf(
-                TABLE(SELECT user_id, ts, event_id,
+                TABLE(SELECT user_id, CAST(ts AS DOUBLE) AS e, event_id,
                              FLOOR(unix_timestamp(ts) / {int(split_seconds)})
                                  AS bucket
                       FROM udtf_events_v)
-                PARTITION BY (user_id, bucket) ORDER BY (ts, event_id)
+                PARTITION BY (user_id, bucket) ORDER BY (e, event_id)
             )
         ),
         m AS (
