@@ -26,6 +26,16 @@ import __spark_entry__ as entrymod  # noqa: E402
 from etl_npl_pipeline_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # Lifecycle FIRST (r14, VERDICT r13 #2a): the warehouse is
+    # cleared at bench start, so whichever query touches the
+    # persisted ANN index first pays the train+materialize cost —
+    # putting build/refresh before every index CONSUMER makes the
+    # timed ann_index_build the query that genuinely builds (its
+    # cold physical profile now reads the embeddings table), and the
+    # serving tier then measures search against the fresh artifact,
+    # exactly the disclosed index-is-an-artifact split.
+    "ann_index_build",
+    "ann_index_refresh",
     # r11 additions: retrieval fusion + JL funnel, PCA, IVM family,
     # CEP/Markov/AB/cohort analytics, stratified sampling, label
     # propagation, line boilerplate, BPE frozen-apply
@@ -134,11 +144,8 @@ HEADLINE = [
     "text_repetition",
     "text_lm_score",
     "text_winnow",
-    # index build runs FIRST so its one-time train/materialize cost
-    # lands on the build query; the ann trio then measures SEARCH
-    # (the lifecycle split the persisted index exists to create)
-    "ann_index_build",
-    "ann_index_refresh",
+    # (build/refresh moved to the head of this list in r14 — see the
+    # lifecycle note at the top; the ann tier below measures SEARCH)
     # r10: build+refresh+compact lifecycle, served full-probe
     "ann_compacted_query",
     "ann_topk",

@@ -310,6 +310,18 @@ def stream_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.partitionBy("s")
         .parquet(f"{_STREAM_IVM_TMP}/in")
     )
+    # A valueless slice emits NO s=i dir under partitionBy (the old
+    # per-slice loop always wrote one file per slice, empty or not),
+    # and with zero data files the drain runs zero micro-batches and
+    # the deltas dir is never created. Backfill missing slices with
+    # an empty single-file dir so the 4-micro-batch drain shape is
+    # input-independent (empty-tables parity: the drain then emits 4
+    # empty deltas, and the refreshed rollup is the empty relation,
+    # same as the batch oracle).
+    _empty_slice = ev_batch.limit(0).coalesce(1)
+    for _i in range(4):
+        if not os.path.exists(f"{_STREAM_IVM_TMP}/in/s={_i}"):
+            _empty_slice.write.parquet(f"{_STREAM_IVM_TMP}/in/s={_i}")
     stream = (
         spark.readStream.schema("event_id bigint, event_type string, value double")
         .option("maxFilesPerTrigger", "1")
@@ -740,6 +752,14 @@ def stream_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.partitionBy("s")
         .parquet(f"{tmp}/in")
     )
+    # backfill valueless slices with an empty single-file dir so the
+    # 4-micro-batch drain shape (and the deltas read-back below) is
+    # input-independent — the ST12 guard, applied here too (the r13
+    # one-write form left this as a documented caveat)
+    _empty_slice = da.limit(0).coalesce(1)
+    for _i in range(4):
+        if not _os.path.exists(f"{tmp}/in/s={_i}"):
+            _empty_slice.write.parquet(f"{tmp}/in/s={_i}")
     stream = (
         spark.readStream.schema(
             "o_orderkey bigint, o_custkey bigint, o_totalprice double,"

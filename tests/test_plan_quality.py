@@ -567,10 +567,13 @@ def test_agg_incremental_never_rescans_base(spark, sf_dir):
     df = ivm.agg_incremental(spark, sf_dir)
     plan = _formatted(df, execute=True)
     # the refresh plan reads the materialized STATE parquet plus the
-    # delta slice of lineitem — exactly one lineitem scan (the
-    # delta), never a second full-history pass
+    # delta partials — and since r14 the delta comes from the SAME
+    # checkpointed monthly-partials frame the state write produced
+    # (one lineitem pass total, at state-build time), so the refresh
+    # plan itself contains ZERO lineitem scans: history is never
+    # rescanned and neither is the tail
     body = plan.split("== Physical Plan ==")[-1]
-    assert body.count("lineitem.parquet") == 1, body
+    assert body.count("lineitem.parquet") == 0, body
     assert "agg_incremental/state" in body
 
 
